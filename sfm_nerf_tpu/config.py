@@ -1,0 +1,137 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters configuration over two argparse CLIs
+(Phase2/train.py:792-816, Phase2/Wrapper.py:538-554) and hardcoded paths
+(Phase1/Wrapper.py:627-636).  Here every knob lives in one frozen dataclass
+tree; the CLI shims in Phase1/ and Phase2/ map the reference's flag names onto
+these fields 1:1 so the reference CLIs keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFModelConfig:
+    """Architecture of the NeRF MLP.
+
+    ``arch='active'`` mirrors the reference's live class
+    (Phase2/NeRFModel.py:101-202): 1+4 layers, skip after the 4th, 3 more
+    layers, softplus density head, feature layer, 2-layer RGB head.
+
+    ``arch='legacy'`` mirrors the commented-out Sequential variant
+    (Phase2/NeRFModel.py:7-99) whose state dict all shipped checkpoints
+    serialize: fc1, block1 (``n_block1_layers`` Linears), optional skip layer,
+    block2 ending in a 257-wide ReLU layer whose channel 0 is the density
+    (post-ReLU, no softplus), and the same RGB head.
+    """
+
+    n_pos_freq: int = 10          # --n_pos_freq  (L for position PE)
+    n_dir_freq: int = 4           # --n_dirc_freq (L for direction PE)
+    hidden: int = 256             # --hidden_size
+    pos_encoding: bool = True     # pos_encoding ablation switch
+    arch: str = "active"          # 'active' | 'legacy'
+    # legacy-arch structure knobs (to ingest every shipped .pth layout):
+    n_block1_layers: int = 3
+    has_skip: bool = True
+
+    @property
+    def pos_dim(self) -> int:
+        return 3 * (2 * self.n_pos_freq + 1) if self.pos_encoding else 3
+
+    @property
+    def dir_dim(self) -> int:
+        return 3 * (2 * self.n_dir_freq + 1) if self.pos_encoding else 3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Sampling + volume-rendering behaviour.
+
+    ``variant='train'`` is the reference's live renderer
+    (Phase2/train.py:187-271): linspace-in-[0,1] stratified bins,
+    dists = diff(z) with 1e-3 appended, exclusive transmittance
+    ``T[:,1:] = cumprod(1-a+1e-10)[:, :-1]``.
+
+    ``variant='legacy'`` is the gif renderer (Phase2/Wrapper.py:129-186):
+    per-bin jitter ``t = near+(far-near)(i+u)/n``, dists appended with 1.0,
+    and NON-shifted (inclusive) transmittance ``w = a*cumprod(1-a+1e-10)``.
+    """
+
+    n_sample: int = 256           # --n_sample
+    near: float = 2.0             # --near  (legacy default: 1.0)
+    far: float = 6.0              # --far   (legacy default: 10.0)
+    perturb: bool = True          # --perturb
+    chunk_size: int = 32768       # --chunk_size (grid/tile size on TPU)
+    variant: str = "train"        # 'train' | 'legacy'
+    white_background: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (Phase2/train.py:401-404 + CLI defaults)."""
+
+    lrate: float = 5e-4           # --lrate
+    lrate_decay: float = 0.1      # --lrate_decay  (StepLR gamma)
+    lrate_decay_steps: int = 50000  # --lrate_decay_steps
+    n_rays_batch: int = 8192      # --n_rays_batch (32*32*8)
+    max_iters: int = 200001       # --max_iters
+    save_ckpt_iter: int = 1000    # --save_ckpt_iter
+    log_every: int = 100          # TB scalar cadence (train.py:474)
+    val_every: int = 1000         # validation render cadence (train.py:483)
+    n_val_images: int = 5
+    seed: int = 0
+    # numerics
+    compute_dtype: str = "float32"   # 'float32' | 'bfloat16' for activations
+    debug_nans: bool = False         # analog of torch detect_anomaly (train.py:390)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout.  The reference is single-device (SURVEY §2.3)."""
+
+    data_axis: str = "data"       # rays sharded here; grads psum over it
+    model_axis: str = "model"     # MLP hidden channels sharded here (tp)
+    dp: int = 0                   # 0 -> use all devices on the data axis
+    tp: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFPipelineConfig:
+    model: NeRFModelConfig = NeRFModelConfig()
+    render: RenderConfig = RenderConfig()
+    train: TrainConfig = TrainConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    # IO (reference flag names)
+    data_path: str = "./Phase2/nerf_synthetic/lego/"
+    mode: str = "train"
+    logs_path: str = "./logs/"
+    log_id: str = ""
+    exp_name: str = "lego_experiment"
+    checkpoint_path: str = "./Phase2/checkpoints_new_2/"
+    load_checkpoint: bool = True
+    images_path: str = "./image/"
+
+
+@dataclasses.dataclass(frozen=True)
+class SfMConfig:
+    """Phase1 pipeline knobs (reference values hardcoded in-code)."""
+
+    data_path: str = "Phase1/Data"
+    num_images: int = 5
+    # F-RANSAC (Phase1/Fundamental.py:60)
+    ransac_iters: int = 50000
+    ransac_threshold: float = 5e-4   # Sampson distance in normalized coords
+    normalize: bool = True
+    # PnP RANSAC (Phase1/PnP.py:160)
+    pnp_iters: int = 10000
+    pnp_threshold: float = 10.0      # squared px reprojection error
+    # nonlinear refinement
+    tri_refine_iters: int = 20       # LM steps for per-point triangulation
+    pnp_refine_iters: int = 50       # LM steps for pose refinement
+    ba_max_iters: int = 50           # LM steps for bundle adjustment
+    seed: int = 0
+    output_dir: str = "."
+    show: bool = False               # headless by default (no cv2.imshow)

@@ -1,0 +1,34 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax imports.
+
+Multi-chip sharding correctness (psum grads == single-device grads, pjit
+train-step compilation over a real Mesh) is validated here without TPU pods,
+per SURVEY §4's build requirement.  Benchmarks (bench.py) run on real TPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE)
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not mounted"
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
