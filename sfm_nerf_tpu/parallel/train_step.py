@@ -1,0 +1,168 @@
+"""Sharded NeRF train steps.
+
+Two composable strategies (SURVEY §2.3's TPU-native equivalents):
+
+1. ``make_dp_train_step`` — explicit data parallelism with shard_map: each
+   chip draws its own ray sub-batch from a fold_in'd key, computes local
+   grads, and ``pmean``s them over the 'data' axis (ICI collective).  This is
+   BASELINE config 5 (rays sharded across a v4-8, grads psum over ICI).
+
+2. ``make_spmd_train_step`` — GSPMD path: the same global-batch step traced
+   once under jit with sharding annotations; params are sharded over the
+   'model' axis (alternating column/row parallel on the MLP hidden dim) and
+   the ray batch is constrained to the 'data' axis.  XLA inserts the
+   all-reduce/all-gather collectives.  For this 0.5M-param model tp is pure
+   generality (SURVEY §2.3: "not needed for model size; expose anyway").
+
+Both keep optimizer math identical to the single-device step, so DP grads ==
+single-device grads on the concatenated batch (tested to float tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sfm_nerf_tpu.config import NeRFPipelineConfig
+from sfm_nerf_tpu.models import nerf_apply
+from sfm_nerf_tpu.ops.rays import sample_ray_batch
+from sfm_nerf_tpu.ops.render import render_rays
+from sfm_nerf_tpu.utils.metrics import mse
+
+
+def _loss_fn(params, key_sample, key_render, images, poses, K, mcfg, rcfg, n_rays):
+    o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
+    model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+    rgb = render_rays(model_fn, o, d, rcfg, key_render)
+    return mse(rgb, target)
+
+
+def make_dp_train_step(
+    cfg: NeRFPipelineConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Callable:
+    """Explicit-collective DP step over ``mesh``'s data axis.
+
+    Signature matches the single-device step:
+    ``step(params, opt_state, key, images, poses, K) -> (params, opt_state, loss)``.
+    Params/opt state replicated; each chip renders n_rays_batch/dp rays.
+    """
+    mcfg, rcfg = cfg.model, cfg.render
+    axis = cfg.parallel.data_axis
+    dp = mesh.shape[axis]
+    if cfg.train.n_rays_batch % dp:
+        raise ValueError(
+            f"n_rays_batch={cfg.train.n_rays_batch} not divisible by dp={dp}"
+        )
+    local_rays = cfg.train.n_rays_batch // dp
+
+    def shard_step(params, opt_state, key, images, poses, K):
+        # Per-chip RNG: fold the step key by mesh position so the union of
+        # per-chip draws is a deterministic function of (key, mesh shape).
+        idx = jax.lax.axis_index(axis)
+        key_local = jax.random.fold_in(key, idx)
+        key_sample, key_render = jax.random.split(key_local)
+        loss, grads = jax.value_and_grad(_loss_fn)(
+            params, key_sample, key_render, images, poses, K,
+            mcfg, rcfg, local_rays,
+        )
+        # ICI collectives: mean-reduce grads and loss across the data axis.
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rep = P()
+    mapped = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(rep,) * 6,
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def mlp_param_shardings(params, mesh: Mesh, model_axis: str = "model"):
+    """Megatron-style alternating shardings for a chain of linear layers.
+
+    Layers are taken in SORTED key order (jax tree order — dict pytrees are
+    rebuilt sorted, so this is the only ordering stable across device_put /
+    tree_map round-trips); even layers are column-parallel (w: (in, out/tp)),
+    odd layers row-parallel (w: (in/tp, out)).  Layers whose dims don't
+    divide tp stay replicated.  Returns a pytree of NamedSharding matching
+    ``params``.
+    """
+    tp = mesh.shape[model_axis]
+    names = sorted(params.keys())
+    shardings = {}
+    for i, name in enumerate(names):
+        layer = params[name]
+        w, b = layer["w"], layer["b"]
+        col = i % 2 == 0
+        if col and w.shape[1] % tp == 0:
+            spec_w, spec_b = P(None, model_axis), P(model_axis)
+        elif not col and w.shape[0] % tp == 0:
+            spec_w, spec_b = P(model_axis, None), P(None)
+        else:
+            spec_w, spec_b = P(None, None), P(None)
+        shardings[name] = {
+            "w": NamedSharding(mesh, spec_w),
+            "b": NamedSharding(mesh, spec_b),
+        }
+    return shardings
+
+
+def make_spmd_train_step(
+    cfg: NeRFPipelineConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    params_template,
+) -> Callable:
+    """GSPMD dp x tp step: params model-sharded, rays data-sharded.
+
+    The step body is IDENTICAL math to the single-device step; parallelism
+    comes only from input shardings + one with_sharding_constraint on the ray
+    batch.  XLA partitions the matmuls over 'model' and the batch over 'data'
+    and inserts collectives (scaling-book recipe: annotate, let XLA insert,
+    profile).
+    """
+    mcfg, rcfg = cfg.model, cfg.render
+    n_rays = cfg.train.n_rays_batch
+    data_axis = cfg.parallel.data_axis
+    p_shard = mlp_param_shardings(params_template, mesh, cfg.parallel.model_axis)
+    rep = NamedSharding(mesh, P())
+    batch_spec = NamedSharding(mesh, P(data_axis, None))
+
+    def loss_fn(params, key_sample, key_render, images, poses, K):
+        o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
+        o = jax.lax.with_sharding_constraint(o, batch_spec)
+        d = jax.lax.with_sharding_constraint(d, batch_spec)
+        target = jax.lax.with_sharding_constraint(target, batch_spec)
+        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+        rgb = render_rays(model_fn, o, d, rcfg, key_render)
+        return mse(rgb, target)
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        in_shardings=(p_shard, None, rep, rep, rep, rep),
+        out_shardings=(p_shard, None, rep),
+    )
+    def train_step(params, opt_state, key, images, poses, K):
+        key_sample, key_render = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key_sample, key_render, images, poses, K
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step

@@ -1,0 +1,226 @@
+"""NeRF training: one fully-jitted device-resident step + host loop.
+
+Reference behavior rebuilt TPU-first (Phase2/train.py:380-533):
+
+- The reference's per-iteration host work — a Python loop building 8192 rays
+  (generateBatch), a host->device tensor upload, and a loss ``.item()`` —
+  disappears: ray sampling, rendering, loss, backward, and the optimizer all
+  run inside ONE jitted step with donated buffers; the host only polls the
+  loss asynchronously every ``log_every`` steps.
+- Adam(lrate) + StepLR(decay_steps, gamma) becomes optax adam with a
+  staircase exponential schedule (identical piecewise-constant lr).
+- Checkpoint cadence/naming matches train.py:509-528 (save every
+  save_ckpt_iter, final_model at the end); resume is numeric-sorted
+  (fixing the reference's lexicographic-sort bug, SURVEY §5).
+- TensorBoard scalars/images at the reference cadences via tensorboardX
+  (Loss/train, Learning Rate, Loss/train_avg @100; Loss/val_i + Val_Image_i
+  side-by-side GT|pred @1000).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sfm_nerf_tpu.config import NeRFPipelineConfig
+from sfm_nerf_tpu.models import init_nerf_params, nerf_apply
+from sfm_nerf_tpu.ops.rays import image_rays, sample_ray_batch
+from sfm_nerf_tpu.ops.render import render_rays, render_rays_chunked
+from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+from sfm_nerf_tpu.utils.metrics import mse, psnr_from_mse
+
+
+def make_schedule(cfg: NeRFPipelineConfig) -> optax.Schedule:
+    return optax.exponential_decay(
+        init_value=cfg.train.lrate,
+        transition_steps=cfg.train.lrate_decay_steps,
+        decay_rate=cfg.train.lrate_decay,
+        staircase=True,  # == torch StepLR(step_size, gamma)
+    )
+
+
+def make_optimizer(cfg: NeRFPipelineConfig) -> optax.GradientTransformation:
+    return optax.adam(make_schedule(cfg))
+
+
+def make_train_step(
+    cfg: NeRFPipelineConfig, tx: optax.GradientTransformation
+) -> Callable:
+    """Build the jitted train step.
+
+    step(params, opt_state, key, images, poses, K) -> (params, opt_state, loss)
+
+    ``images``/``poses``/``K`` stay device-resident across the whole run.
+    """
+    mcfg, rcfg = cfg.model, cfg.render
+    n_rays = cfg.train.n_rays_batch
+
+    def loss_fn(params, key_sample, key_render, images, poses, K):
+        o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
+        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+        rgb = render_rays(model_fn, o, d, rcfg, key_render)
+        return mse(rgb, target)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, key, images, poses, K):
+        key_sample, key_render = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key_sample, key_render, images, poses, K
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
+    """Jitted full-frame renderer: (params, K, pose, H, W static) -> (H,W,3)."""
+    mcfg, rcfg = cfg.model, cfg.render
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def render_image(params, K, pose, height: int, width: int, key=None):
+        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+        o, d = image_rays(K, pose, height, width)
+        rgb = render_rays_chunked(model_fn, o, d, rcfg, key, chunk_rays)
+        return rgb.reshape(height, width, 3)
+
+    return render_image
+
+
+class NeRFTrainer:
+    """Host-side orchestration: resume, loop, logging, checkpoints."""
+
+    def __init__(
+        self,
+        cfg: NeRFPipelineConfig,
+        images: np.ndarray,
+        poses: np.ndarray,
+        camera_matrix: np.ndarray,
+        train_step: Optional[Callable] = None,
+        writer: Any = None,
+    ):
+        self.cfg = cfg
+        self.images = jnp.asarray(images, jnp.float32)
+        self.poses = jnp.asarray(poses, jnp.float32)
+        self.K = jnp.asarray(camera_matrix, jnp.float32)
+        self.tx = make_optimizer(cfg)
+        self._schedule = make_schedule(cfg)
+        self.params = init_nerf_params(
+            jax.random.key(cfg.train.seed), cfg.model
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.train_step = train_step or make_train_step(cfg, self.tx)
+        self.render_image = make_render_image(cfg)
+        self.start_iter = 0
+        self.writer = writer
+        self._last_losses: list = []
+
+    # -- checkpointing -----------------------------------------------------
+    def try_resume(self) -> bool:
+        path = ckpt_lib.latest_checkpoint(self.cfg.checkpoint_path)
+        if path is None:
+            return False
+        params, opt_state, step = ckpt_lib.load_checkpoint(
+            path, self.params, self.opt_state
+        )
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+        self.start_iter = step + 1
+        return True
+
+    def save(self, step: int, loss: float, final: bool = False) -> str:
+        return ckpt_lib.save_checkpoint(
+            self.cfg.checkpoint_path, step, self.params, self.opt_state,
+            extra={"loss": loss}, final=final,
+        )
+
+    # -- main loop ---------------------------------------------------------
+    def fit(
+        self,
+        max_iters: Optional[int] = None,
+        val_indices: Optional[np.ndarray] = None,
+        progress: bool = True,
+    ) -> dict:
+        cfg = self.cfg
+        max_iters = max_iters if max_iters is not None else cfg.train.max_iters
+        if cfg.load_checkpoint:
+            self.try_resume()
+        if val_indices is None:
+            rng = np.random.default_rng(cfg.train.seed)
+            n_val = min(cfg.train.n_val_images, len(self.images))
+            val_indices = rng.choice(len(self.images), n_val, replace=False)
+
+        key = jax.random.key(cfg.train.seed + 1)
+        loss = jnp.asarray(0.0)
+        running = 0.0
+        t_start = time.time()
+        n_steps_done = 0
+        iterator = range(self.start_iter, max_iters)
+        if progress:
+            try:
+                from tqdm import tqdm
+                iterator = tqdm(iterator)
+            except ImportError:
+                pass
+
+        for it in iterator:
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, loss = self.train_step(
+                self.params, self.opt_state, sub,
+                self.images, self.poses, self.K,
+            )
+            n_steps_done += 1
+
+            if it % cfg.train.log_every == 0:
+                loss_f = float(loss)
+                running += loss_f
+                self._last_losses.append(loss_f)
+                if progress and hasattr(iterator, "set_description"):
+                    iterator.set_description(f"Loss: {loss_f:.6f}")
+                if self.writer is not None:
+                    self.writer.add_scalar("Loss/train", loss_f, it)
+                    self.writer.add_scalar(
+                        "Learning Rate", float(self._schedule(it)), it
+                    )
+                    self.writer.add_scalar("Loss/train_avg", loss_f, it)
+
+            if cfg.train.val_every and it % cfg.train.val_every == 0 and it > 0:
+                self._validate(it, val_indices)
+                if it % cfg.train.save_ckpt_iter == 0:
+                    self.save(it, float(loss))
+
+        final_loss = float(loss)
+        self.save(max_iters - 1, final_loss, final=True)
+        elapsed = time.time() - t_start
+        rays = n_steps_done * cfg.train.n_rays_batch
+        return {
+            "final_loss": final_loss,
+            "steps": n_steps_done,
+            "elapsed_s": elapsed,
+            "rays_per_sec": rays / max(elapsed, 1e-9),
+        }
+
+    def _validate(self, it: int, val_indices) -> None:
+        height, width = int(self.images.shape[1]), int(self.images.shape[2])
+        for i, idx in enumerate(val_indices):
+            pred = self.render_image(
+                self.params, self.K, self.poses[int(idx)], height, width
+            )
+            gt = self.images[int(idx)]
+            val_mse = float(mse(pred, gt))
+            if self.writer is not None:
+                self.writer.add_scalar(f"Loss/val_{i}", val_mse, it)
+                side = np.concatenate([np.asarray(gt), np.asarray(pred)], axis=1)
+                self.writer.add_image(
+                    f"Val_Image_{i}",
+                    np.clip(side.transpose(2, 0, 1), 0, 1),
+                    it,
+                )

@@ -1,0 +1,177 @@
+"""Epipolar ops against synthetic ground truth and OpenCV oracles —
+the automated version of the reference's inline cv2 cross-checks
+(SURVEY §4.1: cv2.findFundamentalMat / cv2.recoverPose comparisons)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_nerf_tpu.ops.epipolar import (
+    decompose_essential,
+    eight_point,
+    essential_from_fundamental,
+    normalization_matrix,
+    ransac_fundamental,
+    sampson_distance,
+)
+from sfm_nerf_tpu.ops.linalg import homogenize
+
+from util_synthetic import make_sfm_scene
+
+
+def two_view_correspondences(noise=0.0, n=300, outlier_frac=0.0, seed=0):
+    scene = make_sfm_scene(n_cams=2, n_points=n, noise_px=noise, seed=seed)
+    pts1, pts2 = scene["obs"][0], scene["obs"][1]
+    rng = np.random.default_rng(seed + 1)
+    if outlier_frac > 0:
+        n_out = int(n * outlier_frac)
+        out_idx = rng.choice(n, n_out, replace=False)
+        pts2 = pts2.copy()
+        pts2[out_idx] += rng.uniform(-80, 80, (n_out, 2))
+        inlier_mask = np.ones(n, bool)
+        inlier_mask[out_idx] = False
+    else:
+        inlier_mask = np.ones(n, bool)
+    return scene, pts1, pts2, inlier_mask
+
+
+def epipolar_residual(F, pts1, pts2):
+    h1, h2 = homogenize(jnp.asarray(pts1)), homogenize(jnp.asarray(pts2))
+    # standard constraint h2^T F h1 = 0 (see _constraint_rows deviation note)
+    return np.asarray(jnp.einsum("ni,ij,nj->n", h2, F, h1))
+
+
+def test_normalization_matrix_properties(rng):
+    pts = rng.uniform(0, 800, (100, 2)).astype(np.float64)
+    T = np.asarray(normalization_matrix(jnp.asarray(pts)))
+    h = np.hstack([pts, np.ones((100, 1))]) @ T.T
+    np.testing.assert_allclose(h[:, :2].mean(0), 0, atol=1e-4)
+    rms = np.sqrt((h[:, :2] ** 2).sum(1).mean())
+    np.testing.assert_allclose(rms, np.sqrt(2), rtol=1e-5)
+
+
+def test_eight_point_exact_correspondences():
+    _, pts1, pts2, _ = two_view_correspondences()
+    F = eight_point(jnp.asarray(pts1[:64]), jnp.asarray(pts2[:64]))
+    res = epipolar_residual(F, pts1, pts2)
+    # F is scaled so F[2,2]=1; residuals of exact correspondences ~ 0
+    assert np.abs(res).max() < 1e-2
+    # rank 2
+    s = np.linalg.svd(np.asarray(F), compute_uv=False)
+    assert s[2] / s[0] < 1e-6
+
+
+def test_eight_point_batched_consistent():
+    _, pts1, pts2, _ = two_view_correspondences()
+    single = eight_point(jnp.asarray(pts1[:8]), jnp.asarray(pts2[:8]))
+    batched = eight_point(
+        jnp.asarray(pts1[:16]).reshape(2, 8, 2),
+        jnp.asarray(pts2[:16]).reshape(2, 8, 2),
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched[0]), np.asarray(single), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_sampson_distance_zero_for_exact_fit():
+    """Our fit and scorer use the same h2^T F h1 = 0 convention (unlike the
+    reference, whose 8-point layout is transposed vs its scorer — see the
+    _constraint_rows deviation note), so exact correspondences score ~0."""
+    _, pts1, pts2, _ = two_view_correspondences()
+    T1 = normalization_matrix(jnp.asarray(pts1))
+    T2 = normalization_matrix(jnp.asarray(pts2))
+    h1 = homogenize(jnp.asarray(pts1)) @ T1.T
+    h2 = homogenize(jnp.asarray(pts2)) @ T2.T
+    F = eight_point(h1[:32, :2], h2[:32, :2])
+    d = np.asarray(sampson_distance(F, h1, h2))
+    assert d.max() < 1e-9
+
+
+def test_ransac_rejects_outliers():
+    _, pts1, pts2, inlier_mask = two_view_correspondences(
+        noise=0.3, outlier_frac=0.3
+    )
+    res = ransac_fundamental(
+        jax.random.key(0),
+        jnp.asarray(pts1, jnp.float32), jnp.asarray(pts2, jnp.float32),
+        n_iters=2000, threshold=5e-4, chunk=256,
+    )
+    found = np.asarray(res.inliers)
+    true_in = inlier_mask
+    recall = (found & true_in).sum() / true_in.sum()
+    precision = (found & true_in).sum() / max(found.sum(), 1)
+    assert recall > 0.85, f"recall {recall}"
+    assert precision > 0.9, f"precision {precision}"
+
+
+def test_ransac_f_close_to_opencv_oracle():
+    import cv2
+
+    _, pts1, pts2, _ = two_view_correspondences(noise=0.2, outlier_frac=0.2)
+    res = ransac_fundamental(
+        jax.random.key(1),
+        jnp.asarray(pts1, jnp.float32), jnp.asarray(pts2, jnp.float32),
+        n_iters=2000, threshold=5e-4, chunk=256,
+    )
+    F_cv, _ = cv2.findFundamentalMat(pts1, pts2, cv2.FM_RANSAC)
+    # compare as epipolar operators on clean points (scale-free):
+    # both should produce near-zero residuals on true inliers
+    F_mine = np.asarray(res.F)
+    F_mine = F_mine / F_mine[2, 2]   # denormalized F isn't unit-scaled
+    res_mine = epipolar_residual(jnp.asarray(F_mine), pts1, pts2)
+    # note our F satisfies h1^T F h2; OpenCV's satisfies h2^T F h1
+    h1, h2 = homogenize(jnp.asarray(pts1)), homogenize(jnp.asarray(pts2))
+    res_cv = np.asarray(jnp.einsum("nj,ji,ni->n", h2, jnp.asarray(F_cv), h1))
+    med_mine = np.median(np.abs(res_mine))
+    med_cv = np.median(np.abs(res_cv / F_cv[2, 2]))
+    assert med_mine < max(5 * med_cv, 1.0), (med_mine, med_cv)
+
+
+def test_essential_decomposition_recovers_pose():
+    scene, pts1, pts2, _ = two_view_correspondences()
+    K = scene["K"]
+    # ground-truth relative pose: world == cam1 frame here (R0=I, C0=0)
+    R1, C1 = scene["Rs"][0], scene["Cs"][0]
+    R2, C2 = scene["Rs"][1], scene["Cs"][1]
+    R_rel = R2 @ R1.T
+    C_rel = R1 @ (C2 - C1)           # cam2 center in cam1 frame
+    t_rel = -R_rel @ C_rel           # extrinsic translation
+
+    F = eight_point(jnp.asarray(pts1[:100]), jnp.asarray(pts2[:100]))
+    E = essential_from_fundamental(jnp.asarray(K), F)
+    Cs, Rs = decompose_essential(E)
+    Cs, Rs = np.asarray(Cs), np.asarray(Rs)
+    # one candidate must recover R_rel exactly; the C slot carries the
+    # TRANSLATION direction (reference's center-convention quirk — see
+    # decompose_essential docstring)
+    t_unit = t_rel / np.linalg.norm(t_rel)
+    r_errs = [np.linalg.norm(Rs[i] - R_rel) for i in range(4)]
+    best = int(np.argmin(r_errs))
+    assert r_errs[best] < 5e-2, r_errs
+    cb = Cs[best] / np.linalg.norm(Cs[best])
+    assert min(np.linalg.norm(cb - t_unit), np.linalg.norm(cb + t_unit)) < 5e-2
+
+
+def test_full_two_view_chain_reprojection_error():
+    """F -> E -> candidates -> triangulate -> cheirality on exact synthetic
+    correspondences with real rotation: linear reprojection error must land
+    in the reference's ballpark (its Table I reports 1.93 px; the residual
+    is the decompose C-convention quirk) and far below the 50-70 px the
+    reference's transposed-F layout would produce."""
+    from sfm_nerf_tpu.ops.triangulation import (
+        disambiguate_pose, reprojection_errors,
+    )
+
+    scene, pts1, pts2, _ = two_view_correspondences()
+    K = jnp.asarray(scene["K"])
+    F = eight_point(jnp.asarray(pts1[:150]), jnp.asarray(pts2[:150]))
+    E = essential_from_fundamental(K, F)
+    Cs, Rs = decompose_essential(E)
+    X, C, R, _, _ = disambiguate_pose(
+        K, Cs, Rs, jnp.asarray(pts1), jnp.asarray(pts2)
+    )
+    e1 = np.sqrt(np.asarray(reprojection_errors(
+        K, jnp.eye(3), jnp.zeros(3), X, jnp.asarray(pts1))))
+    e2 = np.sqrt(np.asarray(reprojection_errors(K, R, C, X, jnp.asarray(pts2))))
+    assert e1.mean() < 10.0, e1.mean()
+    assert e2.mean() < 10.0, e2.mean()

@@ -1,0 +1,143 @@
+"""Multi-device correctness on the 8-device virtual CPU mesh (conftest).
+
+Key invariant: the explicit-psum DP step must produce (to float tolerance)
+the same update as a single-device step over the concatenation of the
+per-chip batches — i.e. data parallelism changes the schedule of the math,
+not the math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from sfm_nerf_tpu.config import (
+    NeRFModelConfig, NeRFPipelineConfig, ParallelConfig, RenderConfig,
+    TrainConfig,
+)
+from sfm_nerf_tpu.models import init_nerf_params, nerf_apply
+from sfm_nerf_tpu.ops.rays import sample_ray_batch
+from sfm_nerf_tpu.ops.render import render_rays
+from sfm_nerf_tpu.parallel import make_mesh
+from sfm_nerf_tpu.parallel.train_step import (
+    make_dp_train_step,
+    make_spmd_train_step,
+    mlp_param_shardings,
+)
+from sfm_nerf_tpu.train.nerf_trainer import make_optimizer
+from sfm_nerf_tpu.utils.metrics import mse
+
+from util_synthetic import make_blender_dataset
+
+
+def small_cfg(n_rays=256, tp=1):
+    return NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=32, n_pos_freq=4, n_dir_freq=2),
+        render=RenderConfig(n_sample=16),
+        train=TrainConfig(n_rays_batch=n_rays),
+        parallel=ParallelConfig(tp=tp),
+    )
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    from sfm_nerf_tpu.io.blender import load_blender_dataset
+
+    root = make_blender_dataset(
+        str(tmp_path_factory.mktemp("data")), n_frames=3, height=16, width=16
+    )
+    images, poses, cam = load_blender_dataset(root, "train")
+    return (
+        jnp.asarray(images),
+        jnp.asarray(poses),
+        jnp.asarray(cam.camera_matrix),
+    )
+
+
+def test_eight_devices_visible():
+    assert jax.device_count() == 8
+
+
+def test_dp_step_matches_single_device(scene):
+    images, poses, K = scene
+    cfg = small_cfg(n_rays=256)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh(dp=8, tp=1)
+    params = init_nerf_params(jax.random.key(0), cfg.model)
+    opt_state = tx.init(params)
+
+    dp_step = make_dp_train_step(cfg, tx, mesh)
+    key = jax.random.key(42)
+    new_params, _, dp_loss = dp_step(
+        jax.tree_util.tree_map(jnp.copy, params),
+        jax.tree_util.tree_map(jnp.copy, opt_state),
+        key, images, poses, K,
+    )
+
+    # single-device oracle: replay each chip's fold_in'd sampling, concat
+    local = cfg.train.n_rays_batch // 8
+    os_, ds_, ts_, kr_ = [], [], [], []
+    for i in range(8):
+        key_local = jax.random.fold_in(key, i)
+        key_sample, key_render = jax.random.split(key_local)
+        o, d, t = sample_ray_batch(key_sample, images, poses, K, local)
+        os_.append(o), ds_.append(d), ts_.append(t), kr_.append(key_render)
+
+    def chip_loss(params, i):
+        model_fn = lambda p, dd: nerf_apply(params, p, dd, cfg.model)
+        rgb = render_rays(model_fn, os_[i], ds_[i], cfg.render, kr_[i])
+        return mse(rgb, ts_[i])
+
+    def total_loss(params):
+        return jnp.mean(jnp.stack([chip_loss(params, i) for i in range(8)]))
+
+    ref_loss, ref_grads = jax.value_and_grad(total_loss)(params)
+    updates, _ = tx.update(ref_grads, tx.init(params), params)
+    ref_params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_params),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_spmd_dp_tp_step_runs_and_learns(scene):
+    images, poses, K = scene
+    cfg = small_cfg(n_rays=512, tp=2)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh(dp=4, tp=2)
+    params = init_nerf_params(jax.random.key(0), cfg.model)
+    shardings = mlp_param_shardings(params, mesh)
+    params = jax.device_put(params, shardings)
+    opt_state = tx.init(params)
+
+    step = make_spmd_train_step(cfg, tx, mesh, params)
+    key = jax.random.key(7)
+    losses = []
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub, images, poses, K)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # learning signal flows through collectives
+
+
+def test_param_shardings_cover_tree():
+    cfg = small_cfg(tp=2)
+    mesh = make_mesh(dp=4, tp=2)
+    params = init_nerf_params(jax.random.key(0), cfg.model)
+    sh = mlp_param_shardings(params, mesh)
+    assert jax.tree_util.tree_structure(
+        params, is_leaf=lambda x: isinstance(x, jnp.ndarray)
+    ) == jax.tree_util.tree_structure(
+        sh, is_leaf=lambda x: hasattr(x, "spec")
+    )
+    # at least one layer actually sharded over 'model'
+    specs = [s.spec for s in jax.tree_util.tree_leaves(
+        sh, is_leaf=lambda x: hasattr(x, "spec"))]
+    assert any("model" in str(s) for s in specs)

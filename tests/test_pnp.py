@@ -1,0 +1,99 @@
+"""PnP ops against ground truth and OpenCV solvePnP oracle."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from sfm_nerf_tpu.ops.pnp import (
+    linear_pnp,
+    nonlinear_pnp,
+    pnp_ransac,
+    reprojection_error_mean_px,
+)
+
+from util_synthetic import make_sfm_scene
+
+
+def cam_setup(noise=0.0, seed=0, n=200):
+    scene = make_sfm_scene(n_cams=2, n_points=n, noise_px=noise, seed=seed)
+    K = scene["K"]
+    R, C = scene["Rs"][1], scene["Cs"][1]
+    return scene["points"], scene["obs"][1], K, R, C
+
+
+def test_linear_pnp_exact():
+    X, x, K, R_true, C_true = cam_setup()
+    C, R = linear_pnp(jnp.asarray(X), jnp.asarray(x), jnp.asarray(K))
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(C), C_true, atol=1e-5)
+
+
+def test_linear_pnp_noisy_close_to_opencv():
+    X, x, K, R_true, C_true = cam_setup(noise=1.0)
+    C, R = linear_pnp(jnp.asarray(X), jnp.asarray(x), jnp.asarray(K))
+    ok, rvec, tvec = cv2.solvePnP(
+        X.astype(np.float64), x.astype(np.float64), K, None,
+        flags=cv2.SOLVEPNP_ITERATIVE,
+    )
+    R_cv, _ = cv2.Rodrigues(rvec)
+    C_cv = (-R_cv.T @ tvec).ravel()
+    assert np.linalg.norm(np.asarray(R) - R_cv) < 0.05
+    assert np.linalg.norm(np.asarray(C) - C_cv) < 0.2
+
+
+def test_pnp_ransac_with_outliers():
+    X, x, K, R_true, C_true = cam_setup(noise=0.5)
+    rng = np.random.default_rng(1)
+    x_corrupt = x.copy()
+    out_idx = rng.choice(len(x), 60, replace=False)
+    x_corrupt[out_idx] += rng.uniform(-60, 60, (60, 2))
+    res = pnp_ransac(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(x_corrupt),
+        jnp.asarray(K), n_iters=2000, threshold=10.0, chunk=256,
+    )
+    # recovered pose close to truth
+    assert np.linalg.norm(np.asarray(res.R) - R_true) < 0.05
+    assert np.linalg.norm(np.asarray(res.C) - C_true) < 0.3
+    found = np.asarray(res.inliers)
+    true_mask = np.ones(len(x), bool)
+    true_mask[out_idx] = False
+    precision = (found & true_mask).sum() / max(found.sum(), 1)
+    assert precision > 0.9
+
+
+def test_nonlinear_pnp_refines():
+    X, x, K, R_true, C_true = cam_setup(noise=0.0)
+    # perturb the pose, refinement must pull it back
+    dR, _ = cv2.Rodrigues(np.array([0.02, -0.015, 0.01]))
+    R0 = dR @ R_true
+    C0 = C_true + np.array([0.05, -0.04, 0.08])
+    e_before = float(reprojection_error_mean_px(
+        jnp.asarray(K), jnp.asarray(R0), jnp.asarray(C0),
+        jnp.asarray(X), jnp.asarray(x)))
+    C_opt, R_opt, rms = nonlinear_pnp(
+        jnp.asarray(K), jnp.asarray(R0), jnp.asarray(C0),
+        jnp.asarray(X), jnp.asarray(x), n_iters=50,
+    )
+    e_after = float(reprojection_error_mean_px(
+        jnp.asarray(K), R_opt, C_opt, jnp.asarray(X), jnp.asarray(x)))
+    assert e_before > 1.0
+    assert e_after < 1e-4, (e_before, e_after)
+    np.testing.assert_allclose(np.asarray(R_opt), R_true, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(C_opt), C_true, atol=1e-4)
+    assert float(rms) < 1e-4
+
+
+def test_nonlinear_pnp_respects_weights():
+    X, x, K, R_true, C_true = cam_setup(noise=0.0)
+    x_corrupt = x.copy()
+    x_corrupt[:30] += 50.0           # gross outliers, masked out
+    w = np.ones(len(x)); w[:30] = 0.0
+    dR, _ = cv2.Rodrigues(np.array([0.01, 0.01, -0.01]))
+    C_opt, R_opt, rms = nonlinear_pnp(
+        jnp.asarray(K), jnp.asarray(dR @ R_true), jnp.asarray(C_true + 0.05),
+        jnp.asarray(X), jnp.asarray(x_corrupt), weights=jnp.asarray(w),
+        n_iters=50,
+    )
+    np.testing.assert_allclose(np.asarray(R_opt), R_true, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(C_opt), C_true, atol=1e-4)

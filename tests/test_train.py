@@ -1,0 +1,90 @@
+"""Training loop: loss decreases on a tiny synthetic scene; checkpoint
+round-trip restores bit-identical state; resume picks numerically-latest."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_nerf_tpu.config import (
+    NeRFModelConfig,
+    NeRFPipelineConfig,
+    RenderConfig,
+    TrainConfig,
+)
+from sfm_nerf_tpu.io.blender import load_blender_dataset
+from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+from sfm_nerf_tpu.train.nerf_trainer import NeRFTrainer
+
+from util_synthetic import make_blender_dataset
+
+
+def tiny_cfg(tmp_path, **train_kw):
+    return NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=32, n_pos_freq=4, n_dir_freq=2),
+        render=RenderConfig(n_sample=32, near=2.0, far=6.0),
+        train=TrainConfig(
+            n_rays_batch=256, lrate=5e-3, val_every=0,
+            **train_kw,
+        ),
+        checkpoint_path=os.path.join(str(tmp_path), "ckpt"),
+        load_checkpoint=False,
+    )
+
+
+def test_train_loss_decreases(tmp_path):
+    root = make_blender_dataset(str(tmp_path / "data"), n_frames=4,
+                                height=24, width=24)
+    images, poses, cam = load_blender_dataset(root, "train")
+    cfg = tiny_cfg(tmp_path)
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    stats = trainer.fit(max_iters=151, progress=False)
+    losses = trainer._last_losses
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0] * 0.8, f"no learning: {losses}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    root = make_blender_dataset(str(tmp_path / "data"), n_frames=2,
+                                height=16, width=16)
+    images, poses, cam = load_blender_dataset(root, "train")
+    cfg = tiny_cfg(tmp_path)
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    trainer.fit(max_iters=3, progress=False)
+    path = ckpt_lib.latest_checkpoint(cfg.checkpoint_path, prefer_final=True)
+    assert path is not None
+
+    trainer2 = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    params, opt_state, step = ckpt_lib.load_checkpoint(
+        path, trainer2.params, trainer2.opt_state
+    )
+    assert step == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(trainer.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_numeric_sort(tmp_path):
+    """model_9000 must NOT shadow model_10000 (the reference's lexicographic
+    resume bug, Phase2/train.py:414; SURVEY §5)."""
+    d = str(tmp_path)
+    params = {"w": np.zeros(3, np.float32)}
+    ckpt_lib.save_checkpoint(d, 9000, params)
+    ckpt_lib.save_checkpoint(d, 10000, params)
+    latest = ckpt_lib.latest_checkpoint(d)
+    assert latest.endswith("model_010000.ckpt.npz")
+
+
+def test_blender_loader_reference_focal(tmp_path):
+    root = make_blender_dataset(str(tmp_path / "d"), n_frames=2,
+                                height=20, width=30)
+    images, poses, cam = load_blender_dataset(root, "train")
+    assert images.shape == (2, 20, 30, 3)
+    assert poses.shape == (2, 4, 4)
+    cax = 0.6911112070083618
+    expected = 0.5 * cax * 30 / np.tan(0.5 * cax)
+    np.testing.assert_allclose(cam.camera_matrix[0, 0], expected, rtol=1e-6)
+    assert cam.camera_matrix[0, 2] == 15.0 and cam.camera_matrix[1, 2] == 10.0
