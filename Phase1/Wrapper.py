@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Phase1 entry point: full incremental SfM reconstruction.
+
+CLI-compatible with the reference's ``python Phase1/Wrapper.py`` (which has
+NO flags — paths hardcoded at Phase1/Wrapper.py:627-636); flags added here
+only extend it (defaults reproduce the reference invocation).  Emits the same
+artifact filenames: x_vs_z_triangulation.png, 3d_points_visualization.png,
+Frame{1,2} overlays, complete_reconstruction.png, topdown_view.png.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_path", default="Phase1/Data",
+                        help="folder with 1..N.png, calibration.txt, matching*.txt")
+    parser.add_argument("--num_images", type=int, default=5)
+    parser.add_argument("--output_dir", default=".")
+    parser.add_argument("--ransac_iters", type=int, default=50000)
+    parser.add_argument("--ransac_threshold", type=float, default=5e-4)
+    parser.add_argument("--pnp_iters", type=int, default=10000)
+    parser.add_argument("--pnp_threshold", type=float, default=10.0)
+    parser.add_argument("--ba_max_iters", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--float64", action="store_true", default=True,
+                        help="run geometry in float64 (reference precision)")
+    parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "default"],
+                        help="device backend. Default cpu: this 5-image "
+                             "problem is latency-bound and wants float64; "
+                             "the host loop over per-pair shapes would pay "
+                             "one accelerator compile per shape. Use the "
+                             "TPU for large-scale RANSAC/BA workloads.")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.sfm import SfMPipeline
+
+    cfg = SfMConfig(
+        data_path=args.data_path,
+        num_images=args.num_images,
+        ransac_iters=args.ransac_iters,
+        ransac_threshold=args.ransac_threshold,
+        pnp_iters=args.pnp_iters,
+        pnp_threshold=args.pnp_threshold,
+        ba_max_iters=args.ba_max_iters,
+        seed=args.seed,
+        output_dir=args.output_dir,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    SfMPipeline(cfg).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Phase2 legacy entry point: train / test / 360-degree gif render.
+
+Flag-compatible with the reference ``python Phase2/Wrapper.py``
+(Phase2/Wrapper.py:538-554, 15 flags) including the ``gif`` mode
+(test_single_image, :381-507): 10 turntable poses via pose_spherical
+(theta, -30 deg, r=4), the LEGACY renderer (near=1, far=10, non-shifted
+transmittance), frames written as ``image_{count}.png`` with the reference's
+cv2.imwrite BGR-swap behavior preserved behind ``--rgb_frames``.
+
+Checkpoints: loads our .ckpt.npz, or a reference .pth directly (converted
+on the fly via models/convert.py) — so shipped reference checkpoints render
+without retraining.
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def configParser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--data_path', default="./Phase2/nerf_synthetic/lego/", help="dataset path")
+    parser.add_argument('--mode', default='train', help="train/test/gif")
+    parser.add_argument('--lrate', default=5e-4, help="training learning rate")
+    parser.add_argument('--n_pos_freq', default=10, help="number of positional encoding frequencies for position")
+    parser.add_argument('--n_dirc_freq', default=4, help="number of positional encoding frequencies for viewing direction")
+    parser.add_argument('--n_rays_batch', default=32 * 32 * 8, help="number of rays per batch")
+    parser.add_argument('--n_sample', default=256, help="number of sample per ray")
+    parser.add_argument('--max_iters', default=100001, help="number of max iterations for training")
+    parser.add_argument('--logs_path', default="./logs/", help="logs path")
+    parser.add_argument('--log_id', default="", help="log id")
+    parser.add_argument('--checkpoint_path', default="./Phase2/checkpoints/", help="checkpoints path")
+    parser.add_argument('--load_checkpoint', default=True, help="whether to load checkpoint or not")
+    parser.add_argument('--save_ckpt_iter', default=1000, help="num of iteration to save checkpoint")
+    parser.add_argument('--images_path', default="./image/", help="folder to store images")
+    # TPU-native additions
+    parser.add_argument('--n_frames', default=10, type=int, help="gif turntable frames")
+    parser.add_argument('--rgb_frames', action='store_true',
+                        help="write frames in RGB (the reference cv2.imwrite "
+                             "swaps to BGR, Wrapper.py:504-507)")
+    parser.add_argument('--downscale', default=1, type=int)
+    return parser
+
+
+def load_any_checkpoint(ckpt_dir):
+    """Our .ckpt.npz (latest/final) or a reference .pth -> (params, model_cfg).
+
+    Returns (params pytree of np arrays, NeRFModelConfig or None).  None cfg
+    means caller should use its own config (npz stores params only)."""
+    from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+
+    npz = ckpt_lib.latest_checkpoint(ckpt_dir, prefer_final=True)
+    if npz is not None:
+        return npz, None
+    pths = sorted(glob.glob(os.path.join(ckpt_dir, "*.pth")))
+    final = os.path.join(ckpt_dir, "final_model.pth")
+    pth = final if os.path.exists(final) else (pths[-1] if pths else None)
+    return pth, "pth" if pth else None
+
+
+def run_gif(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import cv2
+
+    from sfm_nerf_tpu.config import NeRFModelConfig, RenderConfig
+    from sfm_nerf_tpu.io.blender import load_blender_dataset, pose_spherical
+    from sfm_nerf_tpu.models import nerf_apply
+    from sfm_nerf_tpu.ops.rays import image_rays
+    from sfm_nerf_tpu.ops.render import render_rays_chunked
+
+    # reference quirk kept: gif mode loads the TRAIN split's camera_info
+    # (Wrapper.py:513 hardcodes mode='train')
+    images, poses, cam = load_blender_dataset(
+        args.data_path, "train", downscale=int(args.downscale)
+    )
+    height, width = images.shape[1], images.shape[2]
+
+    path, kind = load_any_checkpoint(args.checkpoint_path)
+    if path is None:
+        print("No checkpoint found")
+        return
+    print(f"Loading checkpoint... {path}")
+    if kind == "pth":
+        from sfm_nerf_tpu.models.convert import convert_pth
+
+        params, mcfg = convert_pth(path)
+    else:
+        from sfm_nerf_tpu.models import init_nerf_params
+        from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+
+        mcfg = NeRFModelConfig(
+            n_pos_freq=int(args.n_pos_freq),
+            n_dir_freq=int(args.n_dirc_freq),
+            arch="active",
+        )
+        template = init_nerf_params(jax.random.key(0), mcfg)
+        params, _, _ = ckpt_lib.load_checkpoint(path, template)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    print(f"Checkpoint {path} loaded")
+
+    # legacy renderer defaults (Wrapper.py:128: near=1.0, far=10.0)
+    rcfg = RenderConfig(
+        n_sample=int(args.n_sample), near=1.0, far=10.0,
+        perturb=True, variant="legacy",
+    )
+    model_fn = lambda p, d: nerf_apply(params, p, d, mcfg)
+    K = jnp.asarray(cam.camera_matrix)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def render_frame(pose, key):
+        o, d = image_rays(K, pose, height, width)
+        return render_rays_chunked(model_fn, o, d, rcfg, key).reshape(
+            height, width, 3
+        )
+
+    os.makedirs(args.images_path, exist_ok=True)
+    key = jax.random.key(0)
+    import time
+
+    t0 = time.time()
+    for count, th in enumerate(
+        np.linspace(0.0, 360.0, int(args.n_frames), endpoint=False), start=1
+    ):
+        c2w = jnp.asarray(pose_spherical(float(th), -30.0, 4.0))
+        key, sub = jax.random.split(key)
+        img = np.asarray(render_frame(c2w, sub)) * 255.0
+        out = os.path.join(args.images_path, f"image_{count}.png")
+        frame = img if args.rgb_frames else img  # cv2 writes BGR from this array,
+        # matching the reference's channel-swap artifact (Wrapper.py:504-507)
+        if args.rgb_frames:
+            frame = img[..., ::-1]
+        cv2.imwrite(out, frame)
+        print(f"wrote {out}")
+    print(f"gif frames rendered in {time.time() - t0:.1f}s")
+
+
+def main(args):
+    print("Loading data...")
+    if args.mode == "gif":
+        print("Start gif")
+        run_gif(args)
+        return
+    # train/test delegate to the main train.py implementation
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "phase2_train", os.path.join(os.path.dirname(__file__), "train.py")
+    )
+    train_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_mod)
+    t_args = train_mod.configParser().parse_args([])
+    for k, v in vars(args).items():
+        if hasattr(t_args, k):
+            setattr(t_args, k, v)
+    train_mod.main(t_args)
+
+
+if __name__ == "__main__":
+    main(configParser().parse_args())

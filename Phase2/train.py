@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Phase2 entry point: NeRF training / testing.
+
+Flag-compatible with the reference ``python Phase2/train.py`` (all 19 flags,
+Phase2/train.py:792-816, same names and defaults — including the string
+defaults the reference coerces in main, :772-779).  TPU-only additions:
+``--dp`` (data-parallel chips), ``--downscale``, ``--render_variant``,
+``--arch``, ``--steps_per_call``.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def configParser():
+    parser = argparse.ArgumentParser()
+    # --- reference flags, names and defaults preserved -----------------
+    parser.add_argument('--data_path', default="./Phase2/nerf_synthetic/lego/", help="dataset path")
+    parser.add_argument('--mode', default='train', help="train/test/val")
+    parser.add_argument('--lrate', default=5e-4, help="training learning rate")
+    parser.add_argument('--n_pos_freq', default=10, help="number of positional encoding frequencies for position")
+    parser.add_argument('--n_dirc_freq', default=4, help="number of positional encoding frequencies for viewing direction")
+    parser.add_argument('--n_rays_batch', default=32 * 32 * 8, help="number of rays per batch")
+    parser.add_argument('--n_sample', default=256, help="number of sample per ray")
+    parser.add_argument('--max_iters', default=200001, help="number of max iterations for training")
+    parser.add_argument('--logs_path', default="./logs/", help="logs path")
+    parser.add_argument('--log_id', default="", help="log id")
+    parser.add_argument('--exp_name', default="lego_experiment", help="experiment name for logging")
+    parser.add_argument('--checkpoint_path', default="./Phase2/checkpoints_new_2/", help="checkpoints path")
+    parser.add_argument('--load_checkpoint', default=True, help="whether to load checkpoint or not")
+    parser.add_argument('--save_ckpt_iter', default=1000, help="num of iteration to save checkpoint")
+    parser.add_argument('--images_path', default="./image/", help="folder to store images")
+    parser.add_argument('--perturb', default=True, type=bool, help="use stratified sampling")
+    parser.add_argument('--near', default=2.0, type=float, help="near bound for ray sampling")
+    parser.add_argument('--far', default=6.0, type=float, help="far bound for ray sampling")
+    parser.add_argument('--chunk_size', default=1024 * 32, type=int, help="chunk size for memory efficient inference")
+    parser.add_argument('--hidden_size', default=256, type=int, help="hidden layer width")
+    parser.add_argument('--lrate_decay', default=0.1, type=float, help="learning rate decay factor")
+    parser.add_argument('--lrate_decay_steps', default=50000, type=int, help="learning rate decay steps")
+    # --- TPU-native additions ------------------------------------------
+    parser.add_argument('--dp', default=0, type=int, help="data-parallel chips (0 = all)")
+    parser.add_argument('--downscale', default=1, type=int, help="integer image downscale")
+    parser.add_argument('--render_variant', default='train', help="train|legacy compositor")
+    parser.add_argument('--arch', default='active', help="active|legacy MLP architecture")
+    parser.add_argument('--no_pos_encoding', action='store_true', help="positional-encoding ablation")
+    parser.add_argument('--seed', default=0, type=int)
+    return parser
+
+
+def build_config(args):
+    from sfm_nerf_tpu.config import (
+        NeRFModelConfig, NeRFPipelineConfig, ParallelConfig, RenderConfig,
+        TrainConfig,
+    )
+
+    model_name = args.data_path.split("/")[-2]
+    return NeRFPipelineConfig(
+        model=NeRFModelConfig(
+            n_pos_freq=int(args.n_pos_freq),
+            n_dir_freq=int(args.n_dirc_freq),
+            hidden=int(args.hidden_size),
+            pos_encoding=not args.no_pos_encoding,
+            arch=args.arch,
+        ),
+        render=RenderConfig(
+            n_sample=int(args.n_sample),
+            near=float(args.near),
+            far=float(args.far),
+            perturb=bool(args.perturb),
+            chunk_size=int(args.chunk_size),
+            variant=args.render_variant,
+        ),
+        train=TrainConfig(
+            lrate=float(args.lrate),
+            lrate_decay=float(args.lrate_decay),
+            lrate_decay_steps=int(args.lrate_decay_steps),
+            n_rays_batch=int(args.n_rays_batch),
+            max_iters=int(args.max_iters),
+            save_ckpt_iter=int(args.save_ckpt_iter),
+            seed=int(args.seed),
+        ),
+        parallel=ParallelConfig(dp=int(args.dp)),
+        data_path=args.data_path,
+        mode=args.mode,
+        logs_path=args.logs_path,
+        log_id=args.log_id,
+        exp_name=args.exp_name,
+        checkpoint_path=os.path.join(args.checkpoint_path, model_name),
+        load_checkpoint=bool(args.load_checkpoint),
+        images_path=args.images_path,
+    )
+
+
+def run_train(cfg, images, poses, cam):
+    from tensorboardX import SummaryWriter
+
+    from sfm_nerf_tpu.train.nerf_trainer import NeRFTrainer
+
+    log_dir = os.path.join(cfg.logs_path, cfg.exp_name)
+    os.makedirs(log_dir, exist_ok=True)
+    writer = SummaryWriter(log_dir)
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix, writer=writer)
+    stats = trainer.fit()
+    writer.close()
+    print(f"Training done: {stats}")
+    return stats
+
+
+def run_test(cfg, images, poses, cam):
+    import numpy as np
+    import imageio.v2 as imageio
+    import jax
+
+    from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+    from sfm_nerf_tpu.train.nerf_trainer import NeRFTrainer
+
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    path = ckpt_lib.latest_checkpoint(cfg.checkpoint_path, prefer_final=True)
+    if path is None:
+        print("No checkpoint found. Exiting.")
+        return
+    print(f"Loading final model from {path}")
+    params, _, _ = ckpt_lib.load_checkpoint(path, trainer.params)
+    trainer.params = jax.tree_util.tree_map(np.asarray, params)
+
+    out_dir = os.path.join(
+        cfg.images_path, os.path.basename(cfg.checkpoint_path)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(cfg.train.seed)
+    n_test = min(5, len(images))
+    idxs = rng.choice(len(images), n_test, replace=False)
+    height, width = images.shape[1], images.shape[2]
+    total = 0.0
+    for i, idx in enumerate(idxs):
+        print(f"Rendering test image {i + 1}/{n_test}...")
+        pred = np.asarray(trainer.render_image(
+            trainer.params, trainer.K, trainer.poses[int(idx)], height, width
+        ))
+        gt = images[int(idx)]
+        mse_val = float(((pred - gt) ** 2).mean())
+        total += mse_val
+        pred8 = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
+        gt8 = (gt * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(out_dir, f"test_{i}_gt.png"), gt8)
+        imageio.imwrite(os.path.join(out_dir, f"test_{i}_pred.png"), pred8)
+        imageio.imwrite(
+            os.path.join(out_dir, f"test_{i}_comparison.png"),
+            np.concatenate([gt8, pred8], axis=1),
+        )
+        psnr = -10 * np.log10(max(mse_val, 1e-12))
+        print(f"  MSE {mse_val:.6f}  PSNR {psnr:.2f} dB")
+    print(f"Testing complete. Average loss: {total / n_test:.6f}")
+    print(f"Results saved to {out_dir}")
+
+
+def main(args):
+    print("Loading data...")
+    from sfm_nerf_tpu.io.blender import load_blender_dataset
+
+    cfg = build_config(args)
+    mode = "train" if args.mode == "train" else "test"
+    images, poses, cam = load_blender_dataset(
+        cfg.data_path, mode, downscale=int(args.downscale)
+    )
+    if args.mode == "train":
+        print("Start training")
+        run_train(cfg, images, poses, cam)
+    elif args.mode == "test":
+        print("Start testing")
+        run_test(cfg, images, poses, cam)
+
+
+if __name__ == "__main__":
+    main(configParser().parse_args())

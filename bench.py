@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: NeRF training throughput (rays/sec/chip) on real TPU.
+
+Flagship config = the reference's headline training setup
+(Phase2/train.py defaults + send_turing.sh:19): active 256-hidden MLP,
+L=10/4 positional encoding, 8192 rays/step x 256 stratified samples,
+exclusive-transmittance compositor, Adam.  Training steps run scan-fused
+(steps_per_call) so the measurement is device throughput, not host dispatch.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / cpu_reference_rays_per_sec}
+
+Baseline: torch-CPU faithful reimplementation of the reference train loop
+(bench_baseline.py); reads bench_baseline.json if present, else uses the
+recorded measurement from this machine.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+# measured on this container via bench_baseline.py (torch 2.13 CPU,
+# detect_anomaly on, Python-loop batcher — exactly the reference loop)
+DEFAULT_CPU_BASELINE_RAYS_PER_SEC = 17.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_nerf_tpu.config import (
+        NeRFModelConfig, NeRFPipelineConfig, RenderConfig, TrainConfig,
+    )
+    from sfm_nerf_tpu.models import init_nerf_params
+    from sfm_nerf_tpu.train.nerf_trainer import (
+        make_multi_train_step, make_optimizer,
+    )
+
+    n_rays = int(os.environ.get("BENCH_N_RAYS", 8192))
+    n_sample = int(os.environ.get("BENCH_N_SAMPLE", 256))
+    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", 10))
+    n_calls = int(os.environ.get("BENCH_CALLS", 3))
+
+    cfg = NeRFPipelineConfig(
+        model=NeRFModelConfig(arch="active"),
+        render=RenderConfig(n_sample=n_sample),
+        train=TrainConfig(n_rays_batch=n_rays),
+    )
+    rng = np.random.default_rng(0)
+    H = W = 400
+    images = jnp.asarray(rng.uniform(0, 1, (8, H, W, 3)), jnp.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    poses[:, 2, 3] = 4.0
+    poses_j = jnp.asarray(poses)
+    K = jnp.asarray(
+        np.array([[555.0, 0, W / 2], [0, 555.0, H / 2], [0, 0, 1]], np.float32)
+    )
+
+    tx = make_optimizer(cfg)
+    params = init_nerf_params(jax.random.key(0), cfg.model)
+    opt_state = tx.init(params)
+    step = make_multi_train_step(cfg, tx, steps_per_call)
+
+    key = jax.random.key(1)
+    # warmup / compile
+    params, opt_state, losses = step(params, opt_state, key, images, poses_j, K)
+    losses.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(n_calls):
+        key, sub = jax.random.split(key)
+        params, opt_state, losses = step(
+            params, opt_state, sub, images, poses_j, K
+        )
+    losses.block_until_ready()
+    dt = time.time() - t0
+    total_rays = n_rays * steps_per_call * n_calls
+    rays_per_sec = total_rays / dt
+
+    baseline = DEFAULT_CPU_BASELINE_RAYS_PER_SEC
+    bpath = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            baseline = float(json.load(f)["cpu_reference_rays_per_sec"])
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,9 @@ class TrainConfig:
     val_every: int = 1000         # validation render cadence (train.py:483)
     n_val_images: int = 5
     seed: int = 0
+    # TPU execution shape: train steps fused into one device call via
+    # lax.scan — amortizes host dispatch and lets XLA pipeline steps.
+    steps_per_call: int = 1
     # numerics
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' for activations
     debug_nans: bool = False         # analog of torch detect_anomaly (train.py:390)
@@ -129,9 +132,12 @@ class SfMConfig:
     pnp_iters: int = 10000
     pnp_threshold: float = 10.0      # squared px reprojection error
     # nonlinear refinement
+    two_view_refine_pose: bool = True  # joint pose+points BA after two-view
     tri_refine_iters: int = 20       # LM steps for per-point triangulation
     pnp_refine_iters: int = 50       # LM steps for pose refinement
     ba_max_iters: int = 50           # LM steps for bundle adjustment
+    ba_rounds: int = 2               # BA / outlier-prune alternations
+    ba_prune_px: float = 3.0         # drop observations above this reproj err
     seed: int = 0
     output_dir: str = "."
     show: bool = False               # headless by default (no cv2.imshow)

@@ -1,0 +1,215 @@
+"""Fused NeRF render kernel: sampling -> PE -> MLP -> alpha-composite, one
+Pallas program per ray tile, activations resident in VMEM.
+
+Why: per rendered point the MLP moves ~10 (points, 256) activation tensors
+through HBM on the XLA path (each fused matmul writes its output back); at
+2M points/frame that is tens of GB of HBM traffic against ~2 TFLOP of
+compute — bandwidth-bound.  This kernel keeps the whole layer chain for a
+(RAY_TILE x SAMPLE_CHUNK) block in VMEM, so HBM sees only rays in, weights
+(once, ~1 MB bf16) and rgb out.  The reference's analog is the chunked
+Python loop over `model(pts_chunk)` (Phase2/train.py:235-242).
+
+Scope: inference path for the ACTIVE architecture, 'train' compositor
+variant (exclusive transmittance).  Training continues on the XLA autodiff
+path; this kernel serves eval/gif/serving renders.
+
+Layout notes:
+- the (2L+1)*3 = 63-wide positional encoding is padded to 64 columns and
+  fc1's weight gets a zero row, keeping the first matmul lane-aligned;
+- weights are bf16 in VMEM, accumulation f32 (preferred_element_type);
+- transmittance is carried across sample chunks in an f32 scratch so chunks
+  compose exactly like one full-length cumprod.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sfm_nerf_tpu.config import NeRFModelConfig, RenderConfig
+
+# layer order for the active arch (models/nerf.py nerf_apply)
+_ACTIVE_LAYERS = (
+    "fc1", "fc_0", "fc_1", "fc_2", "fc_3", "skip",
+    "fc2_0", "fc2_1", "fc2_2", "density", "feature", "rgb1", "rgb2",
+)
+
+
+def pack_active_params(params, dtype=jnp.bfloat16):
+    """Flatten the active-arch param dict into a fixed-order tuple of
+    (w, b) pairs, padding fc1/skip input rows from 63->64 (PE pad) and the
+    rgb1 input rows from 283->284 accordingly."""
+    packed = []
+    for name in _ACTIVE_LAYERS:
+        w = jnp.asarray(params[name]["w"])
+        b = jnp.asarray(params[name]["b"])
+        if name == "fc1":
+            w = jnp.pad(w, ((0, 1), (0, 0)))        # 63 -> 64 input rows
+        if name == "skip":
+            w = jnp.pad(w, ((0, 1), (0, 0)))        # 256+63 -> 256+64
+        if name == "rgb1":
+            # input = feature(256) ++ dir_pe(27) -> pad dir block to 28
+            w = jnp.pad(w, ((0, 1), (0, 0)))
+        packed.append(w.astype(dtype))
+        packed.append(b.astype(jnp.float32))
+    return tuple(packed)
+
+
+def _pe_padded(x: jnp.ndarray, n_freqs: int, out_dim: int) -> jnp.ndarray:
+    """Positional encoding with zero-padding to ``out_dim`` columns.
+    x: (M, 3) -> (M, out_dim); layout [x, sin f0 x, cos f0 x, ..., 0-pad].
+
+    The frequency loop is unrolled with Python-float scalars — Pallas
+    kernels may not capture array constants."""
+    parts = [x]
+    for l in range(n_freqs):
+        f = float(np.float32(np.pi * 2.0**l))
+        parts.append(jnp.sin(f * x))
+        parts.append(jnp.cos(f * x))
+    full = jnp.concatenate(parts, axis=-1)
+    pad = out_dim - full.shape[-1]
+    return jnp.pad(full, ((0, 0), (0, pad)))
+
+
+def _make_kernel(
+    mcfg: NeRFModelConfig, rcfg: RenderConfig,
+    ray_tile: int, sample_chunk: int, n_sample: int,
+):
+    n_chunks = n_sample // sample_chunk
+    f32 = jnp.float32
+
+    def kernel(o_ref, d_ref, z_ref, *wb_and_out):
+        *wb, rgb_out, trans_scr, acc_scr = wb_and_out
+        W = {name: wb[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
+        B = {name: wb[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+
+        def lin(name, x):
+            return (
+                jnp.dot(x.astype(jnp.bfloat16), W[name][:],
+                        preferred_element_type=f32)
+                + B[name][:]
+            )
+
+        o = o_ref[:]                       # (T, 3)
+        d = d_ref[:]                       # (T, 3)
+        de = _pe_padded(d, mcfg.n_dir_freq, 28)       # (T, 28)
+
+        trans_scr[:] = jnp.ones_like(trans_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        def chunk_body(c, _):
+            z = z_ref[:, pl.ds(c * sample_chunk, sample_chunk)]  # (T, CH)
+            # dists = next z minus current (z_ref holds the full S row, so
+            # chunk boundaries read the true neighbor); the last sample of
+            # the LAST chunk gets the reference's 1e-3 pad
+            idx0 = c * sample_chunk
+            z_next = jax.lax.select(
+                c < n_chunks - 1,
+                z_ref[:, pl.ds(idx0 + 1, sample_chunk)],
+                jnp.concatenate(
+                    [z_ref[:, pl.ds(idx0 + 1, sample_chunk - 1)],
+                     z_ref[:, pl.ds(idx0 + sample_chunk - 1, 1)] + 1e-3],
+                    axis=1,
+                ),
+            )
+            dists = z_next - z                                  # (T, CH)
+
+            pts = (o[:, None, :] + d[:, None, :] * z[..., None])
+            pts = pts.reshape(-1, 3)                            # (T*CH, 3)
+            pe = _pe_padded(pts, mcfg.n_pos_freq, 64)           # (T*CH, 64)
+
+            h = jnp.maximum(lin("fc1", pe), 0.0)
+            for i in range(4):
+                h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
+                if i == 3:
+                    h = jnp.maximum(
+                        lin("skip", jnp.concatenate([h, pe], axis=-1)), 0.0
+                    )
+            for i in range(3):
+                h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
+            density = jax.nn.softplus(lin("density", h))        # (T*CH, 1)
+            feat = jnp.maximum(lin("feature", h), 0.0)          # (T*CH, 256)
+            de_rep = jnp.repeat(de, sample_chunk, axis=0)       # (T*CH, 28)
+            rgb_h = jnp.maximum(
+                lin("rgb1", jnp.concatenate([feat, de_rep], axis=-1)), 0.0
+            )
+            rgb = jax.nn.sigmoid(lin("rgb2", rgb_h))            # (T*CH, 3)
+
+            dens = density.reshape(ray_tile, sample_chunk)
+            alpha = 1.0 - jnp.exp(-dens * dists)                # (T, CH)
+            one_m = 1.0 - alpha + 1e-10
+            # exclusive cumprod within chunk, carried across chunks
+            cum = jnp.cumprod(one_m, axis=-1)
+            excl = jnp.concatenate(
+                [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=-1
+            )
+            T_in = trans_scr[:]                                 # (T, 1)
+            w = alpha * (T_in * excl)                           # (T, CH)
+            rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
+            acc_scr[:] = acc_scr[:] + jnp.sum(w[..., None] * rgb3, axis=1)
+            trans_scr[:] = T_in * cum[:, -1:]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        rgb_out[:] = acc_scr[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcfg", "rcfg", "ray_tile", "sample_chunk", "interpret"),
+)
+def fused_render_rays(
+    packed_params: Tuple[jnp.ndarray, ...],
+    origins: jnp.ndarray,      # (N, 3) f32
+    directions: jnp.ndarray,   # (N, 3) f32
+    z_vals: jnp.ndarray,       # (N, S) f32
+    mcfg: NeRFModelConfig,
+    rcfg: RenderConfig,
+    ray_tile: int = 64,
+    sample_chunk: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render rgb (N,3) with the fused kernel.  N padded to ray_tile."""
+    n = origins.shape[0]
+    n_sample = z_vals.shape[1]
+    assert n_sample % sample_chunk == 0
+    n_tiles = (n + ray_tile - 1) // ray_tile
+    pad = n_tiles * ray_tile - n
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
+    z = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
+
+    kernel = _make_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample)
+    wb_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed_params
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, n_sample), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *wb_specs,
+        ],
+        out_specs=pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * ray_tile, 3), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),   # carried transmittance
+            pltpu.VMEM((ray_tile, 3), jnp.float32),   # rgb accumulator
+        ],
+        interpret=interpret,
+    )(o, d, z, *packed_params)
+    return out[:n]

@@ -102,6 +102,79 @@ def render_rays(
     return out
 
 
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jnp.ndarray,        # (N, S-1) bin edges (z midpoints)
+    weights: jnp.ndarray,     # (N, S-2) coarse weights over interior bins
+    n_importance: int,
+) -> jnp.ndarray:
+    """Inverse-CDF importance sampling over the coarse weight histogram.
+
+    The reference never implements hierarchical sampling (its BASELINE
+    config names it; the code has only the uniform stratified sampler) —
+    this is the standard NeRF fine-sampling op, fully batched: one
+    searchsorted + gather per ray batch, no loops.
+    Returns (N, n_importance) z values, unsorted.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # (N, S-1)
+
+    if key is not None:
+        u = jax.random.uniform(key, (cdf.shape[0], n_importance))
+    else:
+        u = jnp.linspace(0.0, 1.0 - 1e-5, n_importance)[None, :].repeat(
+            cdf.shape[0], axis=0
+        )
+    # vectorized searchsorted per row
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+    denom = jnp.where(cdf_above - cdf_below < 1e-5, 1.0, cdf_above - cdf_below)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def render_rays_hierarchical(
+    coarse_fn,
+    fine_fn,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: RenderConfig,
+    n_importance: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass coarse/fine render (vanilla-NeRF hierarchical sampling).
+
+    Returns (rgb_fine, rgb_coarse).  ``coarse_fn``/``fine_fn`` may be the
+    same model.  Fine pass evaluates the union of coarse + importance
+    samples, sorted per ray.
+    """
+    n_rays = origins.shape[0]
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    z_coarse = stratified_samples(k1, n_rays, cfg)                  # (N, S)
+    pts = origins[:, None, :] + directions[:, None, :] * z_coarse[..., None]
+    dirs = jnp.broadcast_to(directions[:, None, :], pts.shape)
+    density_c, rgb_c = coarse_fn(pts, dirs)
+    out_c, weights, _ = composite(density_c, rgb_c, z_coarse, cfg)
+
+    mids = 0.5 * (z_coarse[..., 1:] + z_coarse[..., :-1])           # (N, S-1)
+    z_fine = sample_pdf(k2, mids, weights[..., 1:-1], n_importance)
+    z_all = jnp.sort(jnp.concatenate([z_coarse, z_fine], -1), -1)   # (N, S+I)
+    pts = origins[:, None, :] + directions[:, None, :] * z_all[..., None]
+    dirs = jnp.broadcast_to(directions[:, None, :], pts.shape)
+    density_f, rgb_f = fine_fn(pts, dirs)
+    out_f, _, _ = composite(density_f, rgb_f, z_all, cfg)
+    return out_f, out_c
+
+
 def render_rays_chunked(
     model_fn,
     origins: jnp.ndarray,

@@ -1,0 +1,468 @@
+"""Incremental SfM: outlier refinement -> two-view init -> PnP registration
+-> re-triangulation -> global bundle adjustment.
+
+Host-side orchestration of the jitted ops, mirroring the reference driver
+(Phase1/Wrapper.py:624-889) stage by stage, with its artifact filenames and
+printouts.  Two DOCUMENTED deviations, both load-bearing for correctness:
+
+1. Incremental triangulation uses the KNOWN global poses of both cameras
+   (from two-view init / PnP) rather than re-deriving a relative pose from
+   each pair's F via essential decomposition.  The reference re-decomposes
+   per pair and treats the relative pose as global (Wrapper.py:739 ->
+   triangulate:397), and also passes camera CENTERS where ``triangulate``
+   expects translations (Wrapper.py:437-439 vs :739) — for camera 1 at the
+   origin both coincide, which is why its two-view numbers are unaffected,
+   but for j>1 the added points land in an inconsistent frame.
+2. Like the reference, newly triangulated feature ids never overwrite
+   existing 3D points (Wrapper.py:743-751).
+
+Everything device-side is float64 on CPU / float32 on TPU — RANSAC scoring
+(the hot loop) is precision-insensitive after Hartley normalization; the
+solvers accept either dtype.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_nerf_tpu.config import SfMConfig
+from sfm_nerf_tpu.io import artifacts as art
+from sfm_nerf_tpu.io.sfm_data import (
+    load_calibration,
+    load_images,
+    parse_matching_files,
+)
+from sfm_nerf_tpu.ops.ba import (
+    RC_from_camera_params,
+    bundle_adjust,
+    camera_params_from_RC,
+    fix_gauge_to_first_camera,
+)
+from sfm_nerf_tpu.ops.epipolar import (
+    decompose_essential,
+    essential_from_fundamental,
+    ransac_fundamental,
+)
+from sfm_nerf_tpu.ops.pnp import (
+    nonlinear_pnp,
+    pnp_ransac,
+    reprojection_error_mean_px,
+)
+from sfm_nerf_tpu.ops.triangulation import (
+    disambiguate_pose,
+    projection_matrix_RC,
+    project,
+    reprojection_errors,
+    triangulate_linear,
+    triangulate_nonlinear,
+)
+
+
+@dataclasses.dataclass
+class TwoViewResult:
+    C: np.ndarray
+    R: np.ndarray
+    X: np.ndarray                      # refined 3D points (N,3)
+    X_linear: np.ndarray
+    all_candidate_points: np.ndarray   # (4,N,3) for the x-vs-z plot
+    mean_error_linear: float           # mean px error over both frames
+    mean_error_nonlinear: float
+    per_frame_linear: Tuple[float, float]
+    per_frame_nonlinear: Tuple[float, float]
+
+
+class SfMPipeline:
+    def __init__(self, cfg: SfMConfig):
+        self.cfg = cfg
+        self.key = jax.random.key(cfg.seed)
+        self.stats: Dict = {}
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def refine_all_matches(self, matches_dict, all_feature_points, visibility):
+        """Per-pair F-RANSAC; drop outlier observations from tracks+mask
+        (Phase1/Wrapper.py:236-290)."""
+        cfg = self.cfg
+        refined = {}
+        for (i, j), arr in sorted(matches_dict.items()):
+            res = ransac_fundamental(
+                self._next_key(),
+                jnp.asarray(arr[:, 0:2]), jnp.asarray(arr[:, 2:4]),
+                n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
+                normalize=cfg.normalize,
+            )
+            inliers = np.asarray(res.inliers)
+            print(
+                f"RANSAC: Found {int(res.n_inliers)} inliers out of "
+                f"{len(arr)} matches."
+            )
+            refined[(i, j)] = (np.asarray(res.F), arr[inliers])
+            for row in arr[~inliers]:
+                f_idx = int(row[-1])
+                for img in (i, j):
+                    if img in all_feature_points[f_idx]:
+                        del all_feature_points[f_idx][img]
+                        visibility[img][f_idx] = 0
+        return refined, all_feature_points, visibility
+
+    # ------------------------------------------------------------------
+    def two_view_reconstruct(
+        self, K, F, R1, C1, pts1, pts2,
+        images: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        emit_artifacts: bool = False,
+    ) -> TwoViewResult:
+        """F -> E -> 4 poses -> batched DLT -> cheirality -> vmapped LM
+        refinement (the reference's ``triangulate``, Wrapper.py:397-594)."""
+        cfg = self.cfg
+        Kj = jnp.asarray(K)
+        E = essential_from_fundamental(Kj, jnp.asarray(F))
+        Cs, Rs = decompose_essential(E)
+        X_lin, C2, R2, all_pts, _ = disambiguate_pose(
+            Kj, Cs, Rs, jnp.asarray(pts1), jnp.asarray(pts2),
+            R1=jnp.asarray(R1), T1=jnp.asarray(-R1 @ np.asarray(C1).reshape(3)),
+        )
+        e1_lin = np.sqrt(np.asarray(reprojection_errors(
+            Kj, jnp.asarray(R1), jnp.asarray(C1).reshape(3), X_lin,
+            jnp.asarray(pts1))))
+        e2_lin = np.sqrt(np.asarray(reprojection_errors(
+            Kj, R2, C2, X_lin, jnp.asarray(pts2))))
+
+        X_opt, _, _ = triangulate_nonlinear(
+            Kj, jnp.asarray(R1), jnp.asarray(C1).reshape(3), R2, C2,
+            jnp.asarray(pts1), jnp.asarray(pts2), X_lin,
+            n_iters=cfg.tri_refine_iters,
+        )
+
+        if cfg.two_view_refine_pose:
+            # Joint pose+points refinement: the reference refines POINTS only
+            # under the E-decomposition pose, whose center-convention quirk
+            # leaves a systematic floor (measured ~1.9 px mean on the bundled
+            # pair vs 1.46 px even for a cv2 oracle pose).  A 2-camera BA with
+            # camera 1 gauge-fixed removes the pose error entirely.
+            R1j = jnp.asarray(R1)
+            C1j = jnp.asarray(C1).reshape(3)
+            cams2 = camera_params_from_RC(
+                jnp.stack([R1j, R2]), jnp.stack([C1j, C2])
+            )
+            obs2 = jnp.stack([jnp.asarray(pts1), jnp.asarray(pts2)])
+            vis2 = jnp.ones(obs2.shape[:2], Kj.dtype)
+            ba2 = bundle_adjust(
+                Kj, cams2, X_opt, obs2, vis2, n_iters=cfg.ba_max_iters
+            )
+            cams_fx, pts_fx = fix_gauge_to_first_camera(
+                ba2.camera_params, ba2.points
+            )
+            # map back from the gauge-fixed frame (== original camera-1
+            # camera frame, x' = R1 X_world + t1) to world coordinates:
+            # X_w = R1^T (X' - t1);  R2_w = R2' R1;  C2_w = R1^T C2' + C1
+            t1 = -R1j @ C1j
+            Rs_fx, Cs_fx = RC_from_camera_params(cams_fx)
+            R2 = Rs_fx[1] @ R1j
+            C2 = jnp.einsum("ji,j->i", R1j, Cs_fx[1]) + C1j
+            X_opt = (pts_fx - t1) @ R1j
+
+        e1_nl = np.sqrt(np.asarray(reprojection_errors(
+            Kj, jnp.asarray(R1), jnp.asarray(C1).reshape(3), X_opt,
+            jnp.asarray(pts1))))
+        e2_nl = np.sqrt(np.asarray(reprojection_errors(
+            Kj, R2, C2, X_opt, jnp.asarray(pts2))))
+
+        result = TwoViewResult(
+            C=np.asarray(C2), R=np.asarray(R2), X=np.asarray(X_opt),
+            X_linear=np.asarray(X_lin),
+            all_candidate_points=np.asarray(all_pts),
+            mean_error_linear=float((e1_lin.mean() + e2_lin.mean()) / 2),
+            mean_error_nonlinear=float((e1_nl.mean() + e2_nl.mean()) / 2),
+            per_frame_linear=(float(e1_lin.mean()), float(e2_lin.mean())),
+            per_frame_nonlinear=(float(e1_nl.mean()), float(e2_nl.mean())),
+        )
+        print("number of triangulated points:", len(result.X))
+        print(
+            "Mean Reprojection error after linear triangulation error: "
+            f"{result.mean_error_linear}"
+        )
+        print(
+            "Mean Reprojection error after non linear triangulation error: "
+            f"{result.mean_error_nonlinear}"
+        )
+
+        if emit_artifacts:
+            art.save_x_vs_z_plot(result.all_candidate_points, cfg.output_dir)
+            art.save_3d_points_plot(
+                result.X_linear, result.C, result.X, cfg.output_dir
+            )
+            if images is not None:
+                P1 = projection_matrix_RC(
+                    Kj, jnp.asarray(R1), jnp.asarray(C1).reshape(3))
+                P2 = projection_matrix_RC(Kj, R2, C2)
+                for stage, Xs in (
+                    ("lineartriangulation", X_lin),
+                    ("nonlineartriangulation", X_opt),
+                ):
+                    art.save_projection_overlays(
+                        images[0], images[1],
+                        np.asarray(project(P1, Xs)), np.asarray(project(P2, Xs)),
+                        pts1, pts2, stage, cfg.output_dir,
+                    )
+        return result
+
+    # ------------------------------------------------------------------
+    def register_camera(self, i, obj_points, img_points, K):
+        """PnPRANSAC + NonlinearPnP (the reference's get_pose,
+        Wrapper.py:597-620)."""
+        cfg = self.cfg
+        res = pnp_ransac(
+            self._next_key(), jnp.asarray(obj_points), jnp.asarray(img_points),
+            jnp.asarray(K), n_iters=cfg.pnp_iters, threshold=cfg.pnp_threshold,
+        )
+        if int(res.n_inliers) < 6:
+            print(f"Not enough inliers for reliable PnP with image {i}")
+            return None, None
+        w = res.inliers.astype(jnp.asarray(K).dtype)
+        err_lin = float(reprojection_error_mean_px(
+            jnp.asarray(K), res.R, res.C, jnp.asarray(obj_points),
+            jnp.asarray(img_points), weights=w))
+        C, R, rms = nonlinear_pnp(
+            jnp.asarray(K), res.R, res.C, jnp.asarray(obj_points),
+            jnp.asarray(img_points), weights=w, n_iters=cfg.pnp_refine_iters,
+        )
+        err_nl = float(reprojection_error_mean_px(
+            jnp.asarray(K), R, C, jnp.asarray(obj_points),
+            jnp.asarray(img_points), weights=w))
+        print(
+            f"Error after linear PnP: {err_lin}, "
+            f"Error after non-linear PnP: {err_nl}"
+        )
+        self.stats.setdefault("pnp_errors", {})[i] = (err_lin, err_nl)
+        return np.asarray(C), np.asarray(R)
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict:
+        cfg = self.cfg
+        t_start = time.time()
+        images = load_images(cfg.data_path, cfg.num_images)
+        K = load_calibration(f"{cfg.data_path}/calibration.txt")
+        print("Camera intrinsic matrix K:")
+        print(K)
+        matches_dict, tracks, visibility = parse_matching_files(
+            cfg.data_path, cfg.num_images
+        )
+        refined, tracks, visibility = self.refine_all_matches(
+            matches_dict, tracks, visibility
+        )
+
+        # --- two-view initialization on (1,2) --------------------------
+        F12, m12 = refined[(1, 2)]
+        camera_info = {1: {"R": np.eye(3), "C": np.zeros(3)}}
+        tv = self.two_view_reconstruct(
+            K, F12, camera_info[1]["R"], camera_info[1]["C"],
+            m12[:, 0:2], m12[:, 2:4],
+            images=(images[0], images[1]) if len(images) >= 2 else None,
+            emit_artifacts=True,
+        )
+        camera_info[2] = {"R": tv.R, "C": tv.C}
+        self.stats["two_view"] = {
+            "linear": tv.per_frame_linear, "nonlinear": tv.per_frame_nonlinear,
+            "mean_linear": tv.mean_error_linear,
+            "mean_nonlinear": tv.mean_error_nonlinear,
+        }
+
+        fidx_to_3d: Dict[int, np.ndarray] = {
+            int(row[-1]): tv.X[n] for n, row in enumerate(m12)
+        }
+
+        # --- incremental registration ---------------------------------
+        for i in range(3, cfg.num_images + 1):
+            print(f"Registering Image: {i} ......")
+            obj_points, img_points = [], []
+            for f_idx, xyz in fidx_to_3d.items():
+                if i in tracks[f_idx]:
+                    u, v = tracks[f_idx][i][:2]
+                    obj_points.append(xyz)
+                    img_points.append([u, v])
+            if len(obj_points) < 8:
+                print(
+                    f"  Not enough 2D-3D correspondences to solve PnP for "
+                    f"image {i}. Skipping."
+                )
+                continue
+            C, R = self.register_camera(
+                i, np.asarray(obj_points), np.asarray(img_points), K
+            )
+            if C is None:
+                print(f"  Could not estimate camera pose for image {i}. Skipping.")
+                continue
+            camera_info[i] = {"R": R, "C": C}
+
+            # triangulate NEW points against every registered previous camera
+            for j in range(1, i):
+                if j not in camera_info:
+                    continue
+                pair = (j, i)
+                if pair not in refined:
+                    print(f"No matches for pair {pair}. Skipping.")
+                    continue
+                _, matches = refined[pair]
+                new_rows = [
+                    row for row in matches if int(row[-1]) not in fidx_to_3d
+                ]
+                if not new_rows:
+                    continue
+                arr = np.asarray(new_rows)
+                Rj, Cj = camera_info[j]["R"], camera_info[j]["C"]
+                # deviation 1: triangulate with KNOWN global poses
+                Xnew = triangulate_linear(
+                    jnp.asarray(K),
+                    jnp.asarray(Rj), jnp.asarray(-Rj @ Cj.reshape(3)),
+                    jnp.asarray(R), jnp.asarray(-R @ C.reshape(3)),
+                    jnp.asarray(arr[:, 0:2]), jnp.asarray(arr[:, 2:4]),
+                )
+                Xnew, _, _ = triangulate_nonlinear(
+                    jnp.asarray(K),
+                    jnp.asarray(Rj), jnp.asarray(Cj.reshape(3)),
+                    jnp.asarray(R), jnp.asarray(C.reshape(3)),
+                    jnp.asarray(arr[:, 0:2]), jnp.asarray(arr[:, 2:4]),
+                    Xnew, n_iters=cfg.tri_refine_iters,
+                )
+                Xnew = np.asarray(Xnew)
+                for n, row in enumerate(arr):
+                    fidx_to_3d.setdefault(int(row[-1]), Xnew[n])
+            print(f"Registered Camera: {i}")
+
+        # --- pre-BA artifacts ------------------------------------------
+        all_points = np.asarray(list(fidx_to_3d.values()))
+        art.save_reconstruction_plot(all_points, camera_info, cfg.output_dir)
+        art.save_topdown_plot(all_points, camera_info, cfg.output_dir)
+
+        # --- global bundle adjustment ----------------------------------
+        print("Bundle adjustment...")
+        camera_ids = sorted(camera_info.keys())
+        n_cam = len(camera_ids)
+        # pack only features with a 3D estimate AND >=2 registered views
+        feat_ids = [
+            f for f in fidx_to_3d
+            if sum(1 for c in camera_ids if c in tracks[f]) >= 2
+        ]
+        m_pts = len(feat_ids)
+        cams0 = np.asarray(camera_params_from_RC(
+            jnp.asarray(np.stack([camera_info[c]["R"] for c in camera_ids])),
+            jnp.asarray(np.stack([
+                camera_info[c]["C"].reshape(3) for c in camera_ids
+            ])),
+        ))
+        pts0 = np.stack([fidx_to_3d[f] for f in feat_ids])
+        obs = np.full((n_cam, m_pts, 2), -1.0)
+        vis = np.zeros((n_cam, m_pts))
+        for col, f in enumerate(feat_ids):
+            for rowi, c in enumerate(camera_ids):
+                if c in tracks[f]:
+                    obs[rowi, col] = tracks[f][c][:2]
+                    vis[rowi, col] = 1
+        # BA with outlier pruning between rounds: mismatched track
+        # observations (never RANSAC-verified for their particular pair)
+        # would otherwise dominate the L2 cost; the reference gets accidental
+        # robustness from its z<=1e-8 residual drop on never-initialized
+        # (0,0,0) points (BundleAdjustment.py:95-98).
+        Kj = jnp.asarray(K)
+        vis_work = vis.copy()
+        rms_before = None
+        for ba_round in range(max(1, cfg.ba_rounds)):
+            res = bundle_adjust(
+                Kj, jnp.asarray(cams0), jnp.asarray(pts0),
+                jnp.asarray(obs), jnp.asarray(vis_work),
+                n_iters=cfg.ba_max_iters,
+            )
+            n_obs = max(float(res.n_residuals), 1)
+            if rms_before is None:
+                rms_before = float(np.sqrt(2 * float(res.initial_cost) / n_obs))
+            cams0 = np.asarray(res.camera_params)
+            pts0 = np.asarray(res.points)
+            if ba_round == cfg.ba_rounds - 1:
+                break
+            # prune observations whose reprojection error exceeds threshold
+            Rs_r, Cs_r = RC_from_camera_params(res.camera_params)
+            errs = np.stack([
+                np.sqrt(np.asarray(reprojection_errors(
+                    Kj, Rs_r[c], Cs_r[c], res.points, jnp.asarray(obs[c])
+                )))
+                for c in range(n_cam)
+            ])
+            # adaptive threshold: never prune below the bulk of the current
+            # error distribution (a poorly-converged round would otherwise
+            # gut the observation set — observed: 91% pruned at a fixed 3px)
+            med = float(np.median(errs[vis_work > 0]))
+            thresh = max(cfg.ba_prune_px, 3.0 * med)
+            drop = (errs > thresh) & (vis_work > 0)
+            if drop.sum() == 0 or drop.sum() > 0.5 * n_obs:
+                break
+            print(
+                f"BA round {ba_round + 1}: pruning {int(drop.sum())} / "
+                f"{int(n_obs)} observations above {thresh:.2f} px"
+            )
+            vis_work = vis_work * (~drop)
+        n_obs = max(float(res.n_residuals), 1)
+        rms_after = float(np.sqrt(2 * float(res.cost) / n_obs))
+        print(
+            f"Bundle adjustment converged. Final cost: {float(res.cost)} "
+            f"(RMS {rms_before:.4f} -> {rms_after:.4f} px over {int(n_obs)} obs)"
+        )
+        self.stats["ba"] = {
+            "cost": float(res.cost), "initial_cost": float(res.initial_cost),
+            "rms_px_before": rms_before, "rms_px_after": rms_after,
+            "n_obs": int(n_obs), "n_cams": n_cam, "n_points": m_pts,
+        }
+
+        Rs, Cs = RC_from_camera_params(res.camera_params)
+        Rs, Cs = np.asarray(Rs), np.asarray(Cs)
+        for rowi, c in enumerate(camera_ids):
+            camera_info[c] = {"R": Rs[rowi], "C": Cs[rowi]}
+        pts_opt = np.asarray(res.points)
+        for col, f in enumerate(feat_ids):
+            fidx_to_3d[f] = pts_opt[col]
+
+        # --- post-BA artifacts -----------------------------------------
+        all_points = np.asarray(list(fidx_to_3d.values()))
+        art.save_reconstruction_plot(all_points, camera_info, cfg.output_dir)
+        art.save_topdown_plot(all_points, camera_info, cfg.output_dir)
+        # per-observation error percentiles at the BA optimum (comparable to
+        # the reference's Table III mean reprojection errors)
+        Rs_f, Cs_f = RC_from_camera_params(res.camera_params)
+        errs = np.stack([
+            np.sqrt(np.asarray(reprojection_errors(
+                Kj, Rs_f[c], Cs_f[c], res.points, jnp.asarray(obs[c])
+            )))
+            for c in range(n_cam)
+        ])
+        vmask = vis_work > 0
+        if vmask.sum():
+            e = errs[vmask]
+            self.stats["ba"]["final_err_px"] = {
+                "mean": float(e.mean()), "median": float(np.median(e)),
+                "p90": float(np.percentile(e, 90)),
+            }
+            print(
+                f"BA per-observation error: mean {e.mean():.4f} px, "
+                f"median {np.median(e):.4f} px"
+            )
+
+        self.stats["elapsed_s"] = time.time() - t_start
+        self.stats["n_points_total"] = len(fidx_to_3d)
+        import json
+
+        with open(f"{cfg.output_dir}/sfm_stats.json", "w") as f:
+            json.dump(self.stats, f, indent=1, default=float)
+        print("Done")
+        return {
+            "camera_info": camera_info,
+            "points": fidx_to_3d,
+            "stats": self.stats,
+        }

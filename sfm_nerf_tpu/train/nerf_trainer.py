@@ -81,6 +81,51 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(
+    cfg: NeRFPipelineConfig,
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    inner_step: Optional[Callable] = None,
+) -> Callable:
+    """Fuse ``n_steps`` train steps into ONE device call via lax.scan.
+
+    step(params, opt_state, key, images, poses, K) ->
+        (params, opt_state, losses (n_steps,))
+
+    One dispatch per n_steps amortizes host->device latency (significant on
+    tunneled/remote TPU attachments) and lets XLA pipeline consecutive steps;
+    the host only sees the per-step loss vector afterwards.
+    """
+    mcfg, rcfg = cfg.model, cfg.render
+    n_rays = cfg.train.n_rays_batch
+
+    def loss_fn(params, key_sample, key_render, images, poses, K):
+        o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
+        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+        rgb = render_rays(model_fn, o, d, rcfg, key_render)
+        return mse(rgb, target)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(params, opt_state, key, images, poses, K):
+        def body(carry, k):
+            params, opt_state = carry
+            key_sample, key_render = jax.random.split(k)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, key_sample, key_render, images, poses, K
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return params, opt_state, losses
+
+    return multi_step
+
+
 def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     """Jitted full-frame renderer: (params, K, pose, H, W static) -> (H,W,3)."""
     mcfg, rcfg = cfg.model, cfg.render
@@ -163,6 +208,10 @@ class NeRFTrainer:
         running = 0.0
         t_start = time.time()
         n_steps_done = 0
+        spc = max(1, cfg.train.steps_per_call)
+        multi_step = None
+        if spc > 1:
+            multi_step = make_multi_train_step(cfg, self.tx, spc)
         iterator = range(self.start_iter, max_iters)
         if progress:
             try:
@@ -171,7 +220,32 @@ class NeRFTrainer:
             except ImportError:
                 pass
 
-        for it in iterator:
+        it_iter = iter(iterator)
+        for it in it_iter:
+            # Fused multi-step fast path: jump in scan-sized blocks whenever
+            # no host-side event (log/val/ckpt) falls inside the block.
+            def no_boundary_in_block(every: int) -> bool:
+                if not every:
+                    return True
+                r = it % every
+                return r != 0 and r + spc <= every
+
+            if (
+                multi_step is not None
+                and it + spc <= max_iters
+                and no_boundary_in_block(cfg.train.log_every)
+                and no_boundary_in_block(cfg.train.val_every)
+            ):
+                key, sub = jax.random.split(key)
+                self.params, self.opt_state, losses = multi_step(
+                    self.params, self.opt_state, sub,
+                    self.images, self.poses, self.K,
+                )
+                loss = losses[-1]
+                n_steps_done += spc
+                for _ in range(spc - 1):
+                    next(it_iter, None)
+                continue
             key, sub = jax.random.split(key)
             self.params, self.opt_state, loss = self.train_step(
                 self.params, self.opt_state, sub,

@@ -1,0 +1,70 @@
+"""Fused Pallas render kernel vs the pure-JAX reference path (interpret mode
+on CPU; the same kernel compiles on TPU — exercised by bench/verify runs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfm_nerf_tpu.config import NeRFModelConfig, RenderConfig
+from sfm_nerf_tpu.kernels.fused_render import (
+    fused_render_rays,
+    pack_active_params,
+)
+from sfm_nerf_tpu.models import init_nerf_params, nerf_apply
+from sfm_nerf_tpu.ops.render import render_rays, stratified_samples
+
+
+@pytest.mark.parametrize("n_rays", [96, 130])
+def test_fused_kernel_matches_xla_path(n_rays):
+    mcfg = NeRFModelConfig(arch="active")
+    rcfg = RenderConfig(n_sample=64, near=2.0, far=6.0, perturb=False)
+    params = init_nerf_params(jax.random.key(0), mcfg)
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), params)
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-1, 1, (n_rays, 3)), jnp.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, n_rays, rcfg).astype(jnp.float32)
+
+    # reference: XLA path with the same fixed z
+    def model_fn(p, dd):
+        return nerf_apply(params, p, dd, mcfg)
+
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = model_fn(pts, dirs)
+    from sfm_nerf_tpu.ops.render import composite
+
+    expected, _, _ = composite(density, rgb, z, rcfg)
+
+    packed = pack_active_params(params, dtype=jnp.float32)
+    out = fused_render_rays(
+        packed, o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_fused_kernel_bf16_weights_close(rng):
+    mcfg = NeRFModelConfig(arch="active")
+    rcfg = RenderConfig(n_sample=32, perturb=False)
+    params = init_nerf_params(jax.random.key(1), mcfg)
+    o = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, 64, rcfg).astype(jnp.float32)
+
+    out32 = fused_render_rays(
+        pack_active_params(params, jnp.float32), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, interpret=True,
+    )
+    out16 = fused_render_rays(
+        pack_active_params(params, jnp.bfloat16), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, interpret=True,
+    )
+    # bf16 weights cost <1% absolute rgb error on a random init
+    assert np.abs(np.asarray(out16) - np.asarray(out32)).max() < 1e-2

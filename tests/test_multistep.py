@@ -1,0 +1,71 @@
+"""Scan-fused multi-step training: same math as the python-loop steps, and
+the trainer's fast path preserves log/val cadence."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_nerf_tpu.config import (
+    NeRFModelConfig, NeRFPipelineConfig, RenderConfig, TrainConfig,
+)
+from sfm_nerf_tpu.io.blender import load_blender_dataset
+from sfm_nerf_tpu.models import init_nerf_params
+from sfm_nerf_tpu.train.nerf_trainer import (
+    NeRFTrainer,
+    make_multi_train_step,
+    make_optimizer,
+    make_train_step,
+)
+
+from util_synthetic import make_blender_dataset
+
+
+def _setup(tmp_path, spc=1):
+    root = make_blender_dataset(str(tmp_path / "d"), n_frames=2,
+                                height=16, width=16)
+    images, poses, cam = load_blender_dataset(root, "train")
+    cfg = NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1),
+        render=RenderConfig(n_sample=8),
+        train=TrainConfig(n_rays_batch=64, steps_per_call=spc, val_every=0),
+        checkpoint_path=os.path.join(str(tmp_path), "ckpt"),
+        load_checkpoint=False,
+    )
+    return cfg, images, poses, cam
+
+
+def test_multi_step_equals_sequential(tmp_path):
+    cfg, images, poses, cam = _setup(tmp_path)
+    tx = make_optimizer(cfg)
+    params = init_nerf_params(jax.random.key(0), cfg.model)
+    opt = tx.init(params)
+    im, po, K = (jnp.asarray(images), jnp.asarray(poses),
+                 jnp.asarray(cam.camera_matrix))
+
+    step = make_train_step(cfg, tx)
+    multi = make_multi_train_step(cfg, tx, 4)
+
+    key = jax.random.key(3)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    o1 = jax.tree_util.tree_map(jnp.copy, opt)
+    seq_losses = []
+    for k in jax.random.split(key, 4):
+        p1, o1, loss = step(p1, o1, k, im, po, K)
+        seq_losses.append(float(loss))
+
+    p2, o2, losses = multi(params, opt, key, im, po, K)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_trainer_fast_path_step_count(tmp_path):
+    cfg, images, poses, cam = _setup(tmp_path, spc=8)
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    stats = trainer.fit(max_iters=101, progress=False)
+    assert stats["steps"] == 101
+    # log cadence preserved: loss sampled at every it%100==0 boundary
+    assert len(trainer._last_losses) == 2  # it=0 and it=100
