@@ -91,16 +91,12 @@ def run_gif(args):
 
         params, mcfg = convert_pth(path)
     else:
-        from sfm_nerf_tpu.models import init_nerf_params
         from sfm_nerf_tpu.train import checkpoint as ckpt_lib
 
-        mcfg = NeRFModelConfig(
-            n_pos_freq=int(args.n_pos_freq),
-            n_dir_freq=int(args.n_dirc_freq),
-            arch="active",
-        )
-        template = init_nerf_params(jax.random.key(0), mcfg)
-        params, _, _ = ckpt_lib.load_checkpoint(path, template)
+        # the reference-parity flag set has no --hidden_size etc. — infer
+        # the architecture from the checkpoint itself
+        params, _ = ckpt_lib.load_params_untyped(path)
+        mcfg = ckpt_lib.infer_model_config(params)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     print(f"Checkpoint {path} loaded")
 

@@ -41,8 +41,8 @@ def main():
 
     n_rays = int(os.environ.get("BENCH_N_RAYS", 8192))
     n_sample = int(os.environ.get("BENCH_N_SAMPLE", 256))
-    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", 10))
-    n_calls = int(os.environ.get("BENCH_CALLS", 3))
+    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", 20))
+    n_calls = int(os.environ.get("BENCH_CALLS", 5))
 
     cfg = NeRFPipelineConfig(
         model=NeRFModelConfig(arch="active"),
@@ -65,9 +65,11 @@ def main():
     step = make_multi_train_step(cfg, tx, steps_per_call)
 
     key = jax.random.key(1)
-    # warmup / compile
+    # warmup / compile.  NOTE: on tunneled attachments block_until_ready()
+    # returns at enqueue time (measured: a 33M-rays/s mirage); a host
+    # transfer (np.asarray) is the only reliable completion barrier.
     params, opt_state, losses = step(params, opt_state, key, images, poses_j, K)
-    losses.block_until_ready()
+    np.asarray(losses)
 
     t0 = time.time()
     for _ in range(n_calls):
@@ -75,7 +77,7 @@ def main():
         params, opt_state, losses = step(
             params, opt_state, sub, images, poses_j, K
         )
-    losses.block_until_ready()
+    np.asarray(losses)
     dt = time.time() - t0
     total_rays = n_rays * steps_per_call * n_calls
     rays_per_sec = total_rays / dt

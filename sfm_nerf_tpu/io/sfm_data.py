@@ -16,10 +16,45 @@ Format/semantic parity with Phase1/Wrapper.py:14-193:
 
 from __future__ import annotations
 
+import ctypes
 import os
-from typing import Dict, List, Tuple
+import subprocess
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_native_lib = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Load (building on first use) the C++ matching parser; None if the
+    toolchain is unavailable — callers fall back to the Python parser."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    so = os.path.join(_NATIVE_DIR, "libmatching_parser.so")
+    src = os.path.join(_NATIVE_DIR, "matching_parser.cpp")
+    try:
+        if not os.path.exists(so) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(so)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.parse_matching_file.restype = ctypes.c_int64
+        lib.parse_matching_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _native_lib = lib
+    except Exception:
+        _native_lib = None
+    return _native_lib
 
 
 def load_calibration(calib_file: str) -> np.ndarray:
@@ -47,9 +82,17 @@ def load_images(path: str, num_imgs: int) -> List[np.ndarray]:
 
 
 def parse_matching_files(
-    folder_path: str, num_images: int
+    folder_path: str, num_images: int, use_native: bool = True
 ) -> Tuple[Dict, List[Dict], np.ndarray]:
-    """Parse all ``matching{i}.txt`` files (see module docstring)."""
+    """Parse all ``matching{i}.txt`` files (see module docstring).
+
+    Uses the C++ parser (native/matching_parser.cpp, built on demand) when a
+    toolchain is available; identical outputs to the Python path (tested)."""
+    if use_native and _load_native() is not None:
+        try:
+            return _parse_matching_files_native(folder_path, num_images)
+        except Exception:
+            pass  # fall back to Python on any native-path failure
     matches_dict: Dict[Tuple[int, int], list] = {}
     all_feature_points: List[Dict[int, Tuple[float, float]]] = []
     max_image_id = 0
@@ -91,3 +134,63 @@ def parse_matching_files(
         k: np.asarray(v, dtype=np.float64) for k, v in matches_dict.items()
     }
     return matches_np, all_feature_points, visibility
+
+
+def _parse_matching_files_native(
+    folder_path: str, num_images: int
+) -> Tuple[Dict, List[Dict], np.ndarray]:
+    """C++ fast path: one flat (rows, 8) table per file, grouped in numpy."""
+    lib = _load_native()
+    tables = []
+    f_idx = 0
+    for i_ref in range(1, num_images + 1):
+        fp = os.path.join(folder_path, f"matching{i_ref}.txt")
+        if not os.path.isfile(fp):
+            continue
+        cap = max(os.path.getsize(fp), 4096)  # rows < bytes in file
+        buf = np.empty((cap, 8), dtype=np.float64)
+        nfeat = ctypes.c_int64(0)
+        n = lib.parse_matching_file(
+            fp.encode(), i_ref, f_idx,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cap, ctypes.byref(nfeat),
+        )
+        if n < 0:
+            raise RuntimeError(f"native parse failed for {fp}")
+        tables.append(buf[:n].copy())
+        f_idx += int(nfeat.value)
+
+    rows = np.concatenate(tables) if tables else np.zeros((0, 8))
+    n_features = f_idx
+    is_match = rows[:, 1] != 0
+    m = rows[is_match]
+    max_image_id = int(max(rows[:, 0].max(initial=0), rows[:, 1].max(initial=0)))
+
+    # matches_dict[(i,j)] -> (u_i, v_i, u_j, v_j, f_idx), file order preserved
+    matches_dict: Dict[Tuple[int, int], np.ndarray] = {}
+    pair_key = m[:, 0].astype(np.int64) * 10000 + m[:, 1].astype(np.int64)
+    order = np.argsort(pair_key, kind="stable")
+    sorted_m = m[order]
+    keys, starts = np.unique(pair_key[order], return_index=True)
+    bounds = list(starts) + [len(sorted_m)]
+    for k, s, e in zip(keys, bounds[:-1], bounds[1:]):
+        matches_dict[(int(k) // 10000, int(k) % 10000)] = sorted_m[s:e][
+            :, [2, 3, 4, 5, 6]
+        ].copy()
+
+    # tracks + visibility
+    all_feature_points: List[Dict[int, Tuple[float, float]]] = [
+        {} for _ in range(n_features)
+    ]
+    for r in rows:
+        f = int(r[6])
+        i_ref = int(r[0])
+        if i_ref not in all_feature_points[f]:
+            all_feature_points[f][i_ref] = (r[2], r[3])
+        if r[1] != 0:
+            all_feature_points[f][int(r[1])] = (r[4], r[5])
+    visibility = np.zeros((max_image_id + 1, n_features))
+    for f, d in enumerate(all_feature_points):
+        for img in d:
+            visibility[img][f] = 1
+    return matches_dict, all_feature_points, visibility

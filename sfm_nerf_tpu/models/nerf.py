@@ -41,7 +41,23 @@ def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
 
 
 def _linear(p, x):
-    return x @ p["w"] + p["b"]
+    """x @ W + b with f32 accumulation.  If W is bf16 (mixed-precision
+    training / serving), the activation is cast down so the MXU runs a
+    bf16 x bf16 -> f32 matmul; bias add stays f32."""
+    w = p["w"]
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
+    acc = jnp.float64 if w.dtype == jnp.float64 else jnp.float32
+    out = jnp.dot(x, w, preferred_element_type=acc)
+    return out + p["b"].astype(acc)
+
+
+def cast_params_bf16(params: "Params") -> "Params":
+    """bf16 copies of the weight matrices (biases stay f32) — the compute
+    cast for mixed-precision; optimizer state keeps f32 masters."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.ndim == 2 else a, params
+    )
 
 
 def init_nerf_params(key: jax.Array, cfg: NeRFModelConfig, dtype=jnp.float32) -> Params:

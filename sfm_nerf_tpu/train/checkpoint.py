@@ -94,6 +94,47 @@ def latest_checkpoint(ckpt_dir: str, prefer_final: bool = False) -> Optional[str
     return max(candidates, key=step_of)
 
 
+def load_params_untyped(path: str) -> Tuple[dict, int]:
+    """Load just the params from a checkpoint WITHOUT a template, rebuilding
+    the nested-dict structure from the stored key paths.  Lets CLIs (e.g. the
+    gif renderer, whose reference-parity flag set has no --hidden_size) infer
+    the architecture from the checkpoint instead of requiring matching flags.
+    """
+    with np.load(path) as z:
+        flat = dict(z)
+    step = int(flat.pop("step"))
+    params: dict = {}
+    prefix = "params" + SEP
+    for k, v in flat.items():
+        if not k.startswith(prefix):
+            continue
+        node = params
+        parts = [p[2:] for p in k[len(prefix):].split(SEP)]  # strip 'd:' tags
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return params, step
+
+
+def infer_model_config(params: dict):
+    """NeRFModelConfig from a params dict's shapes (active or legacy arch)."""
+    from sfm_nerf_tpu.config import NeRFModelConfig
+
+    arch = "active" if "feature" in params else "legacy"
+    hidden = int(params["fc1"]["b"].shape[0])
+    pos_in = int(params["fc1"]["w"].shape[0])
+    dir_in = int(params["rgb1"]["w"].shape[0]) - hidden
+    pos_encoding = pos_in != 3
+    n_pos = (pos_in // 3 - 1) // 2 if pos_encoding else 10
+    n_dir = (dir_in // 3 - 1) // 2 if pos_encoding else 4
+    n_block1 = sum(1 for k in params if k.startswith("block1_"))
+    return NeRFModelConfig(
+        n_pos_freq=n_pos, n_dir_freq=n_dir, hidden=hidden,
+        pos_encoding=pos_encoding, arch=arch,
+        n_block1_layers=n_block1 or 3, has_skip="skip" in params,
+    )
+
+
 def load_checkpoint(
     path: str, params_template: Any, opt_state_template: Any = None
 ) -> Tuple[Any, Any, int]:

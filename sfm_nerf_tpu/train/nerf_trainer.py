@@ -31,6 +31,7 @@ import optax
 
 from sfm_nerf_tpu.config import NeRFPipelineConfig
 from sfm_nerf_tpu.models import init_nerf_params, nerf_apply
+from sfm_nerf_tpu.models.nerf import cast_params_bf16
 from sfm_nerf_tpu.ops.rays import image_rays, sample_ray_batch
 from sfm_nerf_tpu.ops.render import render_rays, render_rays_chunked
 from sfm_nerf_tpu.train import checkpoint as ckpt_lib
@@ -61,10 +62,12 @@ def make_train_step(
     """
     mcfg, rcfg = cfg.model, cfg.render
     n_rays = cfg.train.n_rays_batch
+    bf16 = cfg.train.compute_dtype == "bfloat16"
 
     def loss_fn(params, key_sample, key_render, images, poses, K):
         o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
-        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+        p_c = cast_params_bf16(params) if bf16 else params
+        model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
         rgb = render_rays(model_fn, o, d, rcfg, key_render)
         return mse(rgb, target)
 
@@ -98,10 +101,12 @@ def make_multi_train_step(
     """
     mcfg, rcfg = cfg.model, cfg.render
     n_rays = cfg.train.n_rays_batch
+    bf16 = cfg.train.compute_dtype == "bfloat16"
 
     def loss_fn(params, key_sample, key_render, images, poses, K):
         o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
-        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+        p_c = cast_params_bf16(params) if bf16 else params
+        model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
         rgb = render_rays(model_fn, o, d, rcfg, key_render)
         return mse(rgb, target)
 

@@ -1,0 +1,80 @@
+"""Matching-file parsers: native C++ path must produce identical structures
+to the Python reference path, on both synthetic and the real bundled data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sfm_nerf_tpu.io.sfm_data import (
+    _load_native,
+    _parse_matching_files_native,
+    load_calibration,
+    parse_matching_files,
+)
+
+from conftest import requires_reference
+
+REF_DATA = "/root/reference/Phase1/Data"
+
+
+def write_synthetic_matching(root):
+    os.makedirs(root, exist_ok=True)
+    # image 1: 3 features (one unmatched), image 2: 1 feature
+    with open(os.path.join(root, "matching1.txt"), "w") as f:
+        f.write("nFeatures: 3\n")
+        f.write("3 255 0 0 10.5 20.5 2 110.25 120.75 3 210.0 220.0\n")
+        f.write("1 0 255 0 30.0 40.0\n")          # no matches
+        f.write("2 0 0 255 50.0 60.0 3 250.5 260.5\n")
+    with open(os.path.join(root, "matching2.txt"), "w") as f:
+        f.write("nFeatures: 1\n")
+        f.write("2 1 2 3 70.0 80.0 4 170.0 180.0\n")
+    return root
+
+
+def assert_same(a, b):
+    md_a, tr_a, vis_a = a
+    md_b, tr_b, vis_b = b
+    assert set(md_a) == set(md_b)
+    for k in md_a:
+        np.testing.assert_allclose(np.asarray(md_a[k]), np.asarray(md_b[k]))
+    assert len(tr_a) == len(tr_b)
+    for da, db in zip(tr_a, tr_b):
+        assert set(da) == set(db)
+        for img in da:
+            np.testing.assert_allclose(da[img][:2], db[img][:2])
+    np.testing.assert_array_equal(vis_a, vis_b)
+
+
+def test_native_matches_python_synthetic(tmp_path):
+    if _load_native() is None:
+        pytest.skip("no C++ toolchain")
+    root = write_synthetic_matching(str(tmp_path))
+    py = parse_matching_files(root, 4, use_native=False)
+    nat = _parse_matching_files_native(root, 4)
+    assert_same(py, nat)
+    # structure sanity
+    md, tracks, vis = py
+    assert (1, 2) in md and (1, 3) in md and (2, 4) in md
+    assert len(tracks) == 4
+    assert tracks[1] == {1: (30.0, 40.0)}        # unmatched feature kept
+    assert vis.shape == (5, 4)
+
+
+@requires_reference
+def test_native_matches_python_reference_data():
+    if _load_native() is None:
+        pytest.skip("no C++ toolchain")
+    py = parse_matching_files(REF_DATA, 5, use_native=False)
+    nat = _parse_matching_files_native(REF_DATA, 5)
+    assert_same(py, nat)
+    md, tracks, vis = py
+    assert sum(len(v) for v in md.values()) > 4000   # real scale
+
+
+@requires_reference
+def test_calibration_loader():
+    K = load_calibration(os.path.join(REF_DATA, "calibration.txt"))
+    assert K.shape == (3, 3)
+    assert K[2, 2] == 1.0
+    assert K[0, 0] > 100  # focal in pixels

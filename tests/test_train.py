@@ -88,3 +88,28 @@ def test_blender_loader_reference_focal(tmp_path):
     expected = 0.5 * cax * 30 / np.tan(0.5 * cax)
     np.testing.assert_allclose(cam.camera_matrix[0, 0], expected, rtol=1e-6)
     assert cam.camera_matrix[0, 2] == 15.0 and cam.camera_matrix[1, 2] == 10.0
+
+
+def test_load_params_untyped_and_infer_config(tmp_path):
+    """CLI checkpoint loading without a template (gif path uses this since
+    the reference-parity flag set can't describe the architecture)."""
+    import jax
+
+    from sfm_nerf_tpu.config import NeRFModelConfig
+    from sfm_nerf_tpu.models import init_nerf_params, param_count
+
+    cfg = NeRFModelConfig(hidden=48, n_pos_freq=5, n_dir_freq=3, arch="active")
+    params = init_nerf_params(jax.random.key(0), cfg)
+    path = ckpt_lib.save_checkpoint(str(tmp_path), 7, params)
+    loaded, step = ckpt_lib.load_params_untyped(path)
+    assert step == 7
+    inferred = ckpt_lib.infer_model_config(loaded)
+    assert inferred.hidden == 48
+    assert inferred.n_pos_freq == 5
+    assert inferred.n_dir_freq == 3
+    assert inferred.arch == "active"
+    assert param_count(loaded) == param_count(params)
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(loaded[k]["w"]), np.asarray(params[k]["w"])
+        )
