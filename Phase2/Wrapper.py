@@ -43,6 +43,10 @@ def configParser():
                         help="write frames in RGB (the reference cv2.imwrite "
                              "swaps to BGR, Wrapper.py:504-507)")
     parser.add_argument('--downscale', default=1, type=int)
+    parser.add_argument('--no_perturb', action='store_true',
+                        help="deterministic mid-bin sampling for gif frames "
+                             "(the reference's legacy renderer always "
+                             "jitters, Wrapper.py:148-149)")
     return parser
 
 
@@ -103,17 +107,18 @@ def run_gif(args):
     # legacy renderer defaults (Wrapper.py:128: near=1.0, far=10.0)
     rcfg = RenderConfig(
         n_sample=int(args.n_sample), near=1.0, far=10.0,
-        perturb=True, variant="legacy",
+        perturb=not args.no_perturb, variant="legacy",
     )
     model_fn = lambda p, d: nerf_apply(params, p, d, mcfg)
     K = jnp.asarray(cam.camera_matrix)
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def render_frame(pose, key):
         o, d = image_rays(K, pose, height, width)
-        return render_rays_chunked(model_fn, o, d, rcfg, key).reshape(
+        k = None if args.no_perturb else key
+        return render_rays_chunked(model_fn, o, d, rcfg, k).reshape(
             height, width, 3
         )
 

@@ -18,7 +18,7 @@ Algorithmic parity with Phase1/Fundamental.py, re-shaped for TPU:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +26,22 @@ import jax.numpy as jnp
 from sfm_nerf_tpu.ops.linalg import HI, homogenize, smallest_eigvec_of_normal
 
 
-def normalization_matrix(points: jnp.ndarray) -> jnp.ndarray:
+def normalization_matrix(
+    points: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """Similarity transform: centroid -> origin, RMS distance -> sqrt(2)
-    (Phase1/Fundamental.py:39-58).  ``points[..., N, 2]`` -> ``[..., 3, 3]``."""
-    centroid = jnp.mean(points, axis=-2)
-    d2 = jnp.sum((points - centroid[..., None, :]) ** 2, axis=-1)
-    rms = jnp.sqrt(jnp.mean(d2, axis=-1))
+    (Phase1/Fundamental.py:39-58).  ``points[..., N, 2]`` -> ``[..., 3, 3]``.
+    ``mask[..., N]`` restricts the statistics to valid rows (padded input)."""
+    if mask is None:
+        centroid = jnp.mean(points, axis=-2)
+        d2 = jnp.sum((points - centroid[..., None, :]) ** 2, axis=-1)
+        rms = jnp.sqrt(jnp.mean(d2, axis=-1))
+    else:
+        w = mask.astype(points.dtype)
+        n = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+        centroid = jnp.sum(points * w[..., None], axis=-2) / n[..., None]
+        d2 = jnp.sum((points - centroid[..., None, :]) ** 2, axis=-1) * w
+        rms = jnp.sqrt(jnp.sum(d2, axis=-1) / n)
     s = jnp.sqrt(2.0) / rms
     zero = jnp.zeros_like(s)
     one = jnp.ones_like(s)
@@ -139,6 +149,7 @@ def ransac_fundamental(
     threshold: float = 5e-4,
     normalize: bool = True,
     chunk: int = 1024,
+    n_valid: Optional[jnp.ndarray] = None,
 ) -> RansacResult:
     """RANSAC F-estimation (Fundamental.py:60-139), one jitted call.
 
@@ -146,11 +157,22 @@ def ransac_fundamental(
     memory is (chunk x N) instead of (n_iters x N).  After the argmax, F is
     re-estimated on all inliers of the best hypothesis and denormalized
     ``T2^T F T1`` (Fundamental.py:133-137).
+
+    ``n_valid`` (traced scalar) enables shape bucketing on accelerators:
+    pass pts padded to a bucket size and the true count — minimal samples
+    draw only from valid rows, padded rows can't score as inliers, and the
+    compiled program is reused across pairs of different sizes.
     """
     n_pts = pts1.shape[0]
+    if n_valid is None:
+        valid = None
+        n_draw = n_pts
+    else:
+        valid = jnp.arange(n_pts) < n_valid
+        n_draw = n_valid
     if normalize:
-        T1 = normalization_matrix(pts1)
-        T2 = normalization_matrix(pts2)
+        T1 = normalization_matrix(pts1, valid)
+        T2 = normalization_matrix(pts2, valid)
         h1 = homogenize(pts1) @ T1.T
         h2 = homogenize(pts2) @ T2.T
         p1, p2 = h1[..., :2], h2[..., :2]
@@ -161,13 +183,16 @@ def ransac_fundamental(
 
     n_chunks = (n_iters + chunk - 1) // chunk
     total = n_chunks * chunk
-    idx = jax.random.randint(key, (total, 8), 0, n_pts)
+    idx = jax.random.randint(key, (total, 8), 0, n_draw)
+
+    def gate(d):
+        return d if valid is None else jnp.where(valid, d, jnp.inf)
 
     def score_chunk(idx_chunk):
         s1 = p1[idx_chunk]                 # (chunk, 8, 2)
         s2 = p2[idx_chunk]
         F = eight_point(s1, s2)            # (chunk, 3, 3)
-        d = sampson_distance(F, h1, h2)    # (chunk, N)
+        d = gate(sampson_distance(F, h1, h2))    # (chunk, N)
         counts = jnp.sum(d < threshold, axis=-1)
         # mask degenerate hypotheses (repeated sample rows -> NaN/Inf F)
         ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
@@ -180,12 +205,41 @@ def ransac_fundamental(
 
     # recompute the winning hypothesis' F and inlier set
     Fb = eight_point(p1[idx[best]], p2[idx[best]])
-    d = sampson_distance(Fb, h1, h2)
+    d = gate(sampson_distance(Fb, h1, h2))
     inliers = d < threshold
 
     F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))
     F = T2.T @ F @ T1 if normalize else F
     return RansacResult(F, inliers, jnp.sum(inliers), best)
+
+
+def ransac_fundamental_bucketed(
+    key: jax.Array,
+    pts1_np, pts2_np,
+    n_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+) -> RansacResult:
+    """Host wrapper: pad the match count to the next power of two and call
+    the jitted core with the true count — one compile per bucket instead of
+    one per pair (remote accelerator compiles cost minutes; a 10-pair run
+    collapses from ~10 compiles to ~3)."""
+    import numpy as np
+
+    n = len(pts1_np)
+    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    pad = bucket - n
+    p1 = np.pad(np.asarray(pts1_np, np.float64), ((0, pad), (0, 0)))
+    p2 = np.pad(np.asarray(pts2_np, np.float64), ((0, pad), (0, 0)))
+    res = ransac_fundamental(
+        key, jnp.asarray(p1), jnp.asarray(p2),
+        n_iters=n_iters, threshold=threshold, normalize=normalize,
+        chunk=chunk, n_valid=jnp.asarray(n),
+    )
+    return RansacResult(
+        res.F, res.inliers[:n], res.n_inliers, res.best_iter
+    )
 
 
 def essential_from_fundamental(K: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:

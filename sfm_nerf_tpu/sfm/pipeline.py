@@ -47,7 +47,7 @@ from sfm_nerf_tpu.ops.ba import (
 from sfm_nerf_tpu.ops.epipolar import (
     decompose_essential,
     essential_from_fundamental,
-    ransac_fundamental,
+    ransac_fundamental_bucketed,
 )
 from sfm_nerf_tpu.ops.pnp import (
     nonlinear_pnp,
@@ -94,9 +94,9 @@ class SfMPipeline:
         cfg = self.cfg
         refined = {}
         for (i, j), arr in sorted(matches_dict.items()):
-            res = ransac_fundamental(
-                self._next_key(),
-                jnp.asarray(arr[:, 0:2]), jnp.asarray(arr[:, 2:4]),
+            # bucketed: one accelerator compile per size bucket, not per pair
+            res = ransac_fundamental_bucketed(
+                self._next_key(), arr[:, 0:2], arr[:, 2:4],
                 n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
                 normalize=cfg.normalize,
             )

@@ -175,3 +175,22 @@ def test_full_two_view_chain_reprojection_error():
     e2 = np.sqrt(np.asarray(reprojection_errors(K, R, C, X, jnp.asarray(pts2))))
     assert e1.mean() < 10.0, e1.mean()
     assert e2.mean() < 10.0, e2.mean()
+
+
+def test_ransac_bucketed_matches_unpadded():
+    """Padded-bucket RANSAC must find an equivalent model: same inlier
+    support (identical sampling given identical draw range is not expected —
+    bucketing changes nothing about the distribution, only the shapes)."""
+    from sfm_nerf_tpu.ops.epipolar import ransac_fundamental_bucketed
+
+    _, pts1, pts2, inlier_mask = two_view_correspondences(
+        noise=0.3, outlier_frac=0.3
+    )
+    res = ransac_fundamental_bucketed(
+        jax.random.key(0), pts1, pts2, n_iters=2000, chunk=256,
+    )
+    found = np.asarray(res.inliers)
+    assert found.shape == (len(pts1),)
+    recall = (found & inlier_mask).sum() / inlier_mask.sum()
+    precision = (found & inlier_mask).sum() / max(found.sum(), 1)
+    assert recall > 0.85 and precision > 0.9, (recall, precision)
