@@ -134,11 +134,11 @@ def run_gif(args):
         key, sub = jax.random.split(key)
         img = np.asarray(render_frame(c2w, sub)) * 255.0
         out = os.path.join(args.images_path, f"image_{count}.png")
-        frame = img if args.rgb_frames else img  # cv2 writes BGR from this array,
-        # matching the reference's channel-swap artifact (Wrapper.py:504-507)
-        if args.rgb_frames:
-            frame = img[..., ::-1]
-        cv2.imwrite(out, frame)
+        # cv2.imwrite treats the array as BGR: writing the RGB render as-is
+        # reproduces the reference's channel-swap artifact (Wrapper.py:
+        # 504-507); --rgb_frames pre-swaps so the file comes out RGB-correct
+        frame = img[..., ::-1] if args.rgb_frames else img
+        cv2.imwrite(out, frame.astype(np.uint8))
         print(f"wrote {out}")
     print(f"gif frames rendered in {time.time() - t0:.1f}s")
 

@@ -129,6 +129,29 @@ def save_topdown_plot(
     return path
 
 
+def save_match_visualization(
+    img1: np.ndarray, img2: np.ndarray, matches: np.ndarray,
+    out_dir: str = ".", name: str = "feature_matches.png",
+) -> str:
+    """cv2.drawMatches figure — the headless version of the reference's
+    blocking display_matches (Phase1/Wrapper.py:223-233, cv2.imshow)."""
+    import cv2
+
+    kp1 = [cv2.KeyPoint(float(m[0]), float(m[1]), 5) for m in matches]
+    kp2 = [cv2.KeyPoint(float(m[2]), float(m[3]), 5) for m in matches]
+    dmatches = [
+        cv2.DMatch(_queryIdx=i, _trainIdx=i, _distance=0)
+        for i in range(len(matches))
+    ]
+    vis = cv2.drawMatches(
+        img1, kp1, img2, kp2, dmatches, None,
+        flags=cv2.DrawMatchesFlags_NOT_DRAW_SINGLE_POINTS,
+    )
+    path = os.path.join(out_dir, name)
+    cv2.imwrite(path, vis)
+    return path
+
+
 def save_projection_overlays(
     img1: np.ndarray, img2: np.ndarray,
     proj1: np.ndarray, proj2: np.ndarray,

@@ -262,6 +262,11 @@ class SfMPipeline:
 
         # --- two-view initialization on (1,2) --------------------------
         F12, m12 = refined[(1, 2)]
+        if len(images) >= 2:
+            art.save_match_visualization(
+                images[0], images[1], m12, cfg.output_dir,
+                name="feature_matches_1_2.png",
+            )
         camera_info = {1: {"R": np.eye(3), "C": np.zeros(3)}}
         tv = self.two_view_reconstruct(
             K, F12, camera_info[1]["R"], camera_info[1]["C"],

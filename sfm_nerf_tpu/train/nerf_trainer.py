@@ -208,11 +208,11 @@ class NeRFTrainer:
             n_val = min(cfg.train.n_val_images, len(self.images))
             val_indices = rng.choice(len(self.images), n_val, replace=False)
 
-        key = jax.random.key(cfg.train.seed + 1)
-        loss = jnp.asarray(0.0)
-        running = 0.0
+        self._key = jax.random.key(cfg.train.seed + 1)
+        self._loss = jnp.asarray(0.0)
+        self._steps_done = 0
+        self._it = self.start_iter
         t_start = time.time()
-        n_steps_done = 0
         spc = max(1, cfg.train.steps_per_call)
         multi_step = None
         if spc > 1:
@@ -226,7 +226,37 @@ class NeRFTrainer:
                 pass
 
         it_iter = iter(iterator)
+        try:
+            self._fit_loop(
+                it_iter, iterator, cfg, multi_step, spc, max_iters,
+                val_indices, progress,
+            )
+        except KeyboardInterrupt:
+            # fault-tolerance parity with the reference's legacy loop
+            # (Phase2/Wrapper.py:288-293): interrupt -> checkpoint -> exit
+            print("KeyboardInterrupt: saving checkpoint before exit")
+            self.save(self._it, float(self._loss))
+            raise
+
+        final_loss = float(self._loss)
+        self.save(max_iters - 1, final_loss, final=True)
+        elapsed = time.time() - t_start
+        rays = self._steps_done * cfg.train.n_rays_batch
+        return {
+            "final_loss": final_loss,
+            "steps": self._steps_done,
+            "elapsed_s": elapsed,
+            "rays_per_sec": rays / max(elapsed, 1e-9),
+        }
+
+    def _fit_loop(
+        self, it_iter, iterator, cfg, multi_step, spc, max_iters,
+        val_indices, progress,
+    ):
+        key = self._key
+        running = 0.0
         for it in it_iter:
+            self._it = it
             # Fused multi-step fast path: jump in scan-sized blocks whenever
             # no host-side event (log/val/ckpt) falls inside the block.
             def no_boundary_in_block(every: int) -> bool:
@@ -246,8 +276,9 @@ class NeRFTrainer:
                     self.params, self.opt_state, sub,
                     self.images, self.poses, self.K,
                 )
-                loss = losses[-1]
-                n_steps_done += spc
+                self._key = key
+                self._loss = losses[-1]
+                self._steps_done += spc
                 for _ in range(spc - 1):
                     next(it_iter, None)
                 continue
@@ -256,7 +287,9 @@ class NeRFTrainer:
                 self.params, self.opt_state, sub,
                 self.images, self.poses, self.K,
             )
-            n_steps_done += 1
+            self._key = key
+            self._loss = loss
+            self._steps_done += 1
 
             if it % cfg.train.log_every == 0:
                 loss_f = float(loss)
@@ -275,17 +308,6 @@ class NeRFTrainer:
                 self._validate(it, val_indices)
                 if it % cfg.train.save_ckpt_iter == 0:
                     self.save(it, float(loss))
-
-        final_loss = float(loss)
-        self.save(max_iters - 1, final_loss, final=True)
-        elapsed = time.time() - t_start
-        rays = n_steps_done * cfg.train.n_rays_batch
-        return {
-            "final_loss": final_loss,
-            "steps": n_steps_done,
-            "elapsed_s": elapsed,
-            "rays_per_sec": rays / max(elapsed, 1e-9),
-        }
 
     def _validate(self, it: int, val_indices) -> None:
         height, width = int(self.images.shape[1]), int(self.images.shape[2])
