@@ -136,6 +136,19 @@ def parse_matching_files(
     return matches_np, all_feature_points, visibility
 
 
+def build_visibility_matrix(camera_ids, all_feature_points) -> np.ndarray:
+    """V[i, f] = 1 iff feature f is observed by camera_ids[i] — the
+    reference's standalone builder (Phase1/BundleAdjustment.py:6-26; its
+    driver builds an equivalent inline, Wrapper.py:815-827)."""
+    cam_index = {cid: i for i, cid in enumerate(camera_ids)}
+    V = np.zeros((len(camera_ids), len(all_feature_points)), dtype=np.uint8)
+    for f_idx, feature_dict in enumerate(all_feature_points):
+        for cam_id in feature_dict:
+            if cam_id in cam_index:
+                V[cam_index[cam_id], f_idx] = 1
+    return V
+
+
 def _parse_matching_files_native(
     folder_path: str, num_images: int
 ) -> Tuple[Dict, List[Dict], np.ndarray]:

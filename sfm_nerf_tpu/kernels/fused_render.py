@@ -144,11 +144,18 @@ def _make_kernel(
             dens = density.reshape(ray_tile, sample_chunk)
             alpha = 1.0 - jnp.exp(-dens * dists)                # (T, CH)
             one_m = 1.0 - alpha + 1e-10
-            # exclusive cumprod within chunk, carried across chunks
-            cum = jnp.cumprod(one_m, axis=-1)
-            excl = jnp.concatenate(
-                [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=-1
-            )
+            # exclusive cumprod within chunk, carried across chunks.
+            # Mosaic has no cumprod lowering -> log-space cumulative sum via
+            # a lower-triangular-ones matmul (CHxCH, runs on the MXU).
+            log1m = jnp.log(one_m)                              # (T, CH)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (sample_chunk, sample_chunk), 0)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (sample_chunk, sample_chunk), 1)
+            tri = (rows <= cols).astype(f32)                    # inclusive
+            csum = jnp.dot(log1m, tri, preferred_element_type=f32)
+            cum = jnp.exp(csum)                                 # incl cumprod
+            excl = jnp.exp(csum - log1m)                        # exclusive
             T_in = trans_scr[:]                                 # (T, 1)
             w = alpha * (T_in * excl)                           # (T, CH)
             rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
