@@ -84,17 +84,22 @@ def _make_kernel(
     n_chunks = n_sample // sample_chunk
     f32 = jnp.float32
 
-    def kernel(o_ref, d_ref, z_ref, *wb_and_out):
+    def kernel(o_ref, d_ref, z_ref, dists_ref, *wb_and_out):
         *wb, rgb_out, trans_scr, acc_scr = wb_and_out
         W = {name: wb[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
         B = {name: wb[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
 
-        def lin(name, x):
-            return (
-                jnp.dot(x.astype(jnp.bfloat16), W[name][:],
+        w_dtype = W["fc1"].dtype
+
+        def lin(name, x, out_dtype=None):
+            """Matmul in the weights' dtype with f32 accumulation; hidden
+            activations stay bf16 (halves VMEM -> bigger ray tiles)."""
+            out = (
+                jnp.dot(x.astype(w_dtype), W[name][:],
                         preferred_element_type=f32)
                 + B[name][:]
             )
+            return out if out_dtype is f32 else out.astype(w_dtype)
 
         o = o_ref[:]                       # (T, 3)
         d = d_ref[:]                       # (T, 3)
@@ -104,26 +109,20 @@ def _make_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
         def chunk_body(c, _):
-            z = z_ref[:, pl.ds(c * sample_chunk, sample_chunk)]  # (T, CH)
-            # dists = next z minus current (z_ref holds the full S row, so
-            # chunk boundaries read the true neighbor); the last sample of
-            # the LAST chunk gets the reference's 1e-3 pad
-            idx0 = c * sample_chunk
-            z_next = jax.lax.select(
-                c < n_chunks - 1,
-                z_ref[:, pl.ds(idx0 + 1, sample_chunk)],
-                jnp.concatenate(
-                    [z_ref[:, pl.ds(idx0 + 1, sample_chunk - 1)],
-                     z_ref[:, pl.ds(idx0 + sample_chunk - 1, 1)] + 1e-3],
-                    axis=1,
-                ),
-            )
-            dists = z_next - z                                  # (T, CH)
+            # lane-dim dynamic slices must be provably 128-aligned on TPU —
+            # sample_chunk is constrained to a multiple of 128 and the start
+            # index is tagged with pl.multiple_of
+            start = pl.multiple_of(c * sample_chunk, 128)
+            z = z_ref[:, pl.ds(start, sample_chunk)]            # (T, CH)
+            # dists precomputed host-side (diff with the reference's 1e-3
+            # tail pad) — avoids the +1-shifted (misaligned) in-kernel slice
+            dists = dists_ref[:, pl.ds(start, sample_chunk)]    # (T, CH)
 
             pts = (o[:, None, :] + d[:, None, :] * z[..., None])
             pts = pts.reshape(-1, 3)                            # (T*CH, 3)
             pe = _pe_padded(pts, mcfg.n_pos_freq, 64)           # (T*CH, 64)
 
+            pe = pe.astype(w_dtype)
             h = jnp.maximum(lin("fc1", pe), 0.0)
             for i in range(4):
                 h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
@@ -133,13 +132,13 @@ def _make_kernel(
                     )
             for i in range(3):
                 h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
-            density = jax.nn.softplus(lin("density", h))        # (T*CH, 1)
+            density = jax.nn.softplus(lin("density", h, f32))   # (T*CH, 1)
             feat = jnp.maximum(lin("feature", h), 0.0)          # (T*CH, 256)
-            de_rep = jnp.repeat(de, sample_chunk, axis=0)       # (T*CH, 28)
+            de_rep = jnp.repeat(de.astype(w_dtype), sample_chunk, axis=0)
             rgb_h = jnp.maximum(
                 lin("rgb1", jnp.concatenate([feat, de_rep], axis=-1)), 0.0
             )
-            rgb = jax.nn.sigmoid(lin("rgb2", rgb_h))            # (T*CH, 3)
+            rgb = jax.nn.sigmoid(lin("rgb2", rgb_h, f32))       # (T*CH, 3)
 
             dens = density.reshape(ray_tile, sample_chunk)
             alpha = 1.0 - jnp.exp(-dens * dists)                # (T, CH)
@@ -180,19 +179,29 @@ def fused_render_rays(
     z_vals: jnp.ndarray,       # (N, S) f32
     mcfg: NeRFModelConfig,
     rcfg: RenderConfig,
-    ray_tile: int = 64,
-    sample_chunk: int = 32,
+    ray_tile: int = 32,
+    sample_chunk: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Render rgb (N,3) with the fused kernel.  N padded to ray_tile."""
+    """Render rgb (N,3) with the fused kernel.  N padded to ray_tile.
+
+    ``sample_chunk`` must be a multiple of 128 on real TPU (lane-aligned
+    dynamic slicing); interpret mode accepts smaller chunks for testing.
+    """
     n = origins.shape[0]
     n_sample = z_vals.shape[1]
     assert n_sample % sample_chunk == 0
+    if not interpret:
+        assert sample_chunk % 128 == 0, "TPU lane alignment"
     n_tiles = (n + ray_tile - 1) // ray_tile
     pad = n_tiles * ray_tile - n
     o = jnp.pad(origins, ((0, pad), (0, 0)))
     d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
     z = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
+    # dists with the reference's 1e-3 tail pad (train.py:246-247)
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e-3)], axis=1
+    )
 
     kernel = _make_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample)
     wb_specs = [
@@ -208,6 +217,8 @@ def fused_render_rays(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, n_sample), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, n_sample), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             *wb_specs,
         ],
         out_specs=pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
@@ -218,5 +229,5 @@ def fused_render_rays(
             pltpu.VMEM((ray_tile, 3), jnp.float32),   # rgb accumulator
         ],
         interpret=interpret,
-    )(o, d, z, *packed_params)
+    )(o, d, z, dists, *packed_params)
     return out[:n]

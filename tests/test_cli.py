@@ -1,0 +1,83 @@
+"""CLI flag parity: every reference flag name must exist with its default
+(SURVEY §2.2 flag tables)."""
+
+import importlib.util
+import os
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def load_module(rel):
+    spec = importlib.util.spec_from_file_location(
+        rel.replace("/", "_"), os.path.join(REPO, rel)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+REFERENCE_TRAIN_FLAGS = {
+    "data_path": "./Phase2/nerf_synthetic/lego/",
+    "mode": "train",
+    "lrate": 5e-4,
+    "n_pos_freq": 10,
+    "n_dirc_freq": 4,
+    "n_rays_batch": 32 * 32 * 8,
+    "n_sample": 256,
+    "max_iters": 200001,
+    "logs_path": "./logs/",
+    "log_id": "",
+    "exp_name": "lego_experiment",
+    "checkpoint_path": "./Phase2/checkpoints_new_2/",
+    "load_checkpoint": True,
+    "save_ckpt_iter": 1000,
+    "images_path": "./image/",
+    "perturb": True,
+    "near": 2.0,
+    "far": 6.0,
+    "chunk_size": 1024 * 32,
+    "hidden_size": 256,
+    "lrate_decay": 0.1,
+    "lrate_decay_steps": 50000,
+}
+
+REFERENCE_WRAPPER_FLAGS = {
+    "data_path", "mode", "lrate", "n_pos_freq", "n_dirc_freq",
+    "n_rays_batch", "n_sample", "max_iters", "logs_path", "log_id",
+    "checkpoint_path", "load_checkpoint", "save_ckpt_iter", "images_path",
+}
+
+
+def test_phase2_train_flags_parity():
+    mod = load_module("Phase2/train.py")
+    args = mod.configParser().parse_args([])
+    for flag, default in REFERENCE_TRAIN_FLAGS.items():
+        assert hasattr(args, flag), f"missing --{flag}"
+        got = getattr(args, flag)
+        # reference declares several defaults as strings and coerces later
+        # (train.py:772-779) — compare semantically
+        if isinstance(default, (int, float)) and not isinstance(default, bool):
+            assert float(got) == float(default), (flag, got, default)
+        else:
+            assert got == default, (flag, got, default)
+
+
+def test_phase2_wrapper_flags_parity():
+    mod = load_module("Phase2/Wrapper.py")
+    args = mod.configParser().parse_args([])
+    for flag in REFERENCE_WRAPPER_FLAGS:
+        assert hasattr(args, flag), f"missing --{flag}"
+    assert float(args.max_iters) == 100001  # Wrapper's own default
+
+
+def test_build_config_roundtrip():
+    mod = load_module("Phase2/train.py")
+    args = mod.configParser().parse_args(
+        ["--n_rays_batch", "4096", "--hidden_size", "128",
+         "--data_path", "x/lego/"]
+    )
+    cfg = mod.build_config(args)
+    assert cfg.train.n_rays_batch == 4096
+    assert cfg.model.hidden == 128
+    assert cfg.checkpoint_path.endswith("lego")
+    assert cfg.render.near == 2.0 and cfg.render.far == 6.0
