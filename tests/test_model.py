@@ -133,3 +133,14 @@ def test_converted_checkpoint_forward_parity(path):
 
     np.testing.assert_allclose(d_jax, d_t.numpy(), rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(rgb_jax, rgb_t.numpy(), rtol=1e-8, atol=1e-8)
+
+
+def test_active_no_pe_ablation():
+    """--no_pos_encoding CLI path: raw 3-d inputs end-to-end."""
+    cfg = NeRFModelConfig(arch="active", pos_encoding=False)
+    params = init_nerf_params(jax.random.key(2), cfg)
+    assert params["fc1"]["w"].shape[0] == 3
+    density, rgb = nerf_apply(
+        params, jnp.ones((5, 3)), jnp.ones((5, 3)), cfg
+    )
+    assert density.shape == (5, 1) and rgb.shape == (5, 3)

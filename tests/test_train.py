@@ -113,3 +113,26 @@ def test_load_params_untyped_and_infer_config(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(loaded[k]["w"]), np.asarray(params[k]["w"])
         )
+
+
+def test_bf16_training_converges(tmp_path):
+    """Mixed-precision (bf16 matmuls, f32 masters) must track f32 training."""
+    root = make_blender_dataset(str(tmp_path / "bf"), n_frames=2,
+                                height=16, width=16)
+    images, poses, cam = load_blender_dataset(root, "train")
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = NeRFPipelineConfig(
+            model=NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1),
+            render=RenderConfig(n_sample=8),
+            train=TrainConfig(n_rays_batch=64, lrate=5e-3, val_every=0,
+                              compute_dtype=dtype),
+            checkpoint_path=os.path.join(str(tmp_path), "ck_" + dtype),
+            load_checkpoint=False,
+        )
+        tr = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+        tr.fit(max_iters=151, progress=False)
+        losses[dtype] = tr._last_losses
+    assert losses["bfloat16"][-1] < losses["bfloat16"][0] * 0.8
+    # same order of magnitude at convergence
+    assert losses["bfloat16"][-1] < max(losses["float32"][-1] * 5, 0.01)
