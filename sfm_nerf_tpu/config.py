@@ -10,7 +10,7 @@ these fields 1:1 so the reference CLIs keep working.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 
 @dataclasses.dataclass(frozen=True)

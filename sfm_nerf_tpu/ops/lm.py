@@ -13,7 +13,7 @@ fixed-iteration damped Gauss-Newton that runs entirely on device:
 
 from __future__ import annotations
 
-import functools
+
 from typing import Callable, Tuple
 
 import jax

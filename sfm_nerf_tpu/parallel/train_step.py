@@ -24,7 +24,7 @@ import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
+
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from sfm_nerf_tpu.models.nerf import cast_params_bf16
 from sfm_nerf_tpu.ops.rays import image_rays, sample_ray_batch
 from sfm_nerf_tpu.ops.render import render_rays, render_rays_chunked
 from sfm_nerf_tpu.train import checkpoint as ckpt_lib
-from sfm_nerf_tpu.utils.metrics import mse, psnr_from_mse
+from sfm_nerf_tpu.utils.metrics import mse
 
 
 def make_schedule(cfg: NeRFPipelineConfig) -> optax.Schedule:
