@@ -131,6 +131,9 @@ class SfMConfig:
     # PnP RANSAC (Phase1/PnP.py:160)
     pnp_iters: int = 10000
     pnp_threshold: float = 10.0      # squared px reprojection error
+    # two-view pose recovery (reference quirks available as switches)
+    essential_cleanup: bool = True     # project E singulars to (1,1,0)
+    center_convention: str = "hz"      # 'hz' (correct) | 'reference' (quirk)
     # nonlinear refinement
     two_view_refine_pose: bool = True  # joint pose+points BA after two-view
     tri_refine_iters: int = 20       # LM steps for per-point triangulation

@@ -45,6 +45,7 @@ from sfm_nerf_tpu.ops.ba import (
     fix_gauge_to_first_camera,
 )
 from sfm_nerf_tpu.ops.epipolar import (
+    cleanup_essential,
     decompose_essential,
     essential_from_fundamental,
     ransac_fundamental_bucketed,
@@ -125,7 +126,9 @@ class SfMPipeline:
         cfg = self.cfg
         Kj = jnp.asarray(K)
         E = essential_from_fundamental(Kj, jnp.asarray(F))
-        Cs, Rs = decompose_essential(E)
+        if cfg.essential_cleanup:
+            E = cleanup_essential(E)
+        Cs, Rs = decompose_essential(E, cfg.center_convention)
         X_lin, C2, R2, all_pts, _ = disambiguate_pose(
             Kj, Cs, Rs, jnp.asarray(pts1), jnp.asarray(pts2),
             R1=jnp.asarray(R1), T1=jnp.asarray(-R1 @ np.asarray(C1).reshape(3)),
