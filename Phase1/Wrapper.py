@@ -27,8 +27,10 @@ def main():
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
     parser.add_argument("--ba_max_iters", type=int, default=50)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--float64", action="store_true", default=True,
-                        help="run geometry in float64 (reference precision)")
+    parser.add_argument("--float64", default=True,
+                        type=lambda s: s.lower() not in ("0", "false", "no"),
+                        help="run geometry in float64 (reference precision; "
+                             "forced off on TPU, which has no f64)")
     parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "default"],
                         help="device backend. Default cpu: this 5-image "
                              "problem is latency-bound and wants float64; "
@@ -41,8 +43,10 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    if args.float64:
-        jax.config.update("jax_enable_x64", True)
+        if args.float64:
+            jax.config.update("jax_enable_x64", True)
+    # non-CPU backends have no float64 — geometry runs f32 there (RANSAC is
+    # normalization-conditioned; refinement/BA tolerate f32)
 
     from sfm_nerf_tpu.config import SfMConfig
     from sfm_nerf_tpu.sfm import SfMPipeline

@@ -141,6 +141,8 @@ class SfMConfig:
     ba_max_iters: int = 50           # LM steps for bundle adjustment
     ba_rounds: int = 2               # BA / outlier-prune alternations
     ba_prune_px: float = 3.0         # drop observations above this reproj err
+    ba_loss: str = "linear"          # 'linear' (reference parity) | 'huber'
+    ba_huber_delta: float = 3.0      # px; robust-loss transition
     seed: int = 0
     output_dir: str = "."
     show: bool = False               # headless by default (no cv2.imshow)

@@ -63,7 +63,7 @@ class BAResult(NamedTuple):
     n_residuals: jnp.ndarray     # observations active in the cost (mask0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+@functools.partial(jax.jit, static_argnames=("n_iters", "loss"))
 def bundle_adjust(
     K: jnp.ndarray,              # (3,3)
     camera_params: jnp.ndarray,  # (N,6) [rvec, tvec] world->cam
@@ -72,6 +72,8 @@ def bundle_adjust(
     visibility: jnp.ndarray,     # (N,M) 1/0
     n_iters: int = 50,
     lambda0: float = 1e-3,
+    loss: str = "linear",        # 'linear' (reference parity) | 'huber'
+    huber_delta: float = 3.0,    # px; transition of the robust loss
 ) -> BAResult:
     n_cam = camera_params.shape[0]
     n_pts = points.shape[0]
@@ -89,6 +91,9 @@ def bundle_adjust(
     z0 = depth_fn(camera_params, points)                 # (N,M)
     mask0 = vis * (z0 > 1e-8).astype(K.dtype)
 
+    if loss not in ("linear", "huber"):
+        raise ValueError(f"unknown loss {loss!r}")
+
     def residual_mask(cams, pts):
         """(N,M,2) residuals under the frozen visibility+cheirality mask."""
         obs_fn = jax.vmap(jax.vmap(_observe, (None, 0, None)), (0, None, None))
@@ -96,9 +101,23 @@ def bundle_adjust(
         r = (proj - observations) * mask0[..., None]
         return r, mask0
 
+    def irls_weights(r):
+        """Per-observation sqrt-IRLS weights for the Huber loss: residuals
+        and Jacobian rows scaled by sqrt(min(1, delta/|r|)) turn the damped
+        Gauss-Newton step into a robust one."""
+        if loss == "linear":
+            return jnp.ones_like(r[..., 0])
+        norm = jnp.linalg.norm(r, axis=-1)               # (N,M)
+        return jnp.sqrt(jnp.minimum(1.0, huber_delta / (norm + 1e-12)))
+
     def cost_of(cams, pts):
         r, _ = residual_mask(cams, pts)
-        return 0.5 * jnp.sum(r * r)
+        if loss == "linear":
+            return 0.5 * jnp.sum(r * r)
+        norm = jnp.linalg.norm(r, axis=-1) * (mask0 > 0)
+        quad = 0.5 * norm**2
+        lin = huber_delta * (norm - 0.5 * huber_delta)
+        return jnp.sum(jnp.where(norm <= huber_delta, quad, lin))
 
     # jacobians of one (cam, point) observation wrt cam (2x6) and point (2x3)
     jac_cam = jax.jacfwd(_observe, argnums=0)
@@ -107,13 +126,16 @@ def bundle_adjust(
     def lm_step(carry, _):
         cams, pts, lam, cost = carry
         r, mask = residual_mask(cams, pts)               # (N,M,2), (N,M)
+        w = irls_weights(r)                              # (N,M)
+        r = r * w[..., None]
+        wmask = mask * w
 
         A = jax.vmap(jax.vmap(jac_cam, (None, 0, None)), (0, None, None))(
             cams, pts, K
-        ) * mask[..., None, None]                        # (N,M,2,6)
+        ) * wmask[..., None, None]                       # (N,M,2,6)
         B = jax.vmap(jax.vmap(jac_pt, (None, 0, None)), (0, None, None))(
             cams, pts, K
-        ) * mask[..., None, None]                        # (N,M,2,3)
+        ) * wmask[..., None, None]                       # (N,M,2,3)
 
         # normal-equation blocks
         U = jnp.einsum("nmri,nmrj->nij", A, A, precision=HI)    # (N,6,6)

@@ -388,6 +388,7 @@ class SfMPipeline:
                 Kj, jnp.asarray(cams0), jnp.asarray(pts0),
                 jnp.asarray(obs), jnp.asarray(vis_work),
                 n_iters=cfg.ba_max_iters,
+                loss=cfg.ba_loss, huber_delta=cfg.ba_huber_delta,
             )
             n_obs = max(float(res.n_residuals), 1)
             if rms_before is None:

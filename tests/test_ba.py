@@ -133,3 +133,44 @@ def test_camera_param_pack_roundtrip():
     Rs, Cs = RC_from_camera_params(jnp.asarray(cams))
     np.testing.assert_allclose(np.asarray(Rs), scene["Rs"], atol=1e-8)
     np.testing.assert_allclose(np.asarray(Cs), scene["Cs"], atol=1e-8)
+
+
+def test_ba_huber_resists_outliers():
+    """Gross observation outliers: L2 BA gets dragged, Huber BA doesn't."""
+    scene, cams = build_problem(noise_px=0.3, n_cams=4, n_pts=100)
+    rng = np.random.default_rng(21)
+    obs = scene["obs"].copy()
+    # corrupt 8% of observations badly
+    n_cam, n_pts = scene["vis"].shape
+    for _ in range(int(0.08 * n_cam * n_pts)):
+        i, j = rng.integers(n_cam), rng.integers(n_pts)
+        obs[i, j] += rng.uniform(-60, 60, 2)
+    cams_n = cams + rng.normal(0, 0.005, cams.shape)
+    pts_n = scene["points"] + rng.normal(0, 0.03, scene["points"].shape)
+
+    def inlier_rms(res):
+        from sfm_nerf_tpu.ops.ba import RC_from_camera_params
+        from sfm_nerf_tpu.ops.triangulation import reprojection_errors
+
+        Rs, Cs = RC_from_camera_params(res.camera_params)
+        errs = np.stack([
+            np.sqrt(np.asarray(reprojection_errors(
+                jnp.asarray(scene["K"]), Rs[c], Cs[c], res.points,
+                jnp.asarray(scene["obs"][c]))))   # vs CLEAN ground-truth obs
+            for c in range(n_cam)
+        ])
+        return float(np.median(errs))
+
+    res_l2 = bundle_adjust(
+        jnp.asarray(scene["K"]), jnp.asarray(cams_n), jnp.asarray(pts_n),
+        jnp.asarray(obs), jnp.asarray(scene["vis"].astype(np.float64)),
+        n_iters=40,
+    )
+    res_hu = bundle_adjust(
+        jnp.asarray(scene["K"]), jnp.asarray(cams_n), jnp.asarray(pts_n),
+        jnp.asarray(obs), jnp.asarray(scene["vis"].astype(np.float64)),
+        n_iters=40, loss="huber", huber_delta=2.0,
+    )
+    rms_l2, rms_hu = inlier_rms(res_l2), inlier_rms(res_hu)
+    assert rms_hu < rms_l2 * 0.7, (rms_l2, rms_hu)
+    assert rms_hu < 1.0, rms_hu
