@@ -98,3 +98,41 @@ def convert_legacy_state_dict(
 def convert_pth(path: str) -> Tuple[dict, NeRFModelConfig]:
     """One-call conversion: .pth file -> (params pytree of np arrays, config)."""
     return convert_legacy_state_dict(load_torch_state_dict(path))
+
+
+def export_legacy_to_pth(
+    params: dict, cfg: NeRFModelConfig, path: str
+) -> None:
+    """Our legacy-arch pytree -> a reference-layout .pth state dict, loadable
+    by the reference's torch code (round-trip interop: torch -> ours ->
+    torch).  Only the standard legacy layout (block1 + skip + block2) and
+    the skip-less no-PE layout are expressible."""
+    import torch
+
+    def t(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+    sd = {}
+
+    def put(prefix, layer):
+        sd[prefix + ".weight"] = t(layer["w"].T)
+        sd[prefix + ".bias"] = t(layer["b"])
+
+    put("fc1.0", params["fc1"])
+    n_b1 = cfg.n_block1_layers
+    if cfg.has_skip:
+        for i in range(n_b1):
+            put(f"block1.{2 * i}", params[f"block1_{i}"])
+        put("skip_layer.0", params["skip"])
+        for i in range(3):
+            put(f"block2.{2 * i}", params[f"block2_{i}"])
+    else:
+        # skip-less layout: block1 carries everything incl. the 257-wide tail
+        for i in range(n_b1):
+            put(f"block1.{2 * i}", params[f"block1_{i}"])
+        for k, i in enumerate(range(n_b1, n_b1 + 3)):
+            put(f"block1.{2 * i}", params[f"block2_{k}"])
+    put("density_fc", params["density_fc"])
+    put("rgb_fc.0", params["rgb1"])
+    put("rgb_fc.2", params["rgb2"])
+    torch.save(sd, path)

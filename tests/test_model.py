@@ -144,3 +144,25 @@ def test_active_no_pe_ablation():
         params, jnp.ones((5, 3)), jnp.ones((5, 3)), cfg
     )
     assert density.shape == (5, 1) and rgb.shape == (5, 3)
+
+
+@requires_reference
+def test_pth_roundtrip_export(tmp_path):
+    """torch -> ours -> torch -> ours must be exact (full interop)."""
+    import os
+
+    from sfm_nerf_tpu.models.convert import (
+        convert_pth, export_legacy_to_pth, load_torch_state_dict,
+    )
+
+    for src in (CHAIR, NO_PE):
+        params, cfg = convert_pth(src)
+        out = os.path.join(str(tmp_path), "roundtrip.pth")
+        export_legacy_to_pth(params, cfg, out)
+        sd_orig = load_torch_state_dict(src)
+        sd_new = load_torch_state_dict(out)
+        assert set(sd_orig) == set(sd_new), (
+            set(sd_orig) ^ set(sd_new)
+        )
+        for k in sd_orig:
+            np.testing.assert_array_equal(sd_orig[k], sd_new[k])
