@@ -129,6 +129,31 @@ def save_topdown_plot(
     return path
 
 
+def save_ply(
+    points: np.ndarray, colors: Optional[np.ndarray] = None,
+    out_dir: str = ".", name: str = "reconstruction.ply",
+) -> str:
+    """ASCII PLY point cloud (colors uint8 RGB).  A production-facing export
+    the reference lacks — its reconstruction only exists as matplotlib
+    scatter PNGs."""
+    points = np.asarray(points, np.float64)
+    if colors is None:
+        colors = np.full((len(points), 3), 180, np.uint8)
+    colors = np.asarray(colors, np.uint8)
+    path = os.path.join(out_dir, name)
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(points)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        for p, c in zip(points, colors):
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+    return path
+
+
 def save_match_visualization(
     img1: np.ndarray, img2: np.ndarray, matches: np.ndarray,
     out_dir: str = ".", name: str = "feature_matches.png",

@@ -442,6 +442,20 @@ class SfMPipeline:
         all_points = np.asarray(list(fidx_to_3d.values()))
         art.save_reconstruction_plot(all_points, camera_info, cfg.output_dir)
         art.save_topdown_plot(all_points, camera_info, cfg.output_dir)
+        # colored point cloud: sample each feature's pixel in its first view
+        colors = []
+        for f in fidx_to_3d:
+            c = (180, 180, 180)
+            for img_id, (u, v) in sorted(tracks[f].items()):
+                if 1 <= img_id <= len(images):
+                    img = images[img_id - 1]
+                    ui = int(np.clip(round(u), 0, img.shape[1] - 1))
+                    vi = int(np.clip(round(v), 0, img.shape[0] - 1))
+                    b, g, r = img[vi, ui][:3]     # cv2 loads BGR
+                    c = (int(r), int(g), int(b))
+                    break
+            colors.append(c)
+        art.save_ply(all_points, np.asarray(colors, np.uint8), cfg.output_dir)
         # per-observation error percentiles at the BA optimum (comparable to
         # the reference's Table III mean reprojection errors)
         Rs_f, Cs_f = RC_from_camera_params(res.camera_params)

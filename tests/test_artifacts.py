@@ -40,3 +40,15 @@ def test_overlay_handles_nonfinite_projections(tmp_path, rng):
         img, img, proj, proj, pts, pts, "nonlineartriangulation", str(tmp_path)
     )
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_save_ply(tmp_path, rng):
+    pts = rng.normal(size=(30, 3))
+    colors = rng.integers(0, 255, (30, 3)).astype(np.uint8)
+    p = art.save_ply(pts, colors, str(tmp_path))
+    lines = open(p).read().splitlines()
+    assert lines[0] == "ply"
+    assert "element vertex 30" in lines[2]
+    assert len(lines) == 10 + 30  # header + points
+    vals = lines[-1].split()
+    assert len(vals) == 6
