@@ -42,7 +42,7 @@ def test_fused_kernel_matches_xla_path(n_rays):
     packed = pack_active_params(params, dtype=jnp.float32)
     out = fused_render_rays(
         packed, o, d, z, mcfg, rcfg,
-        ray_tile=32, sample_chunk=16, interpret=True,
+        ray_tile=32, sample_chunk=16, tiles_per_program=2, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
@@ -60,11 +60,11 @@ def test_fused_kernel_bf16_weights_close(rng):
 
     out32 = fused_render_rays(
         pack_active_params(params, jnp.float32), o, d, z, mcfg, rcfg,
-        ray_tile=32, sample_chunk=16, interpret=True,
+        ray_tile=32, sample_chunk=16, tiles_per_program=2, interpret=True,
     )
     out16 = fused_render_rays(
         pack_active_params(params, jnp.bfloat16), o, d, z, mcfg, rcfg,
-        ray_tile=32, sample_chunk=16, interpret=True,
+        ray_tile=32, sample_chunk=16, tiles_per_program=2, interpret=True,
     )
     # bf16 weights cost <1% absolute rgb error on a random init
     assert np.abs(np.asarray(out16) - np.asarray(out32)).max() < 1e-2
