@@ -101,6 +101,20 @@ def _make_kernel(
             )
             return out if out_dtype is f32 else out.astype(w_dtype)
 
+        def lin_split(name, x1, x2, out_dtype=None):
+            """Concat-free two-block linear: [x1 ++ x2] @ W == x1 @ W_top +
+            x2 @ W_bot.  Avoids materializing the concatenated activation
+            (VMEM) and sidesteps Mosaic's bf16-concat paths."""
+            k1 = x1.shape[-1]
+            out = (
+                jnp.dot(x1.astype(w_dtype), W[name][:k1, :],
+                        preferred_element_type=f32)
+                + jnp.dot(x2.astype(w_dtype), W[name][k1:, :],
+                          preferred_element_type=f32)
+                + B[name][:]
+            )
+            return out if out_dtype is f32 else out.astype(w_dtype)
+
         def subtile_body(s, _):
             # each program streams ``tiles_per_program`` ray sub-tiles
             # through the SAME activation buffers — amortizes the fixed
@@ -133,19 +147,28 @@ def _make_kernel(
                 for i in range(4):
                     h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
                     if i == 3:
-                        h = jnp.maximum(
-                            lin("skip", jnp.concatenate([h, pe], axis=-1)),
-                            0.0,
-                        )
+                        h = jnp.maximum(lin_split("skip", h, pe), 0.0)
                 for i in range(3):
                     h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
                 density = jax.nn.softplus(lin("density", h, f32))
                 feat = jnp.maximum(lin("feature", h), 0.0)      # (T*CH, 256)
-                de_rep = jnp.repeat(de.astype(w_dtype), sample_chunk, axis=0)
-                rgb_h = jnp.maximum(
-                    lin("rgb1", jnp.concatenate([feat, de_rep], axis=-1)),
-                    0.0,
-                )
+                # direction head: per-RAY partial matmul (T,28)@(28,128),
+                # broadcast to samples — sample_chunk x fewer dir FLOPs and
+                # no concat/repeat of the direction encoding
+                dir_part = jnp.dot(
+                    de.astype(w_dtype), W["rgb1"][feat.shape[-1]:, :],
+                    preferred_element_type=f32,
+                )                                               # (T, 128)
+                feat_part = jnp.dot(
+                    feat, W["rgb1"][: feat.shape[-1], :],
+                    preferred_element_type=f32,
+                )                                               # (T*CH, 128)
+                rgb_h = (
+                    feat_part.reshape(ray_tile, sample_chunk, -1)
+                    + dir_part[:, None, :]
+                    + B["rgb1"][:]
+                ).reshape(ray_tile * sample_chunk, -1)
+                rgb_h = jnp.maximum(rgb_h, 0.0).astype(w_dtype)
                 rgb = jax.nn.sigmoid(lin("rgb2", rgb_h, f32))   # (T*CH, 3)
 
                 dens = density.reshape(ray_tile, sample_chunk)
