@@ -77,6 +77,24 @@ def _pe_padded(x: jnp.ndarray, n_freqs: int, out_dim: int) -> jnp.ndarray:
     return jnp.pad(full, ((0, 0), (0, pad)))
 
 
+def pe_trig_matrices(n_freqs: int):
+    """(Fmat (3, 6L), phase (1, 6L)) such that
+    sin(x @ Fmat + phase) == concat_l [sin(f_l x), cos(f_l x)] — the whole
+    encoding becomes ONE tiny matmul + ONE lane-wide sin.  The naive
+    per-frequency build does 2L VPU ops on 3-column tensors (3/128 lane
+    utilization — measured to dominate the fused kernel's runtime)."""
+    cols = 6 * n_freqs
+    F = np.zeros((3, cols), np.float32)
+    phase = np.zeros((1, cols), np.float32)
+    for c in range(cols):
+        l, r = divmod(c, 6)
+        j = r % 3
+        F[j, c] = np.float32(np.pi * 2.0**l)
+        if r >= 3:
+            phase[0, c] = np.float32(np.pi / 2)   # cos(u) = sin(u + pi/2)
+    return F, phase
+
+
 def _make_kernel(
     mcfg: NeRFModelConfig, rcfg: RenderConfig,
     ray_tile: int, sample_chunk: int, n_sample: int, tiles_per_program: int,
@@ -84,7 +102,14 @@ def _make_kernel(
     n_chunks = n_sample // sample_chunk
     f32 = jnp.float32
 
-    def kernel(o_ref, d_ref, z_ref, dists_ref, *wb_and_out):
+    n_pe = 6 * mcfg.n_pos_freq            # 60 trig columns for positions
+    n_de = 6 * mcfg.n_dir_freq            # 24 for directions
+
+    def kernel(
+        o_ref, d_ref, z_ref, dists_ref,
+        pemat_ref, pephase_ref, dmat_ref, dphase_ref,
+        *wb_and_out,
+    ):
         *wb, rgb_out, trans_scr, acc_scr = wb_and_out
         W = {name: wb[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
         B = {name: wb[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
@@ -101,19 +126,24 @@ def _make_kernel(
             )
             return out if out_dtype is f32 else out.astype(w_dtype)
 
-        def lin_split(name, x1, x2, out_dtype=None):
-            """Concat-free two-block linear: [x1 ++ x2] @ W == x1 @ W_top +
-            x2 @ W_bot.  Avoids materializing the concatenated activation
-            (VMEM) and sidesteps Mosaic's bf16-concat paths."""
-            k1 = x1.shape[-1]
-            out = (
-                jnp.dot(x1.astype(w_dtype), W[name][:k1, :],
-                        preferred_element_type=f32)
-                + jnp.dot(x2.astype(w_dtype), W[name][k1:, :],
-                          preferred_element_type=f32)
-                + B[name][:]
-            )
+        def lin_parts(name, parts, out_dtype=None):
+            """Concat-free linear over row-blocks of W:
+            [x1 ++ x2 ++ ...] @ W == sum_i x_i @ W[start_i:end_i].
+            Avoids materializing concatenated activations (VMEM + Mosaic
+            bf16-concat paths)."""
+            out = B[name][:].astype(f32)
+            for x, s, e in parts:
+                out = out + jnp.dot(
+                    x.astype(w_dtype), W[name][s:e, :],
+                    preferred_element_type=f32,
+                )
             return out if out_dtype is f32 else out.astype(w_dtype)
+
+        def trig_encode(x, mat_ref, phase_ref):
+            """sin(x @ F + phase): the whole sin/cos bank in one matmul +
+            one lane-wide transcendental (see pe_trig_matrices)."""
+            u = jnp.dot(x, mat_ref[:], preferred_element_type=f32)
+            return jnp.sin(u + phase_ref[:])
 
         def subtile_body(s, _):
             # each program streams ``tiles_per_program`` ray sub-tiles
@@ -122,7 +152,7 @@ def _make_kernel(
             row0 = pl.multiple_of(s * ray_tile, 8)
             o = o_ref[pl.ds(row0, ray_tile), :]        # (T, 3)
             d = d_ref[pl.ds(row0, ray_tile), :]
-            de = _pe_padded(d, mcfg.n_dir_freq, 28)    # (T, 28)
+            dtrig = trig_encode(d, dmat_ref, dphase_ref)   # (T, n_de)
 
             trans_scr[:] = jnp.ones_like(trans_scr)
             acc_scr[:] = jnp.zeros_like(acc_scr)
@@ -140,27 +170,40 @@ def _make_kernel(
 
                 pts = (o[:, None, :] + d[:, None, :] * z[..., None])
                 pts = pts.reshape(-1, 3)                        # (T*CH, 3)
-                pe = _pe_padded(pts, mcfg.n_pos_freq, 64)       # (T*CH, 64)
+                trig = trig_encode(pts, pemat_ref, pephase_ref)  # (T*CH, n_pe)
 
-                pe = pe.astype(w_dtype)
-                h = jnp.maximum(lin("fc1", pe), 0.0)
+                # fc1/skip consume [x(3) ++ trig(n_pe) ++ pad] row-blocks
+                h = jnp.maximum(
+                    lin_parts("fc1", [(pts, 0, 3), (trig, 3, 3 + n_pe)]), 0.0
+                )
+                hidden = h.shape[-1]
                 for i in range(4):
                     h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
                     if i == 3:
-                        h = jnp.maximum(lin_split("skip", h, pe), 0.0)
+                        h = jnp.maximum(
+                            lin_parts("skip", [
+                                (h, 0, hidden),
+                                (pts, hidden, hidden + 3),
+                                (trig, hidden + 3, hidden + 3 + n_pe),
+                            ]),
+                            0.0,
+                        )
                 for i in range(3):
                     h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
                 density = jax.nn.softplus(lin("density", h, f32))
                 feat = jnp.maximum(lin("feature", h), 0.0)      # (T*CH, 256)
-                # direction head: per-RAY partial matmul (T,28)@(28,128),
-                # broadcast to samples — sample_chunk x fewer dir FLOPs and
-                # no concat/repeat of the direction encoding
+                # direction head: per-RAY partial matmuls broadcast over
+                # samples — sample_chunk x fewer dir FLOPs, no repeat
                 dir_part = jnp.dot(
-                    de.astype(w_dtype), W["rgb1"][feat.shape[-1]:, :],
+                    d.astype(w_dtype), W["rgb1"][hidden:hidden + 3, :],
+                    preferred_element_type=f32,
+                ) + jnp.dot(
+                    dtrig.astype(w_dtype),
+                    W["rgb1"][hidden + 3:hidden + 3 + n_de, :],
                     preferred_element_type=f32,
                 )                                               # (T, 128)
                 feat_part = jnp.dot(
-                    feat, W["rgb1"][: feat.shape[-1], :],
+                    feat, W["rgb1"][:hidden, :],
                     preferred_element_type=f32,
                 )                                               # (T*CH, 128)
                 rgb_h = (
@@ -246,12 +289,14 @@ def fused_render_rays(
         [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e-3)], axis=1
     )
 
+    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+
     kernel = _make_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program
     )
-    wb_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed_params
-    ]
+    full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    wb_specs = [full_vmem for _ in packed_params]
     out = pl.pallas_call(
         kernel,
         grid=(n_progs,),
@@ -264,6 +309,7 @@ def fused_render_rays(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, n_sample), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            full_vmem, full_vmem, full_vmem, full_vmem,  # trig matrices
             *wb_specs,
         ],
         out_specs=pl.BlockSpec((block, 3), lambda i: (i, 0),
@@ -274,5 +320,10 @@ def fused_render_rays(
             pltpu.VMEM((ray_tile, 3), jnp.float32),   # rgb accumulator
         ],
         interpret=interpret,
-    )(o, d, z, dists, *packed_params)
+    )(
+        o, d, z, dists,
+        jnp.asarray(pe_mat), jnp.asarray(pe_phase),
+        jnp.asarray(d_mat), jnp.asarray(d_phase),
+        *packed_params,
+    )
     return out[:n]
