@@ -167,7 +167,24 @@ class NeRFTrainer:
             jax.random.key(cfg.train.seed), cfg.model
         )
         self.opt_state = self.tx.init(self.params)
-        self.train_step = train_step or make_train_step(cfg, self.tx)
+        if train_step is not None:
+            self.train_step = train_step
+        elif cfg.parallel.dp > 1 or (
+            cfg.parallel.dp == 0 and len(jax.devices()) > 1
+        ):
+            # data-parallel scale-out: rays sharded over the mesh's data
+            # axis, grads pmean'd over ICI (BASELINE config 5)
+            from sfm_nerf_tpu.parallel import make_mesh
+            from sfm_nerf_tpu.parallel.train_step import make_dp_train_step
+
+            mesh = make_mesh(dp=cfg.parallel.dp, tp=1)
+            self.mesh = mesh
+            self._dp = True
+            self.train_step = make_dp_train_step(cfg, self.tx, mesh)
+            print(f"data-parallel over {mesh.shape} devices")
+        else:
+            self._dp = False
+            self.train_step = make_train_step(cfg, self.tx)
         self.render_image = make_render_image(cfg)
         self.start_iter = 0
         self.writer = writer
@@ -215,7 +232,9 @@ class NeRFTrainer:
         t_start = time.time()
         spc = max(1, cfg.train.steps_per_call)
         multi_step = None
-        if spc > 1:
+        # (scan-fused fast path is single-device; the dp step dispatches
+        # per-step — its work is already batched across chips)
+        if spc > 1 and not getattr(self, "_dp", False):
             multi_step = make_multi_train_step(cfg, self.tx, spc)
         iterator = range(self.start_iter, max_iters)
         if progress:

@@ -141,3 +141,28 @@ def test_param_shardings_cover_tree():
     specs = [s.spec for s in jax.tree_util.tree_leaves(
         sh, is_leaf=lambda x: hasattr(x, "spec"))]
     assert any("model" in str(s) for s in specs)
+
+
+def test_trainer_uses_dp_step_on_multi_device(tmp_path_factory):
+    """NeRFTrainer with dp>1 (8 virtual devices) trains data-parallel
+    end-to-end — the --dp CLI path."""
+    from sfm_nerf_tpu.io.blender import load_blender_dataset
+    from sfm_nerf_tpu.train.nerf_trainer import NeRFTrainer
+
+    root = make_blender_dataset(
+        str(tmp_path_factory.mktemp("dpd")), n_frames=3, height=16, width=16
+    )
+    images, poses, cam = load_blender_dataset(root, "train")
+    cfg = NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1),
+        render=RenderConfig(n_sample=8),
+        train=TrainConfig(n_rays_batch=256, lrate=5e-3, val_every=0),
+        parallel=ParallelConfig(dp=8),
+        checkpoint_path=str(tmp_path_factory.mktemp("dpc")),
+        load_checkpoint=False,
+    )
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    assert trainer._dp and trainer.mesh.shape["data"] == 8
+    trainer.fit(max_iters=151, progress=False)
+    losses = trainer._last_losses
+    assert losses[-1] < losses[0] * 0.8, losses
