@@ -61,22 +61,6 @@ def pack_active_params(params, dtype=jnp.bfloat16):
     return tuple(packed)
 
 
-def _pe_padded(x: jnp.ndarray, n_freqs: int, out_dim: int) -> jnp.ndarray:
-    """Positional encoding with zero-padding to ``out_dim`` columns.
-    x: (M, 3) -> (M, out_dim); layout [x, sin f0 x, cos f0 x, ..., 0-pad].
-
-    The frequency loop is unrolled with Python-float scalars — Pallas
-    kernels may not capture array constants."""
-    parts = [x]
-    for l in range(n_freqs):
-        f = float(np.float32(np.pi * 2.0**l))
-        parts.append(jnp.sin(f * x))
-        parts.append(jnp.cos(f * x))
-    full = jnp.concatenate(parts, axis=-1)
-    pad = out_dim - full.shape[-1]
-    return jnp.pad(full, ((0, 0), (0, pad)))
-
-
 def pe_trig_matrices(n_freqs: int):
     """(Fmat (3, 6L), phase (1, 6L)) such that
     sin(x @ Fmat + phase) == concat_l [sin(f_l x), cos(f_l x)] — the whole
@@ -241,7 +225,12 @@ def _make_kernel(
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-            rgb_out[pl.ds(row0, ray_tile), :] = acc_scr[:]
+            out = acc_scr[:]
+            if rcfg.white_background:
+                # train-variant telescoping: acc == 1 - T_final (up to the
+                # 1e-10 epsilon), so composite's (1-acc) term == T_final
+                out = out + trans_scr[:]
+            rgb_out[pl.ds(row0, ray_tile), :] = out
             return 0
 
         jax.lax.fori_loop(0, tiles_per_program, subtile_body, 0)
@@ -282,6 +271,12 @@ def fused_render_rays(
     assert n_sample % sample_chunk == 0
     if not interpret:
         assert sample_chunk % 128 == 0, "TPU lane alignment"
+    if rcfg.white_background and rcfg.variant != "train":
+        raise NotImplementedError(
+            "fused kernel white_background relies on the train variant's "
+            "weight telescoping (acc == 1 - T_final); the legacy inclusive "
+            "weights don't telescope — use the XLA path"
+        )
     block = ray_tile * tiles_per_program
     n_progs = (n + block - 1) // block
     pad = n_progs * block - n

@@ -59,7 +59,12 @@ def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotation_to_rvec(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix (...,3,3) -> axis-angle (...,3) (inverse Rodrigues)."""
+    """Rotation matrix (...,3,3) -> axis-angle (...,3) (inverse Rodrigues).
+
+    Near theta=pi the antisymmetric part vanishes (R is symmetric), so the
+    axis is recovered from the symmetric part instead: R + I = 2 aa^T +
+    (1+cos t)(I - aa^T) ~ 2 aa^T at t=pi -> axis from the largest column of
+    R + I, signs fixed against the off-diagonals."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arccos(cos_t)
@@ -76,7 +81,34 @@ def rotation_to_rvec(R: jnp.ndarray) -> jnp.ndarray:
     scale = jnp.where(
         theta < 1e-6, 0.5 + theta**2 / 12.0, theta / (2.0 * sin_t + 1e-32)
     )
-    return w * scale[..., None]
+    rvec_generic = w * scale[..., None]
+
+    # near-pi branch: axis^2 from diag(R+I)/2, signs from the largest axis
+    # component against the symmetric off-diagonals
+    S = R + jnp.eye(3, dtype=R.dtype)
+    diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], -1)
+    axis_abs = jnp.sqrt(jnp.maximum(diag * 0.5, 0.0))
+    k = jnp.argmax(axis_abs, axis=-1)
+
+    def signed_axis(Rm, absax, kk):
+        # a_i a_j = S_ij / 2; fix a_k > 0 and derive the other signs
+        row = Rm[kk] + jnp.zeros(3, Rm.dtype).at[kk].set(1.0)
+        signs = jnp.where(row >= 0, 1.0, -1.0)
+        ax = absax * signs
+        return ax / (jnp.linalg.norm(ax) + 1e-32)
+
+    if R.ndim == 2:
+        axis_pi = signed_axis(R, axis_abs, k)
+        rvec_pi = axis_pi * theta
+    else:
+        axis_pi = jax.vmap(signed_axis)(R, axis_abs, k)
+        rvec_pi = axis_pi * theta[..., None]
+
+    # the generic branch stays accurate until sin(theta) underflows the
+    # symmetric-part noise; switch only in the last ~5e-7 of angle where
+    # w -> 0 exactly
+    near_pi = (jnp.pi - theta) < 5e-7
+    return jnp.where(near_pi[..., None], rvec_pi, rvec_generic)
 
 
 def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:

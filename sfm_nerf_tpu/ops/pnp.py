@@ -94,11 +94,12 @@ def pnp_ransac(
 
     def score_chunk(idx_chunk):
         C, R = linear_pnp(X3d[idx_chunk], x2d[idx_chunk], K)  # batched
-        # per-point squared reprojection error under each hypothesis
-        def errs(args):
-            Ci, Ri = args
-            return reprojection_errors(K, Ri, Ci, X3d, x2d)
-        e = jax.lax.map(errs, (C, R))                 # (chunk, N)
+        # per-point squared reprojection error under each hypothesis —
+        # vmapped: one broadcasted (chunk, N) evaluation, not a sequential
+        # per-hypothesis scan
+        e = jax.vmap(
+            lambda Ci, Ri: reprojection_errors(K, Ri, Ci, X3d, x2d)
+        )(C, R)                                       # (chunk, N)
         counts = jnp.sum(e < threshold, axis=-1)
         ok = (
             jnp.all(jnp.isfinite(C), axis=-1)

@@ -30,16 +30,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sfm_nerf_tpu.config import NeRFPipelineConfig
 from sfm_nerf_tpu.models import nerf_apply
+from sfm_nerf_tpu.models.nerf import cast_params_bf16
 from sfm_nerf_tpu.ops.rays import sample_ray_batch
 from sfm_nerf_tpu.ops.render import render_rays
 from sfm_nerf_tpu.utils.metrics import mse
-
-
-def _loss_fn(params, key_sample, key_render, images, poses, K, mcfg, rcfg, n_rays):
-    o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
-    model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
-    rgb = render_rays(model_fn, o, d, rcfg, key_render)
-    return mse(rgb, target)
 
 
 def make_dp_train_step(
@@ -53,14 +47,15 @@ def make_dp_train_step(
     ``step(params, opt_state, key, images, poses, K) -> (params, opt_state, loss)``.
     Params/opt state replicated; each chip renders n_rays_batch/dp rays.
     """
-    mcfg, rcfg = cfg.model, cfg.render
+    from sfm_nerf_tpu.train.nerf_trainer import make_loss_fn
+
     axis = cfg.parallel.data_axis
     dp = mesh.shape[axis]
     if cfg.train.n_rays_batch % dp:
         raise ValueError(
             f"n_rays_batch={cfg.train.n_rays_batch} not divisible by dp={dp}"
         )
-    local_rays = cfg.train.n_rays_batch // dp
+    loss_fn = make_loss_fn(cfg, n_rays=cfg.train.n_rays_batch // dp)
 
     def shard_step(params, opt_state, key, images, poses, K):
         # Per-chip RNG: fold the step key by mesh position so the union of
@@ -68,9 +63,8 @@ def make_dp_train_step(
         idx = jax.lax.axis_index(axis)
         key_local = jax.random.fold_in(key, idx)
         key_sample, key_render = jax.random.split(key_local)
-        loss, grads = jax.value_and_grad(_loss_fn)(
-            params, key_sample, key_render, images, poses, K,
-            mcfg, rcfg, local_rays,
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key_sample, key_render, images, poses, K
         )
         # ICI collectives: mean-reduce grads and loss across the data axis.
         grads = jax.lax.pmean(grads, axis)
@@ -141,12 +135,15 @@ def make_spmd_train_step(
     rep = NamedSharding(mesh, P())
     batch_spec = NamedSharding(mesh, P(data_axis, None))
 
+    bf16 = cfg.train.compute_dtype == "bfloat16"
+
     def loss_fn(params, key_sample, key_render, images, poses, K):
         o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
         o = jax.lax.with_sharding_constraint(o, batch_spec)
         d = jax.lax.with_sharding_constraint(d, batch_spec)
         target = jax.lax.with_sharding_constraint(target, batch_spec)
-        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+        p_c = cast_params_bf16(params) if bf16 else params
+        model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
         rgb = render_rays(model_fn, o, d, rcfg, key_render)
         return mse(rgb, target)
 

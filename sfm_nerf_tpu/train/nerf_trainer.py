@@ -51,6 +51,25 @@ def make_optimizer(cfg: NeRFPipelineConfig) -> optax.GradientTransformation:
     return optax.adam(make_schedule(cfg))
 
 
+def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
+    """THE per-batch loss: on-device ray sampling -> render -> MSE, with the
+    compute_dtype cast applied.  Single source of truth shared by the
+    single-device, scan-fused, and data-parallel step builders (they drifted
+    apart once — the dp step silently dropped the bf16 cast)."""
+    mcfg, rcfg = cfg.model, cfg.render
+    n_rays = n_rays if n_rays is not None else cfg.train.n_rays_batch
+    bf16 = cfg.train.compute_dtype == "bfloat16"
+
+    def loss_fn(params, key_sample, key_render, images, poses, K):
+        o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
+        p_c = cast_params_bf16(params) if bf16 else params
+        model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
+        rgb = render_rays(model_fn, o, d, rcfg, key_render)
+        return mse(rgb, target)
+
+    return loss_fn
+
+
 def make_train_step(
     cfg: NeRFPipelineConfig, tx: optax.GradientTransformation
 ) -> Callable:
@@ -60,16 +79,7 @@ def make_train_step(
 
     ``images``/``poses``/``K`` stay device-resident across the whole run.
     """
-    mcfg, rcfg = cfg.model, cfg.render
-    n_rays = cfg.train.n_rays_batch
-    bf16 = cfg.train.compute_dtype == "bfloat16"
-
-    def loss_fn(params, key_sample, key_render, images, poses, K):
-        o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
-        p_c = cast_params_bf16(params) if bf16 else params
-        model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
-        rgb = render_rays(model_fn, o, d, rcfg, key_render)
-        return mse(rgb, target)
+    loss_fn = make_loss_fn(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, images, poses, K):
@@ -99,16 +109,7 @@ def make_multi_train_step(
     tunneled/remote TPU attachments) and lets XLA pipeline consecutive steps;
     the host only sees the per-step loss vector afterwards.
     """
-    mcfg, rcfg = cfg.model, cfg.render
-    n_rays = cfg.train.n_rays_batch
-    bf16 = cfg.train.compute_dtype == "bfloat16"
-
-    def loss_fn(params, key_sample, key_render, images, poses, K):
-        o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
-        p_c = cast_params_bf16(params) if bf16 else params
-        model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
-        rgb = render_rays(model_fn, o, d, rcfg, key_render)
-        return mse(rgb, target)
+    loss_fn = make_loss_fn(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def multi_step(params, opt_state, key, images, poses, K):
@@ -258,7 +259,11 @@ class NeRFTrainer:
             raise
 
         final_loss = float(self._loss)
-        self.save(max_iters - 1, final_loss, final=True)
+        if self._steps_done > 0:
+            # guard: re-running fit() on an already-completed run would
+            # otherwise overwrite final_model's loss metadata with the 0.0
+            # placeholder
+            self.save(max_iters - 1, final_loss, final=True)
         elapsed = time.time() - t_start
         rays = self._steps_done * cfg.train.n_rays_batch
         return {
@@ -273,7 +278,6 @@ class NeRFTrainer:
         val_indices, progress,
     ):
         key = self._key
-        running = 0.0
         for it in it_iter:
             self._it = it
             # Fused multi-step fast path: jump in scan-sized blocks whenever
@@ -312,7 +316,6 @@ class NeRFTrainer:
 
             if it % cfg.train.log_every == 0:
                 loss_f = float(loss)
-                running += loss_f
                 self._last_losses.append(loss_f)
                 if progress and hasattr(iterator, "set_description"):
                     iterator.set_description(f"Loss: {loss_f:.6f}")
@@ -321,12 +324,29 @@ class NeRFTrainer:
                     self.writer.add_scalar(
                         "Learning Rate", float(self._schedule(it)), it
                     )
-                    self.writer.add_scalar("Loss/train_avg", loss_f, it)
+                    # running mean over recent log samples (the fast path
+                    # skips intermediate iterations, so this averages the
+                    # observed samples; the reference averages every
+                    # iteration, train.py:478-480)
+                    self.writer.add_scalar(
+                        "Loss/train_avg",
+                        float(np.mean(self._last_losses[-10:])),
+                        it,
+                    )
+
+            # checkpoint cadence independent of validation (the reference
+            # nests saves under its hardcoded 1000-iter val block,
+            # train.py:509-518 — with val_every configurable here that
+            # nesting would silently disable checkpointing)
+            if (
+                cfg.train.save_ckpt_iter
+                and it % cfg.train.save_ckpt_iter == 0
+                and it > 0
+            ):
+                self.save(it, float(loss))
 
             if cfg.train.val_every and it % cfg.train.val_every == 0 and it > 0:
                 self._validate(it, val_indices)
-                if it % cfg.train.save_ckpt_iter == 0:
-                    self.save(it, float(loss))
 
     def _validate(self, it: int, val_indices) -> None:
         height, width = int(self.images.shape[1]), int(self.images.shape[2])

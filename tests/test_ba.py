@@ -174,3 +174,18 @@ def test_ba_huber_resists_outliers():
     rms_l2, rms_hu = inlier_rms(res_l2), inlier_rms(res_hu)
     assert rms_hu < rms_l2 * 0.7, (rms_l2, rms_hu)
     assert rms_hu < 1.0, rms_hu
+
+
+def test_rotation_to_rvec_near_pi(rng):
+    """180-degree rotations: the antisymmetric part vanishes — the symmetric-
+    part branch must still recover the axis (cv2 oracle roundtrip)."""
+    for axis in ([0, 0, 1], [1, 0, 0], [0.6, -0.8, 0], [1, 1, 1]):
+        a = np.asarray(axis, np.float64)
+        a /= np.linalg.norm(a)
+        for theta in (np.pi, np.pi - 1e-5, np.pi - 1e-7):
+            rvec = a * theta
+            R, _ = cv2.Rodrigues(rvec)
+            back = np.asarray(rotation_to_rvec(jnp.asarray(R)))
+            R_back, _ = cv2.Rodrigues(back)
+            # axis sign is ambiguous at exactly pi — compare rotations
+            np.testing.assert_allclose(R_back, R, atol=1e-5)

@@ -95,3 +95,33 @@ def test_fused_kernel_legacy_variant(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
     )
+
+
+def test_fused_kernel_white_background(rng):
+    from sfm_nerf_tpu.ops.render import composite
+
+    mcfg = NeRFModelConfig(arch="active")
+    rcfg = RenderConfig(n_sample=32, perturb=False, white_background=True)
+    params = init_nerf_params(jax.random.key(5), mcfg)
+    o = jnp.asarray(rng.uniform(-1, 1, (32, 3)), jnp.float32)
+    d = rng.normal(size=(32, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, 32, rcfg).astype(jnp.float32)
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    expected, _, _ = composite(density, rgb, z, rcfg)
+    out = fused_render_rays(
+        pack_active_params(params, jnp.float32), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, tiles_per_program=1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
+    )
+    # legacy + white is rejected (weights don't telescope)
+    with pytest.raises(NotImplementedError):
+        fused_render_rays(
+            pack_active_params(params, jnp.float32), o, d, z, mcfg,
+            RenderConfig(n_sample=32, variant="legacy", white_background=True),
+            ray_tile=32, sample_chunk=16, tiles_per_program=1, interpret=True,
+        )
