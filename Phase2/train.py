@@ -46,6 +46,9 @@ def configParser():
     parser.add_argument('--render_variant', default='train', help="train|legacy compositor")
     parser.add_argument('--arch', default='active', help="active|legacy MLP architecture")
     parser.add_argument('--no_pos_encoding', action='store_true', help="positional-encoding ablation")
+    parser.add_argument('--n_importance', default=0, type=int,
+                        help="hierarchical fine-pass importance samples "
+                             "(0 = off; coarse/fine model pair when on)")
     parser.add_argument('--seed', default=0, type=int)
     return parser
 
@@ -67,6 +70,7 @@ def build_config(args):
         ),
         render=RenderConfig(
             n_sample=int(args.n_sample),
+            n_importance=int(args.n_importance),
             near=float(args.near),
             far=float(args.far),
             perturb=bool(args.perturb),

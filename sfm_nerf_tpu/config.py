@@ -61,6 +61,8 @@ class RenderConfig:
     """
 
     n_sample: int = 256           # --n_sample
+    n_importance: int = 0         # fine-pass importance samples (0 = off;
+                                  # the reference has no hierarchical path)
     near: float = 2.0             # --near  (legacy default: 1.0)
     far: float = 6.0              # --far   (legacy default: 10.0)
     perturb: bool = True          # --perturb

@@ -175,6 +175,47 @@ def render_rays_hierarchical(
     return out_f, out_c
 
 
+def render_rays_hierarchical_chunked(
+    coarse_fn,
+    fine_fn,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: RenderConfig,
+    n_importance: int,
+    key: Optional[jax.Array] = None,
+    chunk_rays: int = 2048,
+) -> jnp.ndarray:
+    """Full-frame hierarchical render in fixed-shape ray chunks (lax.map),
+    mirroring render_rays_chunked's HBM-bounding strategy.  Returns the
+    fine-pass rgb."""
+    n_rays = origins.shape[0]
+    n_chunks = (n_rays + chunk_rays - 1) // chunk_rays
+    pad = n_chunks * chunk_rays - n_rays
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=0.0)
+    d = d.at[n_rays:, 2].set(1.0) if pad else d
+    o = o.reshape(n_chunks, chunk_rays, 3)
+    d = d.reshape(n_chunks, chunk_rays, 3)
+
+    def body(args):
+        if key is not None:
+            oc, dc, kc = args
+        else:
+            oc, dc = args
+            kc = None
+        rgb_f, _ = render_rays_hierarchical(
+            coarse_fn, fine_fn, oc, dc, cfg, n_importance, kc
+        )
+        return rgb_f
+
+    if key is not None:
+        keys = jax.random.split(key, n_chunks)
+        out = jax.lax.map(body, (o, d, keys))
+    else:
+        out = jax.lax.map(body, (o, d))
+    return out.reshape(n_chunks * chunk_rays, 3)[:n_rays]
+
+
 def render_rays_chunked(
     model_fn,
     origins: jnp.ndarray,

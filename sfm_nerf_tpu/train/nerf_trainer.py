@@ -55,7 +55,11 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
     """THE per-batch loss: on-device ray sampling -> render -> MSE, with the
     compute_dtype cast applied.  Single source of truth shared by the
     single-device, scan-fused, and data-parallel step builders (they drifted
-    apart once — the dp step silently dropped the bf16 cast)."""
+    apart once — the dp step silently dropped the bf16 cast).
+
+    With ``render.n_importance > 0`` the params pytree is
+    {'coarse': ..., 'fine': ...} and the loss is the vanilla-NeRF sum of
+    coarse- and fine-pass MSEs over the hierarchical sampler."""
     mcfg, rcfg = cfg.model, cfg.render
     n_rays = n_rays if n_rays is not None else cfg.train.n_rays_batch
     bf16 = cfg.train.compute_dtype == "bfloat16"
@@ -63,6 +67,15 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
     def loss_fn(params, key_sample, key_render, images, poses, K):
         o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
         p_c = cast_params_bf16(params) if bf16 else params
+        if rcfg.n_importance > 0:
+            from sfm_nerf_tpu.ops.render import render_rays_hierarchical
+
+            coarse_fn = lambda p, dd: nerf_apply(p_c["coarse"], p, dd, mcfg)
+            fine_fn = lambda p, dd: nerf_apply(p_c["fine"], p, dd, mcfg)
+            rgb_f, rgb_c = render_rays_hierarchical(
+                coarse_fn, fine_fn, o, d, rcfg, rcfg.n_importance, key_render
+            )
+            return mse(rgb_f, target) + mse(rgb_c, target)
         model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
         rgb = render_rays(model_fn, o, d, rcfg, key_render)
         return mse(rgb, target)
@@ -133,14 +146,29 @@ def make_multi_train_step(
 
 
 def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
-    """Jitted full-frame renderer: (params, K, pose, H, W static) -> (H,W,3)."""
+    """Jitted full-frame renderer: (params, K, pose, H, W static) -> (H,W,3).
+
+    Hierarchical (coarse/fine) when render.n_importance > 0 — params is then
+    the {'coarse','fine'} pytree and the fine image is returned."""
     mcfg, rcfg = cfg.model, cfg.render
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def render_image(params, K, pose, height: int, width: int, key=None):
-        model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
         o, d = image_rays(K, pose, height, width)
-        rgb = render_rays_chunked(model_fn, o, d, rcfg, key, chunk_rays)
+        if rcfg.n_importance > 0:
+            from sfm_nerf_tpu.ops.render import (
+                render_rays_hierarchical_chunked,
+            )
+
+            coarse_fn = lambda p, dd: nerf_apply(params["coarse"], p, dd, mcfg)
+            fine_fn = lambda p, dd: nerf_apply(params["fine"], p, dd, mcfg)
+            rgb = render_rays_hierarchical_chunked(
+                coarse_fn, fine_fn, o, d, rcfg, rcfg.n_importance, key,
+                chunk_rays,
+            )
+        else:
+            model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+            rgb = render_rays_chunked(model_fn, o, d, rcfg, key, chunk_rays)
         return rgb.reshape(height, width, 3)
 
     return render_image
@@ -164,9 +192,15 @@ class NeRFTrainer:
         self.K = jnp.asarray(camera_matrix, jnp.float32)
         self.tx = make_optimizer(cfg)
         self._schedule = make_schedule(cfg)
-        self.params = init_nerf_params(
-            jax.random.key(cfg.train.seed), cfg.model
-        )
+        key0 = jax.random.key(cfg.train.seed)
+        if cfg.render.n_importance > 0:
+            kc, kf = jax.random.split(key0)
+            self.params = {
+                "coarse": init_nerf_params(kc, cfg.model),
+                "fine": init_nerf_params(kf, cfg.model),
+            }
+        else:
+            self.params = init_nerf_params(key0, cfg.model)
         self.opt_state = self.tx.init(self.params)
         if train_step is not None:
             self.train_step = train_step

@@ -58,3 +58,38 @@ def test_hierarchical_render_runs_and_improves_peak_capture():
     assert out_f.shape == (16, 3)
     assert np.isfinite(np.asarray(out_f)).all()
     assert hits["fine"] > hits["coarse"] * 2, hits
+
+
+def test_hierarchical_training_end_to_end(tmp_path):
+    """n_importance > 0: coarse/fine pair trains, checkpoints round-trip,
+    full-frame hierarchical render works."""
+    import os
+
+    from sfm_nerf_tpu.config import (
+        NeRFModelConfig, NeRFPipelineConfig, TrainConfig,
+    )
+    from sfm_nerf_tpu.io.blender import load_blender_dataset
+    from sfm_nerf_tpu.train.nerf_trainer import NeRFTrainer
+    from util_synthetic import make_blender_dataset
+
+    root = make_blender_dataset(str(tmp_path / "d"), n_frames=3,
+                                height=20, width=20)
+    images, poses, cam = load_blender_dataset(root, "train")
+    cfg = NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=16, n_pos_freq=3, n_dir_freq=1),
+        render=RenderConfig(n_sample=16, n_importance=16),
+        train=TrainConfig(n_rays_batch=128, lrate=5e-3, val_every=0),
+        checkpoint_path=os.path.join(str(tmp_path), "ck"),
+        load_checkpoint=False,
+    )
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    assert set(trainer.params) == {"coarse", "fine"}
+    trainer.fit(max_iters=151, progress=False)
+    losses = trainer._last_losses
+    assert losses[-1] < losses[0] * 0.8, losses
+    img = np.asarray(trainer.render_image(
+        trainer.params, trainer.K, trainer.poses[0], 20, 20))
+    assert img.shape == (20, 20, 3) and np.isfinite(img).all()
+    # resume restores the nested pytree
+    trainer2 = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    assert trainer2.try_resume()
