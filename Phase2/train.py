@@ -49,6 +49,8 @@ def configParser():
     parser.add_argument('--n_importance', default=0, type=int,
                         help="hierarchical fine-pass importance samples "
                              "(0 = off; coarse/fine model pair when on)")
+    parser.add_argument('--fused', action='store_true',
+                        help="full-frame renders via the fused Pallas kernel")
     parser.add_argument('--seed', default=0, type=int)
     return parser
 
@@ -76,6 +78,7 @@ def build_config(args):
             perturb=bool(args.perturb),
             chunk_size=int(args.chunk_size),
             variant=args.render_variant,
+            use_fused_kernel=bool(getattr(args, "fused", False)),
         ),
         train=TrainConfig(
             lrate=float(args.lrate),

@@ -69,6 +69,9 @@ class RenderConfig:
     chunk_size: int = 32768       # --chunk_size (grid/tile size on TPU)
     variant: str = "train"        # 'train' | 'legacy'
     white_background: bool = False
+    # fused Pallas render kernel for full-frame renders (active arch,
+    # n_sample % 128 == 0, n_importance == 0; 1.36x the XLA path on v5e)
+    use_fused_kernel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -152,9 +152,28 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     the {'coarse','fine'} pytree and the fine image is returned."""
     mcfg, rcfg = cfg.model, cfg.render
 
+    use_fused = (
+        cfg.render.use_fused_kernel
+        and mcfg.arch == "active"
+        and rcfg.n_importance == 0
+        and rcfg.n_sample % 128 == 0
+    )
+
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def render_image(params, K, pose, height: int, width: int, key=None):
         o, d = image_rays(K, pose, height, width)
+        if use_fused:
+            from sfm_nerf_tpu.kernels.fused_render import (
+                fused_render_rays, pack_active_params,
+            )
+            from sfm_nerf_tpu.ops.render import stratified_samples
+
+            packed = pack_active_params(params, jnp.bfloat16)
+            z = stratified_samples(key, height * width, rcfg).astype(
+                jnp.float32
+            )
+            rgb = fused_render_rays(packed, o, d, z, mcfg, rcfg)
+            return rgb.reshape(height, width, 3)
         if rcfg.n_importance > 0:
             from sfm_nerf_tpu.ops.render import (
                 render_rays_hierarchical_chunked,

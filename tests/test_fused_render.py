@@ -125,3 +125,37 @@ def test_fused_kernel_white_background(rng):
             RenderConfig(n_sample=32, variant="legacy", white_background=True),
             ray_tile=32, sample_chunk=16, tiles_per_program=1, interpret=True,
         )
+
+
+def test_render_image_fused_option_interpret(monkeypatch, tmp_path):
+    """make_render_image(use_fused_kernel=True) routes through the kernel
+    (interpret on CPU) and matches the XLA path."""
+    from sfm_nerf_tpu.config import NeRFPipelineConfig
+    import sfm_nerf_tpu.kernels.fused_render as fr
+    from sfm_nerf_tpu.train.nerf_trainer import make_render_image
+
+    # force interpret + small chunks inside the render path
+    orig = fr.fused_render_rays
+
+    def interp(*a, **kw):
+        kw.update(interpret=True, sample_chunk=32, ray_tile=32,
+                  tiles_per_program=1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fr, "fused_render_rays", interp)
+
+    cfg_x = NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1),
+        render=RenderConfig(n_sample=128, perturb=False),
+    )
+    cfg_f = NeRFPipelineConfig(
+        model=cfg_x.model,
+        render=RenderConfig(n_sample=128, perturb=False,
+                            use_fused_kernel=True),
+    )
+    params = init_nerf_params(jax.random.key(0), cfg_x.model)
+    K = jnp.asarray([[30.0, 0, 8], [0, 30.0, 8], [0, 0, 1.0]], jnp.float32)
+    pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
+    img_x = np.asarray(make_render_image(cfg_x)(params, K, pose, 16, 16))
+    img_f = np.asarray(make_render_image(cfg_f)(params, K, pose, 16, 16))
+    np.testing.assert_allclose(img_f, img_x, rtol=5e-2, atol=5e-3)
