@@ -43,10 +43,20 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-        if args.float64:
+    resolved = jax.devices()[0].platform
+    if args.platform == "tpu" and resolved == "cpu":
+        raise SystemExit(
+            "--platform tpu requested but no TPU backend is available "
+            f"(resolved: {resolved})"
+        )
+    if args.float64:
+        if resolved == "cpu":
             jax.config.update("jax_enable_x64", True)
-    # non-CPU backends have no float64 — geometry runs f32 there (RANSAC is
-    # normalization-conditioned; refinement/BA tolerate f32)
+        else:
+            # accelerators have no float64 — geometry runs f32 there
+            # (RANSAC is normalization-conditioned; refinement/BA tolerate
+            # f32 with a measured accuracy gap, see PERFORMANCE.md)
+            print(f"note: float64 unavailable on {resolved}; running f32")
 
     from sfm_nerf_tpu.config import SfMConfig
     from sfm_nerf_tpu.sfm import SfMPipeline

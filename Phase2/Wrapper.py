@@ -54,19 +54,34 @@ def configParser():
 
 
 def load_any_checkpoint(ckpt_dir):
-    """Our .ckpt.npz (latest/final) or a reference .pth -> (params, model_cfg).
+    """Find the newest checkpoint file in ``ckpt_dir``.
 
-    Returns (params pytree of np arrays, NeRFModelConfig or None).  None cfg
-    means caller should use its own config (npz stores params only)."""
+    Returns ``(path or None, kind)`` where kind is 'pth' for a reference
+    torch checkpoint and None for our .ckpt.npz (or when nothing exists).
+    Preference order: final .npz / numerically-newest .npz, then
+    final_model.pth, then the numerically-newest model_*.pth (the
+    reference's lexicographic ``sorted(...)[-1]`` resume, Wrapper.py:417,
+    regresses model_9000 over model_10000 — deviation: numeric sort, same
+    fix as our .npz resume)."""
+    import re
+
     from sfm_nerf_tpu.train import checkpoint as ckpt_lib
 
     npz = ckpt_lib.latest_checkpoint(ckpt_dir, prefer_final=True)
     if npz is not None:
         return npz, None
-    pths = sorted(glob.glob(os.path.join(ckpt_dir, "*.pth")))
     final = os.path.join(ckpt_dir, "final_model.pth")
-    pth = final if os.path.exists(final) else (pths[-1] if pths else None)
-    return pth, "pth" if pth else None
+    if os.path.exists(final):
+        return final, "pth"
+    pths = glob.glob(os.path.join(ckpt_dir, "model_*.pth"))
+    if not pths:
+        return None, None
+
+    def step_of(p):
+        m = re.search(r"model_(\d+)\.pth$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(pths, key=step_of), "pth"
 
 
 def run_gif(args):
@@ -75,11 +90,9 @@ def run_gif(args):
     import jax.numpy as jnp
     import cv2
 
-    from sfm_nerf_tpu.config import NeRFModelConfig, RenderConfig
+    from sfm_nerf_tpu.config import NeRFPipelineConfig, RenderConfig
     from sfm_nerf_tpu.io.blender import load_blender_dataset, pose_spherical
-    from sfm_nerf_tpu.models import nerf_apply
-    from sfm_nerf_tpu.ops.rays import image_rays
-    from sfm_nerf_tpu.ops.render import render_rays_chunked
+    from sfm_nerf_tpu.train.nerf_trainer import make_render_image
 
     # reference quirk kept: gif mode loads the TRAIN split's camera_info
     # (Wrapper.py:513 hardcodes mode='train')
@@ -88,7 +101,14 @@ def run_gif(args):
     )
     height, width = images.shape[1], images.shape[2]
 
-    path, kind = load_any_checkpoint(args.checkpoint_path)
+    # reference parity: checkpoint_path gets the dataset name appended
+    # (Wrapper.py:521-522); fall back to the raw path if the joined one is
+    # empty so explicitly-passed leaf directories also work
+    model_name = args.data_path.rstrip("/").split("/")[-1]
+    ckpt_dir = os.path.join(args.checkpoint_path, model_name)
+    path, kind = load_any_checkpoint(ckpt_dir)
+    if path is None:
+        path, kind = load_any_checkpoint(args.checkpoint_path)
     if path is None:
         print("No checkpoint found")
         return
@@ -103,44 +123,30 @@ def run_gif(args):
         # the reference-parity flag set has no --hidden_size etc. — infer
         # the architecture from the checkpoint itself
         params, _ = ckpt_lib.load_params_untyped(path)
+        if set(params) == {"coarse", "fine"}:
+            # hierarchical checkpoint: render the fine model plainly (the
+            # gif path has no coarse-pass flag surface)
+            params = params["fine"]
         mcfg = ckpt_lib.infer_model_config(params)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     print(f"Checkpoint {path} loaded")
 
-    # legacy renderer defaults (Wrapper.py:128: near=1.0, far=10.0)
-    rcfg = RenderConfig(
-        n_sample=int(args.n_sample), near=1.0, far=10.0,
-        perturb=not args.no_perturb, variant="legacy",
+    # legacy renderer defaults (Wrapper.py:128: near=1.0, far=10.0); the
+    # library renderer handles fused-kernel preconditions and fallback
+    cfg = NeRFPipelineConfig(
+        model=mcfg,
+        render=RenderConfig(
+            n_sample=int(args.n_sample), near=1.0, far=10.0,
+            perturb=not args.no_perturb, variant="legacy",
+            use_fused_kernel=bool(args.fused),
+        ),
     )
-    model_fn = lambda p, d: nerf_apply(params, p, d, mcfg)
+    render_image = make_render_image(cfg)
     K = jnp.asarray(cam.camera_matrix)
 
-    import functools
-
-    if args.fused and mcfg.arch == "active":
-        from sfm_nerf_tpu.kernels.fused_render import (
-            fused_render_rays, pack_active_params,
-        )
-        from sfm_nerf_tpu.ops.render import stratified_samples
-
-        packed = pack_active_params(params, jnp.bfloat16)
-
-        @jax.jit
-        def render_frame(pose, key):
-            o, d = image_rays(K, pose, height, width)
-            k = None if args.no_perturb else key
-            z = stratified_samples(k, height * width, rcfg).astype(jnp.float32)
-            return fused_render_rays(
-                packed, o, d, z, mcfg, rcfg
-            ).reshape(height, width, 3)
-    else:
-        @jax.jit
-        def render_frame(pose, key):
-            o, d = image_rays(K, pose, height, width)
-            k = None if args.no_perturb else key
-            return render_rays_chunked(model_fn, o, d, rcfg, k).reshape(
-                height, width, 3
-            )
+    def render_frame(pose, key):
+        k = None if args.no_perturb else key
+        return render_image(params, K, pose, height, width, k)
 
     os.makedirs(args.images_path, exist_ok=True)
     key = jax.random.key(0)

@@ -72,16 +72,22 @@ def main():
 
     rng = np.random.default_rng(0)
     n = args.n_matches
-    # synthetic correspondences with 30% outliers on normalized-ish coords
+    # synthetic correspondences with 30% outliers (pixel coordinates)
     pts1 = rng.uniform(0, 800, (n, 2))
-    F_true = rng.normal(size=(3, 3))
     pts2 = pts1 + rng.normal(0, 1.0, (n, 2))
     out = rng.choice(n, n // 3, replace=False)
     pts2[out] += rng.uniform(-100, 100, (len(out), 2))
 
-    # reference loop (extrapolated)
+    # reference loop (extrapolated), fed Hartley-normalized points exactly
+    # as reject_outliers does (Fundamental.py:79-90) so its 5e-4 threshold
+    # is meaningful
+    def hartley(p):
+        c = p.mean(0)
+        s = np.sqrt(2) / np.sqrt(((p - c) ** 2).sum(1).mean())
+        return (p - c) * s
+
     t0 = time.time()
-    numpy_reference_ransac(pts1, pts2, args.ref_iters)
+    numpy_reference_ransac(hartley(pts1), hartley(pts2), args.ref_iters)
     ref_per_iter = (time.time() - t0) / args.ref_iters
     ref_hps = 1.0 / ref_per_iter
 
