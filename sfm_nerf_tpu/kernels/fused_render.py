@@ -34,10 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sfm_nerf_tpu.config import NeRFModelConfig, RenderConfig
 
-# layer order for the active arch (models/nerf.py nerf_apply)
+# layer order for the active arch (models/nerf.py nerf_apply); 'densfeat'
+# is the pack-time merge of the density (256->1) and feature (256->256)
+# heads into one (256, 257) matmul — a lone matvec wastes a full MXU pass
 _ACTIVE_LAYERS = (
     "fc1", "fc_0", "fc_1", "fc_2", "fc_3", "skip",
-    "fc2_0", "fc2_1", "fc2_2", "density", "feature", "rgb1", "rgb2",
+    "fc2_0", "fc2_1", "fc2_2", "densfeat", "rgb1", "rgb2",
 )
 
 
@@ -47,8 +49,18 @@ def pack_active_params(params, dtype=jnp.bfloat16):
     rgb1 input rows from 283->284 accordingly."""
     packed = []
     for name in _ACTIVE_LAYERS:
-        w = jnp.asarray(params[name]["w"])
-        b = jnp.asarray(params[name]["b"])
+        if name == "densfeat":
+            w = jnp.concatenate(
+                [jnp.asarray(params["density"]["w"]),
+                 jnp.asarray(params["feature"]["w"])], axis=1,
+            )
+            b = jnp.concatenate(
+                [jnp.asarray(params["density"]["b"]),
+                 jnp.asarray(params["feature"]["b"])],
+            )
+        else:
+            w = jnp.asarray(params[name]["w"])
+            b = jnp.asarray(params[name]["b"])
         if name == "fc1":
             w = jnp.pad(w, ((0, 1), (0, 0)))        # 63 -> 64 input rows
         if name == "skip":
@@ -174,8 +186,10 @@ def _make_kernel(
                         )
                 for i in range(3):
                     h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
-                density = jax.nn.softplus(lin("density", h, f32))
-                feat = jnp.maximum(lin("feature", h), 0.0)      # (T*CH, 256)
+                # merged density+feature heads (see _ACTIVE_LAYERS note)
+                df = lin("densfeat", h, f32)
+                density = jax.nn.softplus(df[:, :1])
+                feat = jnp.maximum(df[:, 1:], 0.0).astype(w_dtype)
                 # direction head: per-RAY partial matmuls broadcast over
                 # samples — sample_chunk x fewer dir FLOPs, no repeat
                 dir_part = jnp.dot(
