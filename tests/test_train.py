@@ -136,3 +136,16 @@ def test_bf16_training_converges(tmp_path):
     assert losses["bfloat16"][-1] < losses["bfloat16"][0] * 0.8
     # same order of magnitude at convergence
     assert losses["bfloat16"][-1] < max(losses["float32"][-1] * 5, 0.01)
+
+
+def test_blender_loader_downscale(tmp_path):
+    root = make_blender_dataset(str(tmp_path / "ds"), n_frames=2,
+                                height=40, width=40)
+    img1, _, cam1 = load_blender_dataset(root, "train", downscale=1)
+    img2, _, cam2 = load_blender_dataset(root, "train", downscale=2)
+    assert img2.shape == (2, 20, 20, 3)
+    np.testing.assert_allclose(img2, img1[:, ::2, ::2], atol=1e-7)
+    # intrinsics scale with the image
+    np.testing.assert_allclose(
+        cam2.camera_matrix[0, 0], cam1.camera_matrix[0, 0] / 2, rtol=1e-6
+    )
