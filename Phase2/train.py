@@ -158,6 +158,23 @@ def run_test(cfg, images, poses, cam):
             os.path.join(out_dir, f"test_{i}_comparison.png"),
             np.concatenate([gt8, pred8], axis=1),
         )
+        # figure_{i}.png: titled side-by-side matplotlib figure
+        # (train.py:663-676), saved headlessly (no plt.show)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(12, 6))
+        axes[0].imshow(gt8)
+        axes[0].set_title("Ground Truth")
+        axes[0].axis("off")
+        axes[1].imshow(pred8)
+        axes[1].set_title(f"Prediction (Loss: {mse_val:.6f})")
+        axes[1].axis("off")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"figure_{i}.png"), dpi=150)
+        plt.close(fig)
         psnr = -10 * np.log10(max(mse_val, 1e-12))
         print(f"  MSE {mse_val:.6f}  PSNR {psnr:.2f} dB")
     print(f"Testing complete. Average loss: {total / n_test:.6f}")
