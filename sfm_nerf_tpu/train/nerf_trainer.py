@@ -157,6 +157,8 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
         and mcfg.arch == "active"
         and rcfg.n_importance == 0
         and rcfg.n_sample % 128 == 0
+        and jax.default_backend() != "cpu"  # Pallas TPU kernel; CPU falls
+        # back to the XLA path (interpret mode is for tests only)
     )
 
     @functools.partial(jax.jit, static_argnums=(3, 4))

@@ -143,6 +143,9 @@ def test_render_image_fused_option_interpret(monkeypatch, tmp_path):
         return orig(*a, **kw)
 
     monkeypatch.setattr(fr, "fused_render_rays", interp)
+    # the render path gates the kernel off on CPU backends; pretend TPU so
+    # the interpret-mode kernel route is exercised
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     cfg_x = NeRFPipelineConfig(
         model=NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1),
