@@ -50,6 +50,66 @@ def numpy_reference_ransac(pts1, pts2, n_iters, threshold=5e-4):
     return best_count
 
 
+def bench_ba(args):
+    """Bundle adjustment at production scale: N cams x M points."""
+    import jax
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from sfm_nerf_tpu.ops.ba import bundle_adjust, camera_params_from_RC
+
+    # ring of cameras looking at a central point cloud (the test-suite scene
+    # generator degrades beyond ~5 cameras)
+    rng = np.random.default_rng(1)
+    N, M = args.ba_cams, args.ba_points
+    K = np.array([[800.0, 0, 400.0], [0, 800.0, 300.0], [0, 0, 1.0]])
+    points = rng.uniform(-1.5, 1.5, (M, 3))
+    Rs, Cs, obs = [], [], []
+    for i in range(N):
+        th = 2 * np.pi * i / N
+        C = np.array([6 * np.cos(th), 0.5 * np.sin(3 * th), 6 * np.sin(th)])
+        fwd = -C / np.linalg.norm(C)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd])          # world->cam rows
+        P = K @ R @ np.hstack([np.eye(3), -C[:, None]])
+        x = (P @ np.hstack([points, np.ones((M, 1))]).T).T
+        x = x[:, :2] / x[:, 2:3] + rng.normal(0, 0.5, (M, 2))
+        Rs.append(R), Cs.append(C), obs.append(x)
+    scene = {"K": K, "obs": np.stack(obs)}
+    cams = np.asarray(camera_params_from_RC(
+        jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(Cs))))
+    cams = cams + rng.normal(0, 0.003, cams.shape)
+    pts = points + rng.normal(0, 0.02, points.shape)
+    vis = rng.uniform(size=(N, M)) < 0.3        # sparse tracks
+    vis[:2] = True                               # well-posed
+    dt_dtype = jnp.float32 if args.platform != "cpu" else jnp.float64
+    to = lambda a: jnp.asarray(np.asarray(a), dt_dtype)
+
+    res = bundle_adjust(to(scene["K"]), to(cams), to(pts),
+                        to(scene["obs"]), to(vis.astype(float)), n_iters=30)
+    float(res.cost)  # compile + completion barrier
+    t0 = time.time()
+    res = bundle_adjust(to(scene["K"]), to(cams), to(pts),
+                        to(scene["obs"]), to(vis.astype(float)), n_iters=30)
+    cost = float(res.cost)
+    dt = time.time() - t0
+    n_obs = float(res.n_residuals)
+    print(json.dumps({
+        "metric": "ba_seconds_30_lm_iters",
+        "n_cams": args.ba_cams, "n_points": args.ba_points,
+        "n_obs": int(n_obs),
+        "platform": str(np.asarray(jnp.zeros(1)).dtype) and str(jax.devices()[0]),
+        "value": round(dt, 3),
+        "rms_px_before": round(float(np.sqrt(2 * float(res.initial_cost) / n_obs)), 4),
+        "rms_px_after": round(float(np.sqrt(2 * cost / n_obs)), 4),
+        "accepted_steps": int(res.n_accepted),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="default",
@@ -58,7 +118,20 @@ def main():
     ap.add_argument("--n_iters", type=int, default=50000)
     ap.add_argument("--ref_iters", type=int, default=500,
                     help="reference-loop iterations to extrapolate from")
+    ap.add_argument("--ba", action="store_true",
+                    help="benchmark bundle adjustment instead of RANSAC")
+    ap.add_argument("--ba_cams", type=int, default=50)
+    ap.add_argument("--ba_points", type=int, default=20000)
     args = ap.parse_args()
+
+    if args.ba:
+        import jax
+
+        if args.platform == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_enable_x64", True)
+        bench_ba(args)
+        return
 
     import jax
 
