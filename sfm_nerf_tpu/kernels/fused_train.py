@@ -1,0 +1,458 @@
+"""EXPERIMENTAL: fused NeRF render with a hand-written backward pass, so
+training can run through the Pallas kernel (the inference kernel in
+fused_render.py is forward-only; XLA autodiff cannot see inside a kernel).
+
+Design (flash-attention-style recomputation):
+
+- forward: the same sampling -> matmul-PE -> MLP -> composite pipeline as
+  fused_render.py, additionally emitting the per-(ray, chunk) BOUNDARY
+  transmittances as residuals (N, n_chunks) — a few KB, vs. storing
+  activations which would be GBs;
+- backward: walks sample chunks in REVERSE per ray tile, recomputes the
+  chunk's forward activations in VMEM, backprops compositing analytically
+  (dL/dalpha_i = q_i T_i - R_i/(1-alpha_i+eps) with q = g.c and R the
+  global suffix sum of q*w, carried across chunks), then the dense MLP
+  chain, accumulating weight/bias grads into VMEM-resident outputs across
+  the sequential grid (constant index maps; program 0 zero-initializes).
+- custom_vjp wrapper ``fused_render_train`` exposes it to jax.grad; grads
+  flow to the packed tuple and back through the (differentiable) packing to
+  the parameter pytree.  Ray/z inputs get zero cotangents (training never
+  differentiates them).
+
+Scope: active arch, 'train' compositor, no white background.  Interpret
+mode is the correctness reference (tested against jax.grad of the XLA
+path); on-chip compilation is subject to the toolchain limits recorded in
+PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sfm_nerf_tpu.config import NeRFModelConfig, RenderConfig
+from sfm_nerf_tpu.kernels.fused_render import (
+    _ACTIVE_LAYERS,
+    pack_active_params,
+    pe_trig_matrices,
+)
+
+f32 = jnp.float32
+
+
+def _wb_maps(wb):
+    W = {name: wb[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
+    B = {name: wb[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+    return W, B
+
+
+def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
+                   ray_tile, sample_chunk, n_pe, n_de, keep=False):
+    """One chunk's forward.  Returns (density, rgb, alpha, one_m, excl, cum)
+    plus (if keep) the intermediate activations needed for backward."""
+
+    def lin(name, x, out_dtype=f32):
+        return (
+            jnp.dot(x, W[name][:], preferred_element_type=f32) + B[name][:]
+        )
+
+    pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
+    trig = jnp.sin(
+        jnp.dot(pts, pemat[:], preferred_element_type=f32) + pephase[:]
+    )
+
+    def lin_parts(name, parts):
+        out = B[name][:].astype(f32)
+        for x, s, e in parts:
+            out = out + jnp.dot(x, W[name][s:e, :], preferred_element_type=f32)
+        return out
+
+    acts = {"pts": pts, "trig": trig}
+    h = jnp.maximum(lin_parts("fc1", [(pts, 0, 3), (trig, 3, 3 + n_pe)]), 0.0)
+    hs = [h]
+    hidden = h.shape[-1]
+    for i in range(4):
+        h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
+        hs.append(h)
+        if i == 3:
+            h = jnp.maximum(
+                lin_parts("skip", [
+                    (h, 0, hidden),
+                    (pts, hidden, hidden + 3),
+                    (trig, hidden + 3, hidden + 3 + n_pe),
+                ]), 0.0)
+            hs.append(h)
+    for i in range(3):
+        h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
+        hs.append(h)
+    df = lin("densfeat", h)
+    density = jax.nn.softplus(df[:, :1])
+    feat = jnp.maximum(df[:, 1:], 0.0)
+    dir_part = (
+        jnp.dot(d, W["rgb1"][hidden:hidden + 3, :], preferred_element_type=f32)
+        + jnp.dot(dtrig, W["rgb1"][hidden + 3:hidden + 3 + n_de, :],
+                  preferred_element_type=f32)
+    )
+    feat_part = jnp.dot(feat, W["rgb1"][:hidden, :], preferred_element_type=f32)
+    rgb_h = (
+        feat_part.reshape(ray_tile, sample_chunk, -1) + dir_part[:, None, :]
+        + B["rgb1"][:]
+    ).reshape(ray_tile * sample_chunk, -1)
+    rgb_h = jnp.maximum(rgb_h, 0.0)
+    rgb = jax.nn.sigmoid(lin("rgb2", rgb_h))
+
+    dens = density.reshape(ray_tile, sample_chunk)
+    alpha = 1.0 - jnp.exp(-dens * dists)
+    one_m = 1.0 - alpha + 1e-10
+    log1m = jnp.log(one_m)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 1)
+    tri = (rows <= cols).astype(f32)
+    csum = jnp.dot(log1m, tri, preferred_element_type=f32)
+    cum = jnp.exp(csum)
+    excl = jnp.exp(csum - log1m)
+    if keep:
+        acts.update(hs=hs, df=df, feat=feat, rgb_h=rgb_h, rgb=rgb,
+                    density=density)
+    return density, rgb, alpha, one_m, excl, cum, acts
+
+
+def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
+                     tiles_per_program):
+    n_chunks = n_sample // sample_chunk
+    n_pe = 6 * mcfg.n_pos_freq
+    n_de = 6 * mcfg.n_dir_freq
+
+    def kernel(o_ref, d_ref, z_ref, dists_ref,
+               pemat_ref, pephase_ref, dmat_ref, dphase_ref,
+               *wb_and_out):
+        *wb, rgb_out, tb_out = wb_and_out
+        W, B = _wb_maps(wb)
+
+        def subtile(s, _):
+            row0 = pl.multiple_of(s * ray_tile, 8)
+            o = o_ref[pl.ds(row0, ray_tile), :]
+            d = d_ref[pl.ds(row0, ray_tile), :]
+            dtrig = jnp.sin(
+                jnp.dot(d, dmat_ref[:], preferred_element_type=f32)
+                + dphase_ref[:]
+            )
+            T_in = jnp.ones((ray_tile, 1), f32)
+            acc = jnp.zeros((ray_tile, 3), f32)
+            # chunk loop statically unrolled: residual column writes and the
+            # reverse walk in backward then use static indices (the dynamic
+            # lane-dim variants violate Mosaic's 128-alignment rule)
+            for c in range(n_chunks):
+                start = c * sample_chunk
+                z = z_ref[pl.ds(row0, ray_tile), start:start + sample_chunk]
+                dists = dists_ref[
+                    pl.ds(row0, ray_tile), start:start + sample_chunk]
+                # record the chunk's entering transmittance (residual)
+                tb_out[pl.ds(row0, ray_tile), c:c + 1] = T_in
+                density, rgb, alpha, one_m, excl, cum, _ = _chunk_forward(
+                    W, B, o, d, dtrig, z, dists,
+                    pemat_ref, pephase_ref,
+                    ray_tile, sample_chunk, n_pe, n_de,
+                )
+                w = alpha * (T_in * excl)
+                rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
+                acc = acc + jnp.sum(w[..., None] * rgb3, axis=1)
+                T_in = T_in * cum[:, -1:]
+            rgb_out[pl.ds(row0, ray_tile), :] = acc
+            return 0
+
+        jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
+
+    return kernel
+
+
+def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
+                     tiles_per_program):
+    n_chunks = n_sample // sample_chunk
+    n_pe = 6 * mcfg.n_pos_freq
+    n_de = 6 * mcfg.n_dir_freq
+
+    def kernel(o_ref, d_ref, z_ref, dists_ref, tb_ref, g_ref,
+               pemat_ref, pephase_ref, dmat_ref, dphase_ref,
+               *wb_and_out):
+        n_w = 2 * len(_ACTIVE_LAYERS)
+        wb = wb_and_out[:n_w]
+        grads = wb_and_out[n_w:n_w * 2]
+        W, B = _wb_maps(wb)
+        gW = {name: grads[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
+        gB = {name: grads[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+
+        # program 0 zero-initializes the accumulated grads (sequential grid)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for gref in grads:
+                gref[...] = jnp.zeros_like(gref)
+
+        def subtile(s, _):
+            row0 = pl.multiple_of(s * ray_tile, 8)
+            o = o_ref[pl.ds(row0, ray_tile), :]
+            d = d_ref[pl.ds(row0, ray_tile), :]
+            g = g_ref[pl.ds(row0, ray_tile), :]            # (T, 3)
+            dtrig = jnp.sin(
+                jnp.dot(d, dmat_ref[:], preferred_element_type=f32)
+                + dphase_ref[:]
+            )
+            S_carry = jnp.zeros((ray_tile, 1), f32)        # suffix qw carry
+            d_dirpart_total = jnp.zeros((ray_tile, W["rgb1"].shape[1]), f32)
+
+            for c in range(n_chunks - 1, -1, -1):          # reverse, unrolled
+                start = c * sample_chunk
+                z = z_ref[pl.ds(row0, ray_tile), start:start + sample_chunk]
+                dists = dists_ref[
+                    pl.ds(row0, ray_tile), start:start + sample_chunk]
+                T_in = tb_ref[pl.ds(row0, ray_tile), c:c + 1]
+
+                density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
+                    W, B, o, d, dtrig, z, dists, pemat_ref, pephase_ref,
+                    ray_tile, sample_chunk, n_pe, n_de, keep=True,
+                )
+                T_i = T_in * excl                          # (T, CH)
+                w = alpha * T_i
+                rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
+                q = jnp.sum(rgb3 * g[:, None, :], axis=-1)  # (T, CH)
+                qw = q * w
+                # strict-suffix sum within chunk + carry from later chunks
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (sample_chunk, sample_chunk), 0)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (sample_chunk, sample_chunk), 1)
+                upper = (rows > cols).astype(f32)          # j > i contributes
+                R = jnp.dot(qw, upper, preferred_element_type=f32) + S_carry
+                dL_dalpha = q * T_i - R / one_m
+                dL_dsigma = dL_dalpha * dists * (1.0 - alpha)
+                S_carry = S_carry + jnp.sum(qw, axis=1, keepdims=True)
+
+                # --- MLP backward ---------------------------------------
+                hidden = acts["hs"][0].shape[-1]
+                rowsN = ray_tile * sample_chunk
+                # rgb head
+                d_c = (w[..., None] * g[:, None, :]).reshape(rowsN, 3)
+                d_rgb_raw = d_c * rgb * (1.0 - rgb)
+                gW["rgb2"][...] += jnp.dot(
+                    acts["rgb_h"].T, d_rgb_raw, preferred_element_type=f32)
+                gB["rgb2"][...] += jnp.sum(d_rgb_raw, axis=0)
+                d_rgb_h = jnp.dot(
+                    d_rgb_raw, W["rgb2"][:].T, preferred_element_type=f32
+                ) * (acts["rgb_h"] > 0)
+                # rgb1: feat rows + per-ray dir rows
+                gW["rgb1"][0:hidden, :] += jnp.dot(
+                    acts["feat"].T, d_rgb_h, preferred_element_type=f32)
+                gB["rgb1"][...] += jnp.sum(d_rgb_h, axis=0)
+                d_dirpart = jnp.sum(
+                    d_rgb_h.reshape(ray_tile, sample_chunk, -1), axis=1)
+                d_dirpart_total = d_dirpart_total + d_dirpart
+                d_feat = jnp.dot(
+                    d_rgb_h, W["rgb1"][0:hidden, :].T,
+                    preferred_element_type=f32,
+                ) * (acts["feat"] > 0)
+                # merged density+feature head
+                sig_a = 1.0 - jnp.exp(-acts["density"])    # softplus' = sigmoid
+                d_dens_col = (
+                    dL_dsigma.reshape(rowsN, 1) * sig_a
+                )
+                h_last = acts["hs"][-1]
+                gW["densfeat"][:, 0:1] += jnp.dot(
+                    h_last.T, d_dens_col, preferred_element_type=f32)
+                gW["densfeat"][:, 1:] += jnp.dot(
+                    h_last.T, d_feat, preferred_element_type=f32)
+                gB["densfeat"][0:1] += jnp.sum(d_dens_col, axis=0)
+                gB["densfeat"][1:] += jnp.sum(d_feat, axis=0)
+                d_h = (
+                    jnp.dot(d_dens_col, W["densfeat"][:, 0:1].T,
+                            preferred_element_type=f32)
+                    + jnp.dot(d_feat, W["densfeat"][:, 1:].T,
+                              preferred_element_type=f32)
+                ) * (h_last > 0)
+                # fc2 chain: hs = [h_fc1, h_fc0..h_fc3(4 entries), h_skip,
+                #                  h_fc2_0, h_fc2_1, h_fc2_2]
+                for i in (2, 1, 0):
+                    h_inp = acts["hs"][5 + i]              # input to fc2_i
+                    gW[f"fc2_{i}"][...] += jnp.dot(
+                        h_inp.T, d_h, preferred_element_type=f32)
+                    gB[f"fc2_{i}"][...] += jnp.sum(d_h, axis=0)
+                    d_h = jnp.dot(
+                        d_h, W[f"fc2_{i}"][:].T, preferred_element_type=f32
+                    ) * (h_inp > 0)
+                # skip layer (input = [h_fc3, pts, trig]); d_h currently
+                # carries grad wrt h_skip's output times mask of its input
+                # -> careful: at this point d_h is grad wrt h_skip POST-relu
+                # times (h_skip>0)?  We structure: d_h entering here is the
+                # grad wrt the skip layer's OUTPUT pre-chain, already masked
+                # by (input-of-fc2_0 > 0) == (h_skip > 0).  Good.
+                h_fc3 = acts["hs"][4]
+                gW["skip"][0:hidden, :] += jnp.dot(
+                    h_fc3.T, d_h, preferred_element_type=f32)
+                gW["skip"][hidden:hidden + 3, :] += jnp.dot(
+                    acts["pts"].T, d_h, preferred_element_type=f32)
+                gW["skip"][hidden + 3:hidden + 3 + n_pe, :] += jnp.dot(
+                    acts["trig"].T, d_h, preferred_element_type=f32)
+                gB["skip"][...] += jnp.sum(d_h, axis=0)
+                d_h = jnp.dot(
+                    d_h, W["skip"][0:hidden, :].T, preferred_element_type=f32
+                ) * (h_fc3 > 0)
+                # fc_3..fc_0
+                for i in (3, 2, 1, 0):
+                    h_inp = acts["hs"][i]                  # input to fc_i
+                    gW[f"fc_{i}"][...] += jnp.dot(
+                        h_inp.T, d_h, preferred_element_type=f32)
+                    gB[f"fc_{i}"][...] += jnp.sum(d_h, axis=0)
+                    d_h = jnp.dot(
+                        d_h, W[f"fc_{i}"][:].T, preferred_element_type=f32
+                    ) * (h_inp > 0)
+                # fc1 (input = [pts, trig]); d_h is grad wrt h_fc1 output
+                gW["fc1"][0:3, :] += jnp.dot(
+                    acts["pts"].T, d_h, preferred_element_type=f32)
+                gW["fc1"][3:3 + n_pe, :] += jnp.dot(
+                    acts["trig"].T, d_h, preferred_element_type=f32)
+                gB["fc1"][...] += jnp.sum(d_h, axis=0)
+
+            # per-ray direction rows of rgb1 (accumulated over all chunks)
+            hidden = W["fc1"].shape[1]
+            gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
+                d.T, d_dirpart_total, preferred_element_type=f32)
+            gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
+                dtrig.T, d_dirpart_total, preferred_element_type=f32)
+            return 0
+
+        jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
+
+    return kernel
+
+
+def _common_prep(origins, directions, z_vals, rcfg, ray_tile,
+                 tiles_per_program):
+    n = origins.shape[0]
+    n_sample = z_vals.shape[1]
+    block = ray_tile * tiles_per_program
+    n_progs = (n + block - 1) // block
+    pad = n_progs * block - n
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=0.0)
+    d = d.at[n:, 2].set(1.0) if pad else d
+    z = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
+    tail = 1e-3 if rcfg.variant == "train" else 1.0
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], tail)], axis=1
+    )
+    return o, d, z, dists, n, n_progs, block, n_sample
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcfg", "rcfg", "ray_tile", "sample_chunk",
+                     "tiles_per_program", "interpret"),
+)
+def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
+                     ray_tile=16, sample_chunk=128, tiles_per_program=8,
+                     interpret=False):
+    o, d, z, dists, n, n_progs, block, n_sample = _common_prep(
+        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
+    n_chunks = n_sample // sample_chunk
+    assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
+    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    kernel = _make_fwd_kernel(
+        mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    rgb, tb = pl.pallas_call(
+        kernel,
+        grid=(n_progs,),
+        in_specs=[blk(3), blk(3), blk(n_sample), blk(n_sample),
+                  full, full, full, full, *[full] * len(packed)],
+        out_specs=(blk(3), blk(n_chunks)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_progs * block, 3), f32),
+            jax.ShapeDtypeStruct((n_progs * block, n_chunks), f32),
+        ),
+        interpret=interpret,
+    )(o, d, z, dists, jnp.asarray(pe_mat), jnp.asarray(pe_phase),
+      jnp.asarray(d_mat), jnp.asarray(d_phase), *packed)
+    return rgb[:n], tb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcfg", "rcfg", "ray_tile", "sample_chunk",
+                     "tiles_per_program", "interpret"),
+)
+def _fused_train_bwd(packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
+                     ray_tile=16, sample_chunk=128, tiles_per_program=8,
+                     interpret=False):
+    o, d, z, dists, n, n_progs, block, n_sample = _common_prep(
+        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
+    n_chunks = n_sample // sample_chunk
+    g_pad = jnp.pad(g, ((0, n_progs * block - n), (0, 0)))
+    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    kernel = _make_bwd_kernel(
+        mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    # grads accumulate across the (sequential) grid: constant index maps
+    grad_specs = tuple(
+        pl.BlockSpec(p.shape, lambda i, nd=len(p.shape): (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed
+    )
+    grad_shapes = tuple(
+        jax.ShapeDtypeStruct(p.shape, f32) for p in packed
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid=(n_progs,),
+        in_specs=[blk(3), blk(3), blk(n_sample), blk(n_sample),
+                  blk(n_chunks), blk(3),
+                  full, full, full, full, *[full] * len(packed)],
+        out_specs=grad_specs,
+        out_shape=grad_shapes,
+        interpret=interpret,
+    )(o, d, z, dists, tb, g_pad, jnp.asarray(pe_mat), jnp.asarray(pe_phase),
+      jnp.asarray(d_mat), jnp.asarray(d_phase), *packed)
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_render_train(packed, origins, directions, z_vals, mcfg, rcfg,
+                       ray_tile=16, sample_chunk=128, tiles_per_program=8,
+                       interpret=False):
+    """Differentiable (w.r.t. ``packed``) fused render for training."""
+    rgb, _ = _fused_train_fwd(
+        packed, origins, directions, z_vals, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, interpret)
+    return rgb
+
+
+def _frt_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
+             ray_tile, sample_chunk, tiles_per_program, interpret):
+    rgb, tb = _fused_train_fwd(
+        packed, origins, directions, z_vals, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, interpret)
+    return rgb, (packed, origins, directions, z_vals, tb)
+
+
+def _frt_bwd(mcfg, rcfg, ray_tile, sample_chunk, tiles_per_program,
+             interpret, res, g):
+    packed, origins, directions, z_vals, tb = res
+    grads = _fused_train_bwd(
+        packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, interpret)
+    grads = tuple(gr.astype(p.dtype) for gr, p in zip(grads, packed))
+    zeros = lambda a: jnp.zeros_like(a)
+    return (grads, zeros(origins), zeros(directions), zeros(z_vals))
+
+
+fused_render_train.defvjp(_frt_fwd, _frt_bwd)

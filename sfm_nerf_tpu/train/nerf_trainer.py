@@ -63,9 +63,38 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
     mcfg, rcfg = cfg.model, cfg.render
     n_rays = n_rays if n_rays is not None else cfg.train.n_rays_batch
     bf16 = cfg.train.compute_dtype == "bfloat16"
+    fused_train = (
+        rcfg.use_fused_kernel
+        and mcfg.arch == "active"
+        and rcfg.n_importance == 0
+        and rcfg.n_sample % 128 == 0
+        and rcfg.variant == "train"
+        and not rcfg.white_background
+        and jax.default_backend() != "cpu"
+    )
 
     def loss_fn(params, key_sample, key_render, images, poses, K):
         o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
+        if fused_train:
+            # fused Pallas forward + hand-written backward (custom VJP);
+            # grads flow through the differentiable packing to the pytree
+            from sfm_nerf_tpu.kernels.fused_render import pack_active_params
+            from sfm_nerf_tpu.kernels.fused_train import fused_render_train
+            from sfm_nerf_tpu.ops.render import stratified_samples
+
+            z = stratified_samples(key_render, n_rays, rcfg).astype(
+                jnp.float32
+            )
+            packed = pack_active_params(
+                params, jnp.bfloat16 if bf16 else jnp.float32
+            )
+            # ray_tile=8: the backward keeps ~9 activation tensors per chunk
+            # in VMEM; 8 rays x 128 samples keeps that under the 16 MB budget
+            rgb = fused_render_train(
+                packed, o, d, z, mcfg, rcfg,
+                ray_tile=8, sample_chunk=128, tiles_per_program=16,
+            )
+            return mse(rgb, target)
         p_c = cast_params_bf16(params) if bf16 else params
         if rcfg.n_importance > 0:
             from sfm_nerf_tpu.ops.render import render_rays_hierarchical
