@@ -88,11 +88,12 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
             packed = pack_active_params(
                 params, jnp.bfloat16 if bf16 else jnp.float32
             )
-            # ray_tile=8: the backward keeps ~9 activation tensors per chunk
-            # in VMEM; 8 rays x 128 samples keeps that under the 16 MB budget
+            # ray_tile=4: the backward keeps ~9 activation tensors per chunk
+            # in VMEM; 4 rays x 128 samples keeps that under the 16 MB
+            # budget (8 rays measured 2.7 MB over)
             rgb = fused_render_train(
                 packed, o, d, z, mcfg, rcfg,
-                ray_tile=8, sample_chunk=128, tiles_per_program=16,
+                ray_tile=4, sample_chunk=128, tiles_per_program=32,
             )
             return mse(rgb, target)
         p_c = cast_params_bf16(params) if bf16 else params
