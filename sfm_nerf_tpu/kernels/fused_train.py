@@ -44,6 +44,13 @@ from sfm_nerf_tpu.kernels.fused_render import (
 )
 
 f32 = jnp.float32
+# MXU precision for the training kernels.  Mosaic demotes plain f32 dots to
+# single-pass bf16 (and does not lower Precision.HIGH at all); the measured
+# tradeoff on the quality demo (PERFORMANCE.md):
+#   DEFAULT: 93.4k rays/s, converges to 35.8 dB held-out
+#   HIGHEST: ~32k rays/s (slower than the XLA path), 40.9 dB
+# Selective precision is a ROADMAP item; flip this knob for quality runs.
+MXU_PRECISION = jax.lax.Precision.DEFAULT
 
 
 def _wb_maps(wb):
@@ -59,18 +66,18 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
 
     def lin(name, x, out_dtype=f32):
         return (
-            jnp.dot(x, W[name][:], preferred_element_type=f32) + B[name][:]
+            jnp.dot(x, W[name][:], preferred_element_type=f32, precision=MXU_PRECISION) + B[name][:]
         )
 
     pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
     trig = jnp.sin(
-        jnp.dot(pts, pemat[:], preferred_element_type=f32) + pephase[:]
+        jnp.dot(pts, pemat[:], preferred_element_type=f32, precision=MXU_PRECISION) + pephase[:]
     )
 
     def lin_parts(name, parts):
         out = B[name][:].astype(f32)
         for x, s, e in parts:
-            out = out + jnp.dot(x, W[name][s:e, :], preferred_element_type=f32)
+            out = out + jnp.dot(x, W[name][s:e, :], preferred_element_type=f32, precision=MXU_PRECISION)
         return out
 
     acts = {"pts": pts, "trig": trig}
@@ -95,11 +102,11 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
     density = jax.nn.softplus(df[:, :1])
     feat = jnp.maximum(df[:, 1:], 0.0)
     dir_part = (
-        jnp.dot(d, W["rgb1"][hidden:hidden + 3, :], preferred_element_type=f32)
+        jnp.dot(d, W["rgb1"][hidden:hidden + 3, :], preferred_element_type=f32, precision=MXU_PRECISION)
         + jnp.dot(dtrig, W["rgb1"][hidden + 3:hidden + 3 + n_de, :],
-                  preferred_element_type=f32)
+                  preferred_element_type=f32, precision=MXU_PRECISION)
     )
-    feat_part = jnp.dot(feat, W["rgb1"][:hidden, :], preferred_element_type=f32)
+    feat_part = jnp.dot(feat, W["rgb1"][:hidden, :], preferred_element_type=f32, precision=MXU_PRECISION)
     rgb_h = (
         feat_part.reshape(ray_tile, sample_chunk, -1) + dir_part[:, None, :]
         + B["rgb1"][:]
@@ -114,7 +121,7 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
     rows = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 1)
     tri = (rows <= cols).astype(f32)
-    csum = jnp.dot(log1m, tri, preferred_element_type=f32)
+    csum = jnp.dot(log1m, tri, preferred_element_type=f32, precision=MXU_PRECISION)
     cum = jnp.exp(csum)
     excl = jnp.exp(csum - log1m)
     if keep:
@@ -140,7 +147,7 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
             dtrig = jnp.sin(
-                jnp.dot(d, dmat_ref[:], preferred_element_type=f32)
+                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=MXU_PRECISION)
                 + dphase_ref[:]
             )
             T_in = jnp.ones((ray_tile, 1), f32)
@@ -200,7 +207,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             d = d_ref[pl.ds(row0, ray_tile), :]
             g = g_ref[pl.ds(row0, ray_tile), :]            # (T, 3)
             dtrig = jnp.sin(
-                jnp.dot(d, dmat_ref[:], preferred_element_type=f32)
+                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=MXU_PRECISION)
                 + dphase_ref[:]
             )
             S_carry = jnp.zeros((ray_tile, 1), f32)        # suffix qw carry
@@ -228,7 +235,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 cols = jax.lax.broadcasted_iota(
                     jnp.int32, (sample_chunk, sample_chunk), 1)
                 upper = (rows > cols).astype(f32)          # j > i contributes
-                R = jnp.dot(qw, upper, preferred_element_type=f32) + S_carry
+                R = jnp.dot(qw, upper, preferred_element_type=f32, precision=MXU_PRECISION) + S_carry
                 dL_dalpha = q * T_i - R / one_m
                 dL_dsigma = dL_dalpha * dists * (1.0 - alpha)
                 S_carry = S_carry + jnp.sum(qw, axis=1, keepdims=True)
@@ -240,21 +247,21 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 d_c = (w[..., None] * g[:, None, :]).reshape(rowsN, 3)
                 d_rgb_raw = d_c * rgb * (1.0 - rgb)
                 gW["rgb2"][...] += jnp.dot(
-                    acts["rgb_h"].T, d_rgb_raw, preferred_element_type=f32)
+                    acts["rgb_h"].T, d_rgb_raw, preferred_element_type=f32, precision=MXU_PRECISION)
                 gB["rgb2"][...] += jnp.sum(d_rgb_raw, axis=0)
                 d_rgb_h = jnp.dot(
-                    d_rgb_raw, W["rgb2"][:].T, preferred_element_type=f32
+                    d_rgb_raw, W["rgb2"][:].T, preferred_element_type=f32, precision=MXU_PRECISION
                 ) * (acts["rgb_h"] > 0)
                 # rgb1: feat rows + per-ray dir rows
                 gW["rgb1"][0:hidden, :] += jnp.dot(
-                    acts["feat"].T, d_rgb_h, preferred_element_type=f32)
+                    acts["feat"].T, d_rgb_h, preferred_element_type=f32, precision=MXU_PRECISION)
                 gB["rgb1"][...] += jnp.sum(d_rgb_h, axis=0)
                 d_dirpart = jnp.sum(
                     d_rgb_h.reshape(ray_tile, sample_chunk, -1), axis=1)
                 d_dirpart_total = d_dirpart_total + d_dirpart
                 d_feat = jnp.dot(
                     d_rgb_h, W["rgb1"][0:hidden, :].T,
-                    preferred_element_type=f32,
+                    preferred_element_type=f32, precision=MXU_PRECISION,
                 ) * (acts["feat"] > 0)
                 # merged density+feature head
                 sig_a = 1.0 - jnp.exp(-acts["density"])    # softplus' = sigmoid
@@ -263,26 +270,26 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 )
                 h_last = acts["hs"][-1]
                 gW["densfeat"][:, 0:1] += jnp.dot(
-                    h_last.T, d_dens_col, preferred_element_type=f32)
+                    h_last.T, d_dens_col, preferred_element_type=f32, precision=MXU_PRECISION)
                 gW["densfeat"][:, 1:] += jnp.dot(
-                    h_last.T, d_feat, preferred_element_type=f32)
+                    h_last.T, d_feat, preferred_element_type=f32, precision=MXU_PRECISION)
                 gB["densfeat"][0:1] += jnp.sum(d_dens_col, axis=0)
                 gB["densfeat"][1:] += jnp.sum(d_feat, axis=0)
                 d_h = (
                     jnp.dot(d_dens_col, W["densfeat"][:, 0:1].T,
-                            preferred_element_type=f32)
+                            preferred_element_type=f32, precision=MXU_PRECISION)
                     + jnp.dot(d_feat, W["densfeat"][:, 1:].T,
-                              preferred_element_type=f32)
+                              preferred_element_type=f32, precision=MXU_PRECISION)
                 ) * (h_last > 0)
                 # fc2 chain: hs = [h_fc1, h_fc0..h_fc3(4 entries), h_skip,
                 #                  h_fc2_0, h_fc2_1, h_fc2_2]
                 for i in (2, 1, 0):
                     h_inp = acts["hs"][5 + i]              # input to fc2_i
                     gW[f"fc2_{i}"][...] += jnp.dot(
-                        h_inp.T, d_h, preferred_element_type=f32)
+                        h_inp.T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
                     gB[f"fc2_{i}"][...] += jnp.sum(d_h, axis=0)
                     d_h = jnp.dot(
-                        d_h, W[f"fc2_{i}"][:].T, preferred_element_type=f32
+                        d_h, W[f"fc2_{i}"][:].T, preferred_element_type=f32, precision=MXU_PRECISION
                     ) * (h_inp > 0)
                 # skip layer (input = [h_fc3, pts, trig]); d_h currently
                 # carries grad wrt h_skip's output times mask of its input
@@ -292,37 +299,37 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 # by (input-of-fc2_0 > 0) == (h_skip > 0).  Good.
                 h_fc3 = acts["hs"][4]
                 gW["skip"][0:hidden, :] += jnp.dot(
-                    h_fc3.T, d_h, preferred_element_type=f32)
+                    h_fc3.T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
                 gW["skip"][hidden:hidden + 3, :] += jnp.dot(
-                    acts["pts"].T, d_h, preferred_element_type=f32)
+                    acts["pts"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
                 gW["skip"][hidden + 3:hidden + 3 + n_pe, :] += jnp.dot(
-                    acts["trig"].T, d_h, preferred_element_type=f32)
+                    acts["trig"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
                 gB["skip"][...] += jnp.sum(d_h, axis=0)
                 d_h = jnp.dot(
-                    d_h, W["skip"][0:hidden, :].T, preferred_element_type=f32
+                    d_h, W["skip"][0:hidden, :].T, preferred_element_type=f32, precision=MXU_PRECISION
                 ) * (h_fc3 > 0)
                 # fc_3..fc_0
                 for i in (3, 2, 1, 0):
                     h_inp = acts["hs"][i]                  # input to fc_i
                     gW[f"fc_{i}"][...] += jnp.dot(
-                        h_inp.T, d_h, preferred_element_type=f32)
+                        h_inp.T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
                     gB[f"fc_{i}"][...] += jnp.sum(d_h, axis=0)
                     d_h = jnp.dot(
-                        d_h, W[f"fc_{i}"][:].T, preferred_element_type=f32
+                        d_h, W[f"fc_{i}"][:].T, preferred_element_type=f32, precision=MXU_PRECISION
                     ) * (h_inp > 0)
                 # fc1 (input = [pts, trig]); d_h is grad wrt h_fc1 output
                 gW["fc1"][0:3, :] += jnp.dot(
-                    acts["pts"].T, d_h, preferred_element_type=f32)
+                    acts["pts"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
                 gW["fc1"][3:3 + n_pe, :] += jnp.dot(
-                    acts["trig"].T, d_h, preferred_element_type=f32)
+                    acts["trig"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
                 gB["fc1"][...] += jnp.sum(d_h, axis=0)
 
             # per-ray direction rows of rgb1 (accumulated over all chunks)
             hidden = W["fc1"].shape[1]
             gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
-                d.T, d_dirpart_total, preferred_element_type=f32)
+                d.T, d_dirpart_total, preferred_element_type=f32, precision=MXU_PRECISION)
             gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
-                dtrig.T, d_dirpart_total, preferred_element_type=f32)
+                dtrig.T, d_dirpart_total, preferred_element_type=f32, precision=MXU_PRECISION)
             return 0
 
         jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
