@@ -44,13 +44,26 @@ from sfm_nerf_tpu.kernels.fused_render import (
 )
 
 f32 = jnp.float32
-# MXU precision for the training kernels.  Mosaic demotes plain f32 dots to
-# single-pass bf16 (and does not lower Precision.HIGH at all); the measured
-# tradeoff on the quality demo (PERFORMANCE.md):
-#   DEFAULT: 93.4k rays/s, converges to 35.8 dB held-out
-#   HIGHEST: ~32k rays/s (slower than the XLA path), 40.9 dB
-# Selective precision is a ROADMAP item; flip this knob for quality runs.
+# MXU precision, by dot class.  Mosaic demotes plain f32 dots to single-pass
+# bf16 (and does not lower Precision.HIGH or DotAlgorithmPreset at all); the
+# all-or-nothing tradeoff measured on the quality demo (PERFORMANCE.md):
+#   all DEFAULT: 93.4k rays/s, converges to 35.8 dB held-out
+#   all HIGHEST: ~32k rays/s (slower than the XLA path), 40.9 dB
+# The classes let precision go only where the quality actually leaks
+# (measured per-class grad error vs a CPU f32 reference — see
+# PERFORMANCE.md):
+#   MXU_PRECISION  — bulk forward MLP matmuls (the FLOPs; also the
+#                    recompute inside the backward kernel)
+#   PE_PRECISION   — K=3 positional-encoding phase matmuls (phase error is
+#                    multiplied by frequencies up to pi*2^L)
+#   TRI_PRECISION  — triangular compositing matmuls (log-space cumsum and
+#                    the backward suffix sum; log-transmittance magnitudes
+#                    up to ~23 lose absolute precision in bf16)
+#   BWD_PRECISION  — gradient dots (weight-grad accumulation + backprop)
 MXU_PRECISION = jax.lax.Precision.DEFAULT
+PE_PRECISION = jax.lax.Precision.HIGHEST
+TRI_PRECISION = jax.lax.Precision.HIGHEST
+BWD_PRECISION = jax.lax.Precision.DEFAULT
 
 
 def _wb_maps(wb):
@@ -71,7 +84,7 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
 
     pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
     trig = jnp.sin(
-        jnp.dot(pts, pemat[:], preferred_element_type=f32, precision=MXU_PRECISION) + pephase[:]
+        jnp.dot(pts, pemat[:], preferred_element_type=f32, precision=PE_PRECISION) + pephase[:]
     )
 
     def lin_parts(name, parts):
@@ -121,7 +134,7 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
     rows = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 1)
     tri = (rows <= cols).astype(f32)
-    csum = jnp.dot(log1m, tri, preferred_element_type=f32, precision=MXU_PRECISION)
+    csum = jnp.dot(log1m, tri, preferred_element_type=f32, precision=TRI_PRECISION)
     cum = jnp.exp(csum)
     excl = jnp.exp(csum - log1m)
     if keep:
@@ -147,7 +160,7 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
             dtrig = jnp.sin(
-                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=MXU_PRECISION)
+                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=PE_PRECISION)
                 + dphase_ref[:]
             )
             T_in = jnp.ones((ray_tile, 1), f32)
@@ -207,7 +220,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             d = d_ref[pl.ds(row0, ray_tile), :]
             g = g_ref[pl.ds(row0, ray_tile), :]            # (T, 3)
             dtrig = jnp.sin(
-                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=MXU_PRECISION)
+                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=PE_PRECISION)
                 + dphase_ref[:]
             )
             S_carry = jnp.zeros((ray_tile, 1), f32)        # suffix qw carry
@@ -235,7 +248,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 cols = jax.lax.broadcasted_iota(
                     jnp.int32, (sample_chunk, sample_chunk), 1)
                 upper = (rows > cols).astype(f32)          # j > i contributes
-                R = jnp.dot(qw, upper, preferred_element_type=f32, precision=MXU_PRECISION) + S_carry
+                R = jnp.dot(qw, upper, preferred_element_type=f32, precision=TRI_PRECISION) + S_carry
                 dL_dalpha = q * T_i - R / one_m
                 dL_dsigma = dL_dalpha * dists * (1.0 - alpha)
                 S_carry = S_carry + jnp.sum(qw, axis=1, keepdims=True)
@@ -247,21 +260,21 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 d_c = (w[..., None] * g[:, None, :]).reshape(rowsN, 3)
                 d_rgb_raw = d_c * rgb * (1.0 - rgb)
                 gW["rgb2"][...] += jnp.dot(
-                    acts["rgb_h"].T, d_rgb_raw, preferred_element_type=f32, precision=MXU_PRECISION)
+                    acts["rgb_h"].T, d_rgb_raw, preferred_element_type=f32, precision=BWD_PRECISION)
                 gB["rgb2"][...] += jnp.sum(d_rgb_raw, axis=0)
                 d_rgb_h = jnp.dot(
-                    d_rgb_raw, W["rgb2"][:].T, preferred_element_type=f32, precision=MXU_PRECISION
+                    d_rgb_raw, W["rgb2"][:].T, preferred_element_type=f32, precision=BWD_PRECISION
                 ) * (acts["rgb_h"] > 0)
                 # rgb1: feat rows + per-ray dir rows
                 gW["rgb1"][0:hidden, :] += jnp.dot(
-                    acts["feat"].T, d_rgb_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                    acts["feat"].T, d_rgb_h, preferred_element_type=f32, precision=BWD_PRECISION)
                 gB["rgb1"][...] += jnp.sum(d_rgb_h, axis=0)
                 d_dirpart = jnp.sum(
                     d_rgb_h.reshape(ray_tile, sample_chunk, -1), axis=1)
                 d_dirpart_total = d_dirpart_total + d_dirpart
                 d_feat = jnp.dot(
                     d_rgb_h, W["rgb1"][0:hidden, :].T,
-                    preferred_element_type=f32, precision=MXU_PRECISION,
+                    preferred_element_type=f32, precision=BWD_PRECISION,
                 ) * (acts["feat"] > 0)
                 # merged density+feature head
                 sig_a = 1.0 - jnp.exp(-acts["density"])    # softplus' = sigmoid
@@ -270,26 +283,26 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 )
                 h_last = acts["hs"][-1]
                 gW["densfeat"][:, 0:1] += jnp.dot(
-                    h_last.T, d_dens_col, preferred_element_type=f32, precision=MXU_PRECISION)
+                    h_last.T, d_dens_col, preferred_element_type=f32, precision=BWD_PRECISION)
                 gW["densfeat"][:, 1:] += jnp.dot(
-                    h_last.T, d_feat, preferred_element_type=f32, precision=MXU_PRECISION)
+                    h_last.T, d_feat, preferred_element_type=f32, precision=BWD_PRECISION)
                 gB["densfeat"][0:1] += jnp.sum(d_dens_col, axis=0)
                 gB["densfeat"][1:] += jnp.sum(d_feat, axis=0)
                 d_h = (
                     jnp.dot(d_dens_col, W["densfeat"][:, 0:1].T,
-                            preferred_element_type=f32, precision=MXU_PRECISION)
+                            preferred_element_type=f32, precision=BWD_PRECISION)
                     + jnp.dot(d_feat, W["densfeat"][:, 1:].T,
-                              preferred_element_type=f32, precision=MXU_PRECISION)
+                              preferred_element_type=f32, precision=BWD_PRECISION)
                 ) * (h_last > 0)
                 # fc2 chain: hs = [h_fc1, h_fc0..h_fc3(4 entries), h_skip,
                 #                  h_fc2_0, h_fc2_1, h_fc2_2]
                 for i in (2, 1, 0):
                     h_inp = acts["hs"][5 + i]              # input to fc2_i
                     gW[f"fc2_{i}"][...] += jnp.dot(
-                        h_inp.T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                        h_inp.T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
                     gB[f"fc2_{i}"][...] += jnp.sum(d_h, axis=0)
                     d_h = jnp.dot(
-                        d_h, W[f"fc2_{i}"][:].T, preferred_element_type=f32, precision=MXU_PRECISION
+                        d_h, W[f"fc2_{i}"][:].T, preferred_element_type=f32, precision=BWD_PRECISION
                     ) * (h_inp > 0)
                 # skip layer (input = [h_fc3, pts, trig]); d_h currently
                 # carries grad wrt h_skip's output times mask of its input
@@ -299,37 +312,37 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 # by (input-of-fc2_0 > 0) == (h_skip > 0).  Good.
                 h_fc3 = acts["hs"][4]
                 gW["skip"][0:hidden, :] += jnp.dot(
-                    h_fc3.T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                    h_fc3.T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
                 gW["skip"][hidden:hidden + 3, :] += jnp.dot(
-                    acts["pts"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                    acts["pts"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
                 gW["skip"][hidden + 3:hidden + 3 + n_pe, :] += jnp.dot(
-                    acts["trig"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                    acts["trig"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
                 gB["skip"][...] += jnp.sum(d_h, axis=0)
                 d_h = jnp.dot(
-                    d_h, W["skip"][0:hidden, :].T, preferred_element_type=f32, precision=MXU_PRECISION
+                    d_h, W["skip"][0:hidden, :].T, preferred_element_type=f32, precision=BWD_PRECISION
                 ) * (h_fc3 > 0)
                 # fc_3..fc_0
                 for i in (3, 2, 1, 0):
                     h_inp = acts["hs"][i]                  # input to fc_i
                     gW[f"fc_{i}"][...] += jnp.dot(
-                        h_inp.T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                        h_inp.T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
                     gB[f"fc_{i}"][...] += jnp.sum(d_h, axis=0)
                     d_h = jnp.dot(
-                        d_h, W[f"fc_{i}"][:].T, preferred_element_type=f32, precision=MXU_PRECISION
+                        d_h, W[f"fc_{i}"][:].T, preferred_element_type=f32, precision=BWD_PRECISION
                     ) * (h_inp > 0)
                 # fc1 (input = [pts, trig]); d_h is grad wrt h_fc1 output
                 gW["fc1"][0:3, :] += jnp.dot(
-                    acts["pts"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                    acts["pts"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
                 gW["fc1"][3:3 + n_pe, :] += jnp.dot(
-                    acts["trig"].T, d_h, preferred_element_type=f32, precision=MXU_PRECISION)
+                    acts["trig"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
                 gB["fc1"][...] += jnp.sum(d_h, axis=0)
 
             # per-ray direction rows of rgb1 (accumulated over all chunks)
             hidden = W["fc1"].shape[1]
             gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
-                d.T, d_dirpart_total, preferred_element_type=f32, precision=MXU_PRECISION)
+                d.T, d_dirpart_total, preferred_element_type=f32, precision=BWD_PRECISION)
             gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
-                dtrig.T, d_dirpart_total, preferred_element_type=f32, precision=MXU_PRECISION)
+                dtrig.T, d_dirpart_total, preferred_element_type=f32, precision=BWD_PRECISION)
             return 0
 
         jax.lax.fori_loop(0, tiles_per_program, subtile, 0)

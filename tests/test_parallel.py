@@ -166,3 +166,44 @@ def test_trainer_uses_dp_step_on_multi_device(tmp_path_factory):
     trainer.fit(max_iters=151, progress=False)
     losses = trainer._last_losses
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_sharded_render_matches_single_device(scene):
+    """Full-frame eval sharded over 8 devices == single-device render."""
+    from sfm_nerf_tpu.parallel.render import make_sharded_render_image
+    from sfm_nerf_tpu.train.nerf_trainer import make_render_image
+
+    images, poses, K = scene
+    cfg = small_cfg()
+    params = init_nerf_params(jax.random.key(0), cfg.model)
+    mesh = make_mesh(dp=8, tp=1)
+    single = make_render_image(cfg, chunk_rays=64)
+    sharded = make_sharded_render_image(cfg, mesh, chunk_rays=64)
+    # 17x13: odd frame size exercises the dp-padding path (221 % 8 != 0)
+    a = np.asarray(single(params, K, poses[0], 17, 13))
+    b = np.asarray(sharded(params, K, poses[0], 17, 13))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_render_hierarchical_keyed(scene):
+    """Hierarchical + perturbed path runs sharded and stays in [0,1]."""
+    from sfm_nerf_tpu.parallel.render import make_sharded_render_image
+
+    images, poses, K = scene
+    cfg = small_cfg()
+    cfg = NeRFPipelineConfig(
+        model=cfg.model,
+        render=RenderConfig(n_sample=16, n_importance=8),
+        train=cfg.train,
+        parallel=cfg.parallel,
+    )
+    params = {
+        "coarse": init_nerf_params(jax.random.key(0), cfg.model),
+        "fine": init_nerf_params(jax.random.key(1), cfg.model),
+    }
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = make_sharded_render_image(cfg, mesh, chunk_rays=32)
+    img = np.asarray(
+        sharded(params, K, poses[0], 16, 16, key=jax.random.key(2)))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
