@@ -31,6 +31,10 @@ def main():
                         type=lambda s: s.lower() not in ("0", "false", "no"),
                         help="run geometry in float64 (reference precision; "
                              "forced off on TPU, which has no f64)")
+    parser.add_argument("--merge_tracks", action="store_true",
+                        help="reconcile re-detected features across matching "
+                             "files into single tracks (the reference's "
+                             "per-file namespace never merges them)")
     parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "default"],
                         help="device backend. Default cpu: this 5-image "
                              "problem is latency-bound and wants float64; "
@@ -69,6 +73,7 @@ def main():
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,
+        merge_tracks=args.merge_tracks,
         seed=args.seed,
         output_dir=args.output_dir,
     )

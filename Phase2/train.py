@@ -32,6 +32,9 @@ def configParser():
     parser.add_argument('--checkpoint_path', default="./Phase2/checkpoints_new_2/", help="checkpoints path")
     parser.add_argument('--load_checkpoint', default=True, help="whether to load checkpoint or not")
     parser.add_argument('--save_ckpt_iter', default=1000, help="num of iteration to save checkpoint")
+    parser.add_argument('--ckpt_backend', default="npz", choices=["npz", "orbax"],
+                        help="checkpoint writer: npz (one transparent file "
+                             "per step) or orbax (async, multi-host)")
     parser.add_argument('--images_path', default="./image/", help="folder to store images")
     parser.add_argument('--perturb', default=True, type=bool, help="use stratified sampling")
     parser.add_argument('--near', default=2.0, type=float, help="near bound for ray sampling")
@@ -87,6 +90,7 @@ def build_config(args):
             n_rays_batch=int(args.n_rays_batch),
             max_iters=int(args.max_iters),
             save_ckpt_iter=int(args.save_ckpt_iter),
+            ckpt_backend=args.ckpt_backend,
             seed=int(args.seed),
         ),
         parallel=ParallelConfig(dp=int(args.dp)),

@@ -91,6 +91,9 @@ class TrainConfig:
     # TPU execution shape: train steps fused into one device call via
     # lax.scan — amortizes host dispatch and lets XLA pipeline steps.
     steps_per_call: int = 1
+    # checkpointing backend: 'npz' (one transparent file per step) or
+    # 'orbax' (async saves that overlap training; multi-host coordinated)
+    ckpt_backend: str = "npz"
     # numerics
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' for activations
     debug_nans: bool = False         # analog of torch detect_anomaly (train.py:390)
@@ -148,6 +151,10 @@ class SfMConfig:
     ba_prune_px: float = 3.0         # drop observations above this reproj err
     ba_loss: str = "linear"          # 'linear' (reference parity) | 'huber'
     ba_huber_delta: float = 3.0      # px; robust-loss transition
+    # track merging across matching files (ADDITION: the reference's
+    # per-file feature namespace never reconciles re-detections)
+    merge_tracks: bool = False
+    merge_tol: float = 0.5           # px; detector re-runs emit identical
     seed: int = 0
     output_dir: str = "."
     show: bool = False               # headless by default (no cv2.imshow)

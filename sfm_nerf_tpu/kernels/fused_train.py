@@ -45,25 +45,32 @@ from sfm_nerf_tpu.kernels.fused_render import (
 
 f32 = jnp.float32
 # MXU precision, by dot class.  Mosaic demotes plain f32 dots to single-pass
-# bf16 (and does not lower Precision.HIGH or DotAlgorithmPreset at all); the
-# all-or-nothing tradeoff measured on the quality demo (PERFORMANCE.md):
-#   all DEFAULT: 93.4k rays/s, converges to 35.8 dB held-out
-#   all HIGHEST: ~32k rays/s (slower than the XLA path), 40.9 dB
-# The classes let precision go only where the quality actually leaks
-# (measured per-class grad error vs a CPU f32 reference — see
-# PERFORMANCE.md):
-#   MXU_PRECISION  — bulk forward MLP matmuls (the FLOPs; also the
-#                    recompute inside the backward kernel)
-#   PE_PRECISION   — K=3 positional-encoding phase matmuls (phase error is
-#                    multiplied by frequencies up to pi*2^L)
-#   TRI_PRECISION  — triangular compositing matmuls (log-space cumsum and
-#                    the backward suffix sum; log-transmittance magnitudes
-#                    up to ~23 lose absolute precision in bf16)
-#   BWD_PRECISION  — gradient dots (weight-grad accumulation + backprop)
+# bf16 (and does not lower Precision.HIGH or DotAlgorithmPreset at all).
+# Quality-demo ablation (PERFORMANCE.md): the leak is NOT in the bulk MLP /
+# gradient dots (bf16 there is benign) but in two places where bf16 loses
+# ABSOLUTE precision — the PE phase (error scales with frequency, up to
+# pi*2^L ~ 800: high-frequency features decohere, -5 dB) and the log-space
+# triangular compositing sums (|log T| up to ~23).  The PE contraction is
+# K=3, so it leaves the MXU entirely (_k3_phase: exact f32 VPU FMAs); the
+# triangular dots are per-ray-rows-only and run HIGHEST at ~zero cost.
+# Result: 41.36 dB held-out vs the XLA path's 41.5 dB at 2x its speed
+# (all-DEFAULT was 35.8 dB; all-HIGHEST 40.9 dB at 6.6x the cost).
 MXU_PRECISION = jax.lax.Precision.DEFAULT
-PE_PRECISION = jax.lax.Precision.HIGHEST
 TRI_PRECISION = jax.lax.Precision.HIGHEST
 BWD_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _k3_phase(x, mat):
+    """(M,3) @ (3,N) as three broadcasted FMAs on the VPU.
+
+    A K=3 contraction wastes the MXU (3/128 of the systolic array) and —
+    worse — Mosaic's single-pass bf16 demotion truncates the COORDINATES,
+    so the phase error scales with the PE frequency (up to pi*2^L ~ 800:
+    the high-frequency features decohere entirely, measured -5 dB on the
+    quality demo).  Broadcast FMAs stay exact f32 and full-lane.
+    """
+    return (x[:, 0:1] * mat[0:1, :] + x[:, 1:2] * mat[1:2, :]
+            + x[:, 2:3] * mat[2:3, :])
 
 
 def _wb_maps(wb):
@@ -83,9 +90,7 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
         )
 
     pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
-    trig = jnp.sin(
-        jnp.dot(pts, pemat[:], preferred_element_type=f32, precision=PE_PRECISION) + pephase[:]
-    )
+    trig = jnp.sin(_k3_phase(pts, pemat[:]) + pephase[:])
 
     def lin_parts(name, parts):
         out = B[name][:].astype(f32)
@@ -159,10 +164,7 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             row0 = pl.multiple_of(s * ray_tile, 8)
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
-            dtrig = jnp.sin(
-                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=PE_PRECISION)
-                + dphase_ref[:]
-            )
+            dtrig = jnp.sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
             T_in = jnp.ones((ray_tile, 1), f32)
             acc = jnp.zeros((ray_tile, 3), f32)
             # chunk loop statically unrolled: residual column writes and the
@@ -219,10 +221,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
             g = g_ref[pl.ds(row0, ray_tile), :]            # (T, 3)
-            dtrig = jnp.sin(
-                jnp.dot(d, dmat_ref[:], preferred_element_type=f32, precision=PE_PRECISION)
-                + dphase_ref[:]
-            )
+            dtrig = jnp.sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
             S_carry = jnp.zeros((ray_tile, 1), f32)        # suffix qw carry
             d_dirpart_total = jnp.zeros((ray_tile, W["rgb1"].shape[1]), f32)
 

@@ -259,6 +259,17 @@ class SfMPipeline:
         matches_dict, tracks, visibility = parse_matching_files(
             cfg.data_path, cfg.num_images
         )
+        if cfg.merge_tracks:
+            from sfm_nerf_tpu.sfm.tracks import merge_tracks
+
+            n_before = len(tracks)
+            matches_dict, tracks, visibility, _ = merge_tracks(
+                matches_dict, tracks, tol=cfg.merge_tol
+            )
+            print(f"Track merging: {n_before} -> {len(tracks)} tracks")
+            self.stats["track_merge"] = {
+                "before": n_before, "after": len(tracks)
+            }
         refined, tracks, visibility = self.refine_all_matches(
             matches_dict, tracks, visibility
         )
@@ -382,6 +393,32 @@ class SfMPipeline:
         # (0,0,0) points (BundleAdjustment.py:95-98).
         Kj = jnp.asarray(K)
         vis_work = vis.copy()
+        # Pre-BA observation gate.  Track observations can be wrong yet
+        # epipolar-consistent (a coincidental match ON the epipolar line
+        # passes F-RANSAC but belongs to a different 3D point) — with
+        # multi-view tracks (--merge_tracks) these surface as 100px-class
+        # residuals that poison the first L2 round before inter-round
+        # pruning can react (observed: the poisoned optimum pushes points
+        # behind cameras and the next round's frozen cheirality mask drops
+        # 96% of observations).  Gate generously against the INITIAL
+        # geometry so only gross mismatches go.
+        Rs_i, Cs_i = RC_from_camera_params(jnp.asarray(cams0))
+        errs0 = np.stack([
+            np.sqrt(np.asarray(reprojection_errors(
+                Kj, Rs_i[c], Cs_i[c], jnp.asarray(pts0), jnp.asarray(obs[c])
+            )))
+            for c in range(n_cam)
+        ])
+        med0 = float(np.median(errs0[vis_work > 0])) if vis_work.any() else 0.0
+        pre_thresh = max(5.0 * cfg.ba_prune_px, 10.0 * med0)
+        drop0 = (errs0 > pre_thresh) & (vis_work > 0)
+        if 0 < drop0.sum() <= 0.5 * vis_work.sum():
+            print(
+                f"pre-BA gate: dropping {int(drop0.sum())} / "
+                f"{int(vis_work.sum())} observations above "
+                f"{pre_thresh:.1f} px at the initial geometry"
+            )
+            vis_work = vis_work * (~drop0)
         rms_before = None
         for ba_round in range(max(1, cfg.ba_rounds)):
             res = bundle_adjust(

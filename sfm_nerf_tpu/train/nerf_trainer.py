@@ -275,9 +275,27 @@ class NeRFTrainer:
         self.start_iter = 0
         self.writer = writer
         self._last_losses: list = []
+        self._orbax = None
+        if cfg.train.ckpt_backend == "orbax":
+            from sfm_nerf_tpu.train.orbax_ckpt import OrbaxCheckpointer
+
+            self._orbax = OrbaxCheckpointer(cfg.checkpoint_path)
 
     # -- checkpointing -----------------------------------------------------
     def try_resume(self) -> bool:
+        if self._orbax is not None:
+            if self._orbax.latest_step() is None:
+                return False
+            params, opt_state, step = self._orbax.restore(
+                self.params, self.opt_state
+            )
+            # orbax returns arrays COMMITTED to their restore devices; go
+            # through the host so jit/shard_map can re-place them freely
+            unpin = lambda x: jnp.asarray(np.asarray(x))
+            self.params = jax.tree_util.tree_map(unpin, params)
+            self.opt_state = jax.tree_util.tree_map(unpin, opt_state)
+            self.start_iter = step + 1
+            return True
         path = ckpt_lib.latest_checkpoint(self.cfg.checkpoint_path)
         if path is None:
             return False
@@ -290,6 +308,14 @@ class NeRFTrainer:
         return True
 
     def save(self, step: int, loss: float, final: bool = False) -> str:
+        if self._orbax is not None:
+            # async: snapshots the arrays and overlaps the write with the
+            # next train steps; fit() waits before returning
+            self._orbax.save(step, self.params, self.opt_state,
+                             extra={"loss": loss})
+            if final:
+                self._orbax.wait()
+            return self.cfg.checkpoint_path
         return ckpt_lib.save_checkpoint(
             self.cfg.checkpoint_path, step, self.params, self.opt_state,
             extra={"loss": loss}, final=final,
@@ -341,6 +367,8 @@ class NeRFTrainer:
             # (Phase2/Wrapper.py:288-293): interrupt -> checkpoint -> exit
             print("KeyboardInterrupt: saving checkpoint before exit")
             self.save(self._it, float(self._loss))
+            if self._orbax is not None:
+                self._orbax.wait()   # commit the async write before exit
             raise
 
         final_loss = float(self._loss)

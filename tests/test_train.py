@@ -149,3 +149,31 @@ def test_blender_loader_downscale(tmp_path):
     np.testing.assert_allclose(
         cam2.camera_matrix[0, 0], cam1.camera_matrix[0, 0] / 2, rtol=1e-6
     )
+
+
+def test_orbax_backend_roundtrip_and_resume(tmp_path):
+    """ckpt_backend='orbax': async save commits; resume restores state and
+    continues from the saved step."""
+    import dataclasses
+
+    root = make_blender_dataset(str(tmp_path / "data"), n_frames=2,
+                                height=16, width=16)
+    images, poses, cam = load_blender_dataset(root, "train")
+    cfg = tiny_cfg(tmp_path, ckpt_backend="orbax", save_ckpt_iter=5)
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    trainer.fit(max_iters=11, progress=False)
+    trainer._orbax.wait()
+    assert trainer._orbax.latest_step() == 10
+
+    cfg2 = dataclasses.replace(cfg, load_checkpoint=True)
+    trainer2 = NeRFTrainer(cfg2, images, poses, cam.camera_matrix)
+    assert trainer2.try_resume()
+    assert trainer2.start_iter == 11
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer2.params),
+        jax.tree_util.tree_leaves(trainer.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training keeps running
+    trainer2.fit(max_iters=16, progress=False)
+    assert trainer2._steps_done == 5
