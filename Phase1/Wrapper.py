@@ -31,6 +31,11 @@ def main():
                         type=lambda s: s.lower() not in ("0", "false", "no"),
                         help="run geometry in float64 (reference precision; "
                              "forced off on TPU, which has no f64)")
+    parser.add_argument("--essential_method", default="from_f",
+                        choices=["from_f", "5pt"],
+                        help="two-view E: conjugate the 8-point F "
+                             "(reference behavior) or the Stewenius 5-point "
+                             "minimal solver")
     parser.add_argument("--merge_tracks", action="store_true",
                         help="reconcile re-detected features across matching "
                              "files into single tracks (the reference's "
@@ -73,6 +78,7 @@ def main():
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,
+        essential_method=args.essential_method,
         merge_tracks=args.merge_tracks,
         seed=args.seed,
         output_dir=args.output_dir,

@@ -47,10 +47,15 @@ def main():
     # f32 on this chip — XLA already demotes f32 matmuls (the attachment
     # sets --xla_allow_excess_precision), so the casts only add VPU work.
     compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # default: the fused Pallas forward+backward kernel (custom VJP).
+    # 91.4k rays/s at this config vs 34.7k for the XLA autodiff path, at
+    # XLA-matching training quality (41.36 vs 41.5 dB on the quality demo
+    # — PERFORMANCE.md).  BENCH_FUSED=0 measures the XLA path.
+    use_fused = os.environ.get("BENCH_FUSED", "1") != "0"
 
     cfg = NeRFPipelineConfig(
         model=NeRFModelConfig(arch="active"),
-        render=RenderConfig(n_sample=n_sample),
+        render=RenderConfig(n_sample=n_sample, use_fused_kernel=use_fused),
         train=TrainConfig(n_rays_batch=n_rays, compute_dtype=compute_dtype),
     )
     rng = np.random.default_rng(0)

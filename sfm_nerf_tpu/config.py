@@ -142,6 +142,11 @@ class SfMConfig:
     # two-view pose recovery (reference quirks available as switches)
     essential_cleanup: bool = True     # project E singulars to (1,1,0)
     center_convention: str = "hz"      # 'hz' (correct) | 'reference' (quirk)
+    # E estimation: 'from_f' conjugates the 8-point F (reference behavior);
+    # '5pt' runs the Stewenius minimal solver directly (ops/essential5.py)
+    essential_method: str = "from_f"
+    e5_ransac_iters: int = 1000
+    e5_threshold_px: float = 1.0
     # nonlinear refinement
     two_view_refine_pose: bool = True  # joint pose+points BA after two-view
     tri_refine_iters: int = 20       # LM steps for per-point triangulation

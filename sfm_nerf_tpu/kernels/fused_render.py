@@ -136,9 +136,15 @@ def _make_kernel(
             return out if out_dtype is f32 else out.astype(w_dtype)
 
         def trig_encode(x, mat_ref, phase_ref):
-            """sin(x @ F + phase): the whole sin/cos bank in one matmul +
-            one lane-wide transcendental (see pe_trig_matrices)."""
-            u = jnp.dot(x, mat_ref[:], preferred_element_type=f32)
+            """sin(x @ F + phase): the whole sin/cos bank via three
+            broadcasted VPU FMAs + one lane-wide transcendental (see
+            pe_trig_matrices).  The K=3 contraction is kept OFF the MXU:
+            Mosaic would demote it to single-pass bf16, and phase error is
+            amplified by frequencies up to pi*2^L (the high-frequency
+            features decohere); broadcast FMAs are exact f32."""
+            mat = mat_ref[:]
+            u = (x[:, 0:1] * mat[0:1, :] + x[:, 1:2] * mat[1:2, :]
+                 + x[:, 2:3] * mat[2:3, :])
             return jnp.sin(u + phase_ref[:])
 
         def subtile_body(s, _):
@@ -224,7 +230,11 @@ def _make_kernel(
                 cols = jax.lax.broadcasted_iota(
                     jnp.int32, (sample_chunk, sample_chunk), 1)
                 tri = (rows <= cols).astype(f32)                # inclusive
-                csum = jnp.dot(log1m, tri, preferred_element_type=f32)
+                # HIGHEST: |log T| reaches ~23, where single-pass bf16
+                # loses ABSOLUTE precision that exp() then amplifies; this
+                # per-ray-rows dot is negligible next to the MLP matmuls
+                csum = jnp.dot(log1m, tri, preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
                 cum = jnp.exp(csum)                             # incl cumprod
                 # 'train' variant: exclusive transmittance (train.py:261-263)
                 # 'legacy': inclusive (Wrapper.py:175-176 off-by-one kept)

@@ -125,7 +125,20 @@ class SfMPipeline:
         refinement (the reference's ``triangulate``, Wrapper.py:397-594)."""
         cfg = self.cfg
         Kj = jnp.asarray(K)
-        E = essential_from_fundamental(Kj, jnp.asarray(F))
+        if cfg.essential_method == "5pt":
+            # direct minimal-solver estimate on the already-refined matches
+            # (ADDITION: the reference only knows F->E conjugation)
+            from sfm_nerf_tpu.ops.essential5 import ransac_essential_5pt
+
+            E_np, _ = ransac_essential_5pt(
+                np.asarray(pts1), np.asarray(pts2), np.asarray(K),
+                n_iters=cfg.e5_ransac_iters,
+                threshold_px=cfg.e5_threshold_px,
+                seed=cfg.seed,
+            )
+            E = jnp.asarray(E_np)
+        else:
+            E = essential_from_fundamental(Kj, jnp.asarray(F))
         if cfg.essential_cleanup:
             E = cleanup_essential(E)
         Cs, Rs = decompose_essential(E, cfg.center_convention)
