@@ -52,3 +52,31 @@ def test_save_ply(tmp_path, rng):
     assert len(lines) == 10 + 30  # header + points
     vals = lines[-1].split()
     assert len(vals) == 6
+
+
+def test_binary_ply_roundtrip(tmp_path):
+    """Native binary PLY writer: header + packed records parse back."""
+    import struct
+
+    import numpy as np
+
+    from sfm_nerf_tpu.io.artifacts import save_ply
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(257, 3))
+    cols = rng.integers(0, 256, (257, 3)).astype(np.uint8)
+    p = save_ply(pts, cols, str(tmp_path), "bin.ply", binary=True)
+    raw = open(p, "rb").read()
+    hdr_end = raw.index(b"end_header\n") + len(b"end_header\n")
+    hdr = raw[:hdr_end]
+    assert b"binary_little_endian" in hdr and b"element vertex 257" in hdr
+    body = raw[hdr_end:]
+    assert len(body) == 257 * 15
+    for i in (0, 128, 256):
+        rec = body[i * 15:(i + 1) * 15]
+        np.testing.assert_allclose(
+            struct.unpack("<fff", rec[:12]), pts[i], rtol=1e-6)
+        assert rec[12:15] == cols[i].tobytes()
+    # ascii mode still available
+    p2 = save_ply(pts, cols, str(tmp_path), "ascii.ply", binary=False)
+    assert b"format ascii" in open(p2, "rb").read(64)

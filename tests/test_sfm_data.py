@@ -78,3 +78,23 @@ def test_calibration_loader():
     assert K.shape == (3, 3)
     assert K[2, 2] == 1.0
     assert K[0, 0] > 100  # focal in pixels
+
+
+def test_parse_matching_table_scale_api(tmp_path):
+    """Table API == dict API content; visibility via fancy indexing."""
+    import numpy as np
+
+    from sfm_nerf_tpu.io.sfm_data import (
+        parse_matching_files, parse_matching_table, visibility_from_table,
+    )
+
+    rows, nfeat = parse_matching_table(REF_DATA, 5)
+    md, tracks, vis = parse_matching_files(REF_DATA, 5, use_native=False)
+    assert nfeat == len(tracks)
+    vis_t = visibility_from_table(rows, nfeat)
+    np.testing.assert_array_equal(vis_t, vis)
+    # match rows in the table reproduce every pair's match array
+    m = rows[rows[:, 1] != 0]
+    for (i, j), arr in md.items():
+        sel = m[(m[:, 0] == i) & (m[:, 1] == j)]
+        np.testing.assert_array_equal(sel[:, [2, 3, 4, 5, 6]], arr)
