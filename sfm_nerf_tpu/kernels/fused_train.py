@@ -28,7 +28,6 @@ PERFORMANCE.md.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,10 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sfm_nerf_tpu.config import NeRFModelConfig, RenderConfig
 from sfm_nerf_tpu.kernels.fused_render import (
     _ACTIVE_LAYERS,
-    pack_active_params,
     pe_trig_matrices,
 )
 
