@@ -1,0 +1,115 @@
+"""Spectral rotation averaging: exact recovery, noise resilience,
+partial graphs, gauge anchoring."""
+
+import numpy as np
+import jax
+import pytest
+
+from sfm_nerf_tpu.ops.rotation_avg import (
+    project_to_so3,
+    relative_rotation_residuals,
+    rotation_averaging,
+)
+
+
+def random_rotations(rng, n):
+    Rs = []
+    for _ in range(n):
+        Q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        Rs.append(Q)
+    return np.stack(Rs)
+
+
+def perturb(rng, R, angle):
+    v = rng.normal(size=3)
+    v = v / np.linalg.norm(v) * angle
+    K = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    from scipy.linalg import expm
+
+    return expm(K) @ R
+
+
+def angular_err(A, B):
+    cos = (np.trace(A @ B.T) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def make_problem(rng, n, edges, noise=0.0):
+    R_true = random_rotations(rng, n)
+    pairs, rels = [], []
+    for i, j in edges:
+        R_ij = R_true[j] @ R_true[i].T
+        if noise:
+            R_ij = perturb(rng, R_ij, noise)
+        pairs.append((i, j))
+        rels.append(R_ij)
+    return R_true, pairs, np.stack(rels)
+
+
+def full_graph(n):
+    return [(i, j) for i in range(n) for j in range(i + 1, n)]
+
+
+def test_exact_full_graph():
+    rng = np.random.default_rng(0)
+    R_true, pairs, rels = make_problem(rng, 6, full_graph(6))
+    R = np.asarray(rotation_averaging(pairs, rels, 6, anchor=0))
+    # same gauge: anchor both to camera 0
+    R_ref = R_true @ R_true[0].T
+    for a, b in zip(R, R_ref):
+        assert angular_err(a, b) < 1e-5
+
+
+def test_noisy_full_graph_averages_down_error():
+    rng = np.random.default_rng(1)
+    noise = np.radians(2.0)
+    R_true, pairs, rels = make_problem(rng, 10, full_graph(10), noise=noise)
+    R = np.asarray(rotation_averaging(pairs, rels, 10))
+    R_ref = R_true @ R_true[0].T
+    errs = [angular_err(a, b) for a, b in zip(R, R_ref)]
+    # averaging over 9 edges/camera should beat the per-edge noise
+    assert np.mean(errs) < 2.0, errs
+    res = np.asarray(relative_rotation_residuals(pairs, rels, R))
+    assert np.degrees(res.mean()) < 3.0
+
+
+def test_sparse_chain_plus_loop():
+    rng = np.random.default_rng(2)
+    n = 8
+    edges = [(i, i + 1) for i in range(n - 1)] + [(0, n - 1), (0, 4)]
+    R_true, pairs, rels = make_problem(rng, n, edges)
+    R = np.asarray(rotation_averaging(pairs, rels, n))
+    R_ref = R_true @ R_true[0].T
+    for a, b in zip(R, R_ref):
+        assert angular_err(a, b) < 1e-4
+
+
+def test_anchor_and_orthonormality():
+    rng = np.random.default_rng(3)
+    R_true, pairs, rels = make_problem(rng, 5, full_graph(5), noise=0.05)
+    R = np.asarray(rotation_averaging(pairs, rels, 5, anchor=2))
+    np.testing.assert_allclose(R[2], np.eye(3), atol=1e-6)
+    for Ri in R:
+        np.testing.assert_allclose(Ri @ Ri.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(Ri) > 0.99
+
+
+def test_project_to_so3_batched():
+    rng = np.random.default_rng(4)
+    M = rng.normal(size=(7, 3, 3))
+    R = np.asarray(project_to_so3(M))
+    for Ri in R:
+        np.testing.assert_allclose(Ri @ Ri.T, np.eye(3), atol=1e-8)
+        assert np.linalg.det(Ri) > 0
+
+
+def test_jit_compatible():
+    rng = np.random.default_rng(5)
+    R_true, pairs, rels = make_problem(rng, 4, full_graph(4))
+    fn = jax.jit(lambda r: rotation_averaging(pairs, r, 4))
+    R = np.asarray(fn(rels))
+    R_ref = R_true @ R_true[0].T
+    for a, b in zip(R, R_ref):
+        assert angular_err(a, b) < 1e-4
