@@ -32,3 +32,54 @@ def make_mesh(
         raise ValueError(f"dp*tp={dp * tp} exceeds device count {n}")
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, (data_axis, model_axis))
+
+
+def make_multihost_mesh(
+    dp_per_host: int = 0,
+    tp: int = 1,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    dcn_axis: str = "dcn",
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """('dcn', 'data', 'model') mesh spanning hosts (scaling-book recipe:
+    bandwidth-light replica reduction rides DCN, bandwidth-heavy axes stay
+    on ICI).
+
+    Call on EVERY process.  ``jax.distributed.initialize`` is invoked
+    (no-op if already initialized) from the explicit arguments or the
+    standard env vars (JAX_COORDINATOR_ADDRESS etc. / cloud-TPU metadata).
+    The DCN axis length is the process count; each host contributes
+    ``dp_per_host x tp`` local devices.  The companion train step reduces
+    gradients over ``(dcn, data)`` together (a single pmean over both axes
+    — XLA splits it into an ICI reduce + DCN all-reduce of the partial).
+
+    Single-process fallback: dcn axis of length 1, identical math to
+    ``make_mesh`` (so the same step function serves both).
+    """
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    n_proc = jax.process_count()
+    local = jax.local_device_count()
+    if tp < 1 or local % tp:
+        raise ValueError(f"tp={tp} must divide local device count {local}")
+    if dp_per_host <= 0:
+        dp_per_host = local // tp
+    if n_proc > 1:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (dp_per_host, tp), (n_proc, 1),
+            devices=jax.devices(), allow_split_physical_axes=True,
+        ).reshape(n_proc, dp_per_host, tp)
+    else:
+        arr = np.asarray(jax.devices()[: dp_per_host * tp]).reshape(
+            1, dp_per_host, tp
+        )
+    return Mesh(arr, (dcn_axis, data_axis, model_axis))

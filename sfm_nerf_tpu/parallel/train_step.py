@@ -49,26 +49,37 @@ def make_dp_train_step(
     """
     from sfm_nerf_tpu.train.nerf_trainer import make_loss_fn
 
-    axis = cfg.parallel.data_axis
-    dp = mesh.shape[axis]
-    if cfg.train.n_rays_batch % dp:
+    # every non-model mesh axis carries rays: ('data',) on one host, or
+    # ('dcn', 'data') on a multi-host mesh (make_multihost_mesh) — one
+    # pmean over the tuple reduces over ICI first, then DCN
+    axes = tuple(
+        a for a in mesh.axis_names if a != cfg.parallel.model_axis
+    )
+    sizes = [mesh.shape[a] for a in axes]
+    world = 1
+    for s in sizes:
+        world *= s
+    if cfg.train.n_rays_batch % world:
         raise ValueError(
-            f"n_rays_batch={cfg.train.n_rays_batch} not divisible by dp={dp}"
+            f"n_rays_batch={cfg.train.n_rays_batch} not divisible by "
+            f"world={world}"
         )
-    loss_fn = make_loss_fn(cfg, n_rays=cfg.train.n_rays_batch // dp)
+    loss_fn = make_loss_fn(cfg, n_rays=cfg.train.n_rays_batch // world)
 
     def shard_step(params, opt_state, key, images, poses, K):
-        # Per-chip RNG: fold the step key by mesh position so the union of
-        # per-chip draws is a deterministic function of (key, mesh shape).
-        idx = jax.lax.axis_index(axis)
+        # Per-chip RNG: fold the step key by linearized mesh position so
+        # the union of per-chip draws is a deterministic function of
+        # (key, mesh shape).
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
         key_local = jax.random.fold_in(key, idx)
         key_sample, key_render = jax.random.split(key_local)
         loss, grads = jax.value_and_grad(loss_fn)(
             params, key_sample, key_render, images, poses, K
         )
-        # ICI collectives: mean-reduce grads and loss across the data axis.
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axes)
+        loss = jax.lax.pmean(loss, axes)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -207,3 +207,40 @@ def test_sharded_render_hierarchical_keyed(scene):
         sharded(params, K, poses[0], 16, 16, key=jax.random.key(2)))
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
+
+
+def test_multihost_mesh_single_process_and_dcn_shaped_step(scene):
+    """make_multihost_mesh degrades to a dcn=1 mesh single-process, and the
+    dp step reduces over a ('dcn','data') factored mesh identically to the
+    flat 8-way data mesh (same rays, same math, different reduce shape)."""
+    from sfm_nerf_tpu.parallel.mesh import make_multihost_mesh
+    from jax.sharding import Mesh
+
+    images, poses, K = scene
+    cfg = small_cfg(n_rays=256)
+    tx = make_optimizer(cfg)
+    params = init_nerf_params(jax.random.key(0), cfg.model)
+    key = jax.random.key(3)
+
+    # single-process fallback: ('dcn'=1, 'data'=8, 'model'=1)
+    mesh1 = make_multihost_mesh(dp_per_host=8, tp=1)
+    assert mesh1.shape["dcn"] == 1 and mesh1.shape["data"] == 8
+    step1 = make_dp_train_step(cfg, tx, mesh1)
+    donate = lambda: jax.tree_util.tree_map(jnp.copy, params)
+    p1, _, l1 = step1(donate(), tx.init(params), key, images, poses, K)
+    assert np.isfinite(float(l1))
+
+    # simulated 2-host layout: same 8 devices factored ('dcn'=2, 'data'=4)
+    devs = np.asarray(jax.devices()).reshape(2, 4, 1)
+    mesh2 = Mesh(devs, ("dcn", "data", "model"))
+    step2 = make_dp_train_step(cfg, tx, mesh2)
+    p2, _, l2 = step2(donate(), tx.init(params), key, images, poses, K)
+    assert np.isfinite(float(l2))
+    # the 8 chips draw the same per-chip ray sets (linearized fold_in), so
+    # both factorizations compute the same global gradient
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
