@@ -36,6 +36,10 @@ def main():
                         help="two-view E: conjugate the 8-point F "
                              "(reference behavior) or the Stewenius 5-point "
                              "minimal solver")
+    parser.add_argument("--global_rotation_init", action="store_true",
+                        help="re-initialize all camera rotations by global "
+                             "rotation averaging over pairwise essentials "
+                             "before bundle adjustment")
     parser.add_argument("--merge_tracks", action="store_true",
                         help="reconcile re-detected features across matching "
                              "files into single tracks (the reference's "
@@ -79,6 +83,7 @@ def main():
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,
         essential_method=args.essential_method,
+        global_rotation_init=args.global_rotation_init,
         merge_tracks=args.merge_tracks,
         seed=args.seed,
         output_dir=args.output_dir,

@@ -156,6 +156,10 @@ class SfMConfig:
     ba_prune_px: float = 3.0         # drop observations above this reproj err
     ba_loss: str = "linear"          # 'linear' (reference parity) | 'huber'
     ba_huber_delta: float = 3.0      # px; robust-loss transition
+    # global rotation averaging before BA (ADDITION: re-initializes all
+    # camera rotations jointly from pairwise essentials; the reference's
+    # incremental chaining compounds error camera-by-camera)
+    global_rotation_init: bool = False
     # track merging across matching files (ADDITION: the reference's
     # per-file feature namespace never reconciles re-detections)
     merge_tracks: bool = False

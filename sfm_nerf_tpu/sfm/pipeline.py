@@ -262,6 +262,39 @@ class SfMPipeline:
         return np.asarray(C), np.asarray(R)
 
     # ------------------------------------------------------------------
+    def _retriangulate_all(self, K, camera_info, tracks, fidx_to_3d,
+                           cam_ids) -> None:
+        """Re-triangulate every mapped feature from its first/last
+        registered views under the CURRENT camera poses (batched per view
+        pair), updating ``fidx_to_3d`` in place."""
+        cfg = self.cfg
+        Kj = jnp.asarray(K)
+        groups: Dict[Tuple[int, int], list] = {}
+        for f in list(fidx_to_3d):
+            views = [c for c in cam_ids if c in tracks[f]]
+            if len(views) >= 2:
+                groups.setdefault((views[0], views[-1]), []).append(f)
+        for (i, j), fs in groups.items():
+            p1 = np.asarray([tracks[f][i][:2] for f in fs])
+            p2 = np.asarray([tracks[f][j][:2] for f in fs])
+            Ri = jnp.asarray(camera_info[i]["R"])
+            Ci = np.asarray(camera_info[i]["C"]).reshape(3)
+            Rj = jnp.asarray(camera_info[j]["R"])
+            Cj = np.asarray(camera_info[j]["C"]).reshape(3)
+            X = triangulate_linear(
+                Kj, Ri, jnp.asarray(-np.asarray(Ri) @ Ci),
+                Rj, jnp.asarray(-np.asarray(Rj) @ Cj),
+                jnp.asarray(p1), jnp.asarray(p2),
+            )
+            X, _, _ = triangulate_nonlinear(
+                Kj, Ri, jnp.asarray(Ci), Rj, jnp.asarray(Cj),
+                jnp.asarray(p1), jnp.asarray(p2), X,
+                n_iters=cfg.tri_refine_iters,
+            )
+            for f, x in zip(fs, np.asarray(X)):
+                fidx_to_3d[f] = x
+
+    # ------------------------------------------------------------------
     def run(self) -> Dict:
         cfg = self.cfg
         t_start = time.time()
@@ -369,6 +402,60 @@ class SfMPipeline:
                 for n, row in enumerate(arr):
                     fidx_to_3d.setdefault(int(row[-1]), Xnew[n])
             print(f"Registered Camera: {i}")
+
+        # --- optional global rotation re-initialization ----------------
+        # Incremental chaining compounds rotation error camera-by-camera;
+        # averaging solves all rotations jointly from the pairwise
+        # measurements (ADDITION; ops/rotation_avg.py) before BA polishes.
+        if cfg.global_rotation_init and len(camera_info) >= 3:
+            from sfm_nerf_tpu.ops.rotation_avg import (
+                relative_rotation_residuals, rotation_averaging,
+            )
+
+            cam_ids = sorted(camera_info.keys())
+            col = {c: n for n, c in enumerate(cam_ids)}
+            Kj0 = jnp.asarray(K)
+            pairs, rels = [], []
+            for (i, j), (Fij, mij) in refined.items():
+                if i not in col or j not in col or len(mij) < 8:
+                    continue
+                Eij = essential_from_fundamental(Kj0, jnp.asarray(Fij))
+                if cfg.essential_cleanup:
+                    Eij = cleanup_essential(Eij)
+                Cs, Rs = decompose_essential(Eij, cfg.center_convention)
+                _, _, R_rel, _, _ = disambiguate_pose(
+                    Kj0, Cs, Rs,
+                    jnp.asarray(mij[:, 0:2]), jnp.asarray(mij[:, 2:4]),
+                )
+                pairs.append((col[i], col[j]))
+                rels.append(np.asarray(R_rel))
+            if len(pairs) >= len(cam_ids) - 1:
+                R_avg = np.asarray(rotation_averaging(
+                    pairs, np.stack(rels), len(cam_ids),
+                    anchor=col[cam_ids[0]],
+                ))
+                # gauge: averaged rotations are relative to the anchor,
+                # whose global rotation stays what it is (identity here)
+                R_anchor = camera_info[cam_ids[0]]["R"]
+                res = np.degrees(np.asarray(relative_rotation_residuals(
+                    pairs, np.stack(rels), jnp.asarray(R_avg))))
+                print(
+                    f"Rotation averaging over {len(pairs)} pairs: "
+                    f"mean pairwise residual {res.mean():.2f} deg"
+                )
+                for c in cam_ids:
+                    camera_info[c]["R"] = R_avg[col[c]] @ R_anchor
+                self.stats["rotation_avg"] = {
+                    "n_pairs": len(pairs),
+                    "mean_residual_deg": float(res.mean()),
+                }
+                # the existing points were triangulated under the OLD
+                # rotations — re-triangulate everything under the
+                # re-initialized cameras (global-SfM shape: rotations ->
+                # structure -> BA), else the stale points trip the frozen
+                # cheirality mask
+                self._retriangulate_all(
+                    K, camera_info, tracks, fidx_to_3d, cam_ids)
 
         # --- pre-BA artifacts ------------------------------------------
         all_points = np.asarray(list(fidx_to_3d.values()))

@@ -60,3 +60,25 @@ def test_full_pipeline_beats_reference_tables(tmp_path):
         "sfm_stats.json",
     ):
         assert os.path.exists(os.path.join(str(tmp_path), name)), name
+
+
+def test_pipeline_global_rotation_init(tmp_path):
+    """Rotation-averaging init + re-triangulation reaches the same error
+    regime as the incremental init on the bundled dataset."""
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.sfm import SfMPipeline
+
+    cfg = SfMConfig(
+        data_path=REF_DATA,
+        ransac_iters=1500,
+        pnp_iters=1500,
+        ba_max_iters=30,
+        global_rotation_init=True,
+        output_dir=str(tmp_path),
+        seed=0,
+    )
+    result = SfMPipeline(cfg).run()
+    stats = result["stats"]
+    assert stats["rotation_avg"]["n_pairs"] >= 4
+    assert stats["rotation_avg"]["mean_residual_deg"] < 3.0
+    assert stats["ba"]["final_err_px"]["median"] < 1.0
