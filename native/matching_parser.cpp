@@ -165,9 +165,11 @@ int64_t parse_matching_dir(const char* folder, int num_images, double* out,
     fclose(f);
     buf[size] = '\0';
     files[i].present = true;
-    // reuse the single-file parser on the in-memory buffer via a local
-    // capacity bound: rows < doubles in file, 8 doubles per row
-    int64_t cap = size + 16;
+    // capacity bound: every output row consumes >= 4 bytes of text (a
+    // match row is "j u v" >= 6 chars; a self row comes from >= 12) —
+    // size/4 + slack keeps peak memory ~16 bytes per text byte instead of
+    // the naive one-row-per-byte (~128x) bound
+    int64_t cap = size / 4 + 16;
     files[i].rows.resize(cap * 8);
     Cursor c{buf.data(), buf.data() + size};
     while (c.p < c.end && *c.p != '\n') ++c.p;
@@ -213,6 +215,11 @@ int64_t parse_matching_dir(const char* folder, int num_images, double* out,
     }
     files[i].n_rows = rows;
     files[i].n_features = f_idx;
+    // release the slack immediately — with thousands of files in flight
+    // the oversized buffers would otherwise all coexist until the final
+    // concatenation
+    files[i].rows.resize(rows * 8);
+    files[i].rows.shrink_to_fit();
   };
 
   unsigned hw = std::thread::hardware_concurrency();

@@ -178,7 +178,8 @@ def parse_matching_table(
     for i_ref in range(1, num_images + 1):
         fp = os.path.join(folder_path, f"matching{i_ref}.txt")
         if os.path.isfile(fp):
-            cap += os.path.getsize(fp) + 16      # rows < bytes in file
+            # every row consumes >= 4 text bytes (see matching_parser.cpp)
+            cap += os.path.getsize(fp) // 4 + 16
     buf = np.empty((cap, 8), dtype=np.float64)
     nfeat = ctypes.c_int64(0)
     n = lib.parse_matching_dir(

@@ -191,7 +191,14 @@ def ransac_essential_5pt(
     h1 = np.concatenate([pts1, np.ones((n, 1))], 1) @ Kinv.T
     h2 = np.concatenate([pts2, np.ones((n, 1))], 1) @ Kinv.T
     rng = np.random.default_rng(seed)
-    idx = rng.integers(0, n, size=(n_iters, 5))
+    # duplicate-free minimal samples: with-replacement draws are degenerate
+    # (rank <= 4 constraints) surprisingly often — for n=10 about 70% of
+    # 5-tuples would contain a repeat
+    if n == 5:
+        idx = np.tile(np.arange(5), (n_iters, 1))
+    else:
+        u = rng.random((n_iters, n))
+        idx = np.argpartition(u, 5, axis=1)[:, :5]
     cands = five_point_essential(
         h1[idx][..., :2] / h1[idx][..., 2:],
         h2[idx][..., :2] / h2[idx][..., 2:],
@@ -200,18 +207,27 @@ def ransac_essential_5pt(
     cands = cands[good]
     if cands.shape[0] == 0:
         raise RuntimeError("5-point solver produced no candidates")
-    F = np.einsum("ij,bjk,kl->bil", Kinv.T, cands, Kinv)
 
-    # Sampson distance in px, batched over hypotheses x points
+    # Sampson distance in px; hypotheses scored in fixed-size chunks so
+    # peak memory stays bounded (mirrors ransac_fundamental's chunked
+    # lax.map — (H, N, 3) f64 at H=10k, N=10k would be gigabytes)
     p1 = np.concatenate([pts1, np.ones((n, 1))], 1)
     p2 = np.concatenate([pts2, np.ones((n, 1))], 1)
-    Fx1 = np.einsum("bij,nj->bni", F, p1)        # (H, N, 3)
-    Ftx2 = np.einsum("bji,nj->bni", F, p2)
-    num = np.einsum("ni,bni->bn", p2, Fx1) ** 2
-    den = (Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2
-           + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2)
-    d = num / np.maximum(den, 1e-18)
-    inl = d < threshold_px ** 2
-    counts = inl.sum(1)
-    best = int(np.argmax(counts))
-    return cands[best], inl[best]
+    chunk = max(1, int(2**22 // max(n, 1)))      # ~100 MB of f64 temporaries
+    best_count, best_E, best_inl = -1, None, None
+    for s in range(0, cands.shape[0], chunk):
+        Ec = cands[s:s + chunk]
+        F = np.einsum("ij,bjk,kl->bil", Kinv.T, Ec, Kinv)
+        Fx1 = np.einsum("bij,nj->bni", F, p1)    # (h, N, 3)
+        Ftx2 = np.einsum("bji,nj->bni", F, p2)
+        num = np.einsum("ni,bni->bn", p2, Fx1) ** 2
+        den = (Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2
+               + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2)
+        d = num / np.maximum(den, 1e-18)
+        inl = d < threshold_px ** 2
+        counts = inl.sum(1)
+        b = int(np.argmax(counts))
+        if counts[b] > best_count:
+            best_count = int(counts[b])
+            best_E, best_inl = Ec[b], inl[b]
+    return best_E, best_inl

@@ -48,9 +48,11 @@ def make_multihost_mesh(
     bandwidth-light replica reduction rides DCN, bandwidth-heavy axes stay
     on ICI).
 
-    Call on EVERY process.  ``jax.distributed.initialize`` is invoked
-    (no-op if already initialized) from the explicit arguments or the
-    standard env vars (JAX_COORDINATOR_ADDRESS etc. / cloud-TPU metadata).
+    Call on EVERY process.  ``jax.distributed.initialize`` is invoked from
+    the explicit arguments or the standard env vars
+    (JAX_COORDINATOR_ADDRESS etc. / cloud-TPU metadata); the call is
+    skipped when the distributed client already exists (initialize raises
+    on double-init), so rebuilding the mesh after a config change is safe.
     The DCN axis length is the process count; each host contributes
     ``dp_per_host x tp`` local devices.  The companion train step reduces
     gradients over ``(dcn, data)`` together (a single pmean over both axes
@@ -60,11 +62,14 @@ def make_multihost_mesh(
     ``make_mesh`` (so the same step function serves both).
     """
     if num_processes is not None and num_processes > 1 or coordinator_address:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     n_proc = jax.process_count()
     local = jax.local_device_count()
     if tp < 1 or local % tp:

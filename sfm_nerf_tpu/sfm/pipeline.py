@@ -291,8 +291,18 @@ class SfMPipeline:
                 jnp.asarray(p1), jnp.asarray(p2), X,
                 n_iters=cfg.tri_refine_iters,
             )
-            for f, x in zip(fs, np.asarray(X)):
-                fidx_to_3d[f] = x
+            Xn = np.asarray(X)
+            # keep the previous estimate for degenerate re-triangulations
+            # (near-zero baseline -> inf/NaN; or the point lands behind
+            # either camera) — every other triangulation site gates on
+            # cheirality, this one must too
+            Rin, Rjn = np.asarray(Ri), np.asarray(Rj)
+            z1 = (Xn - Ci) @ Rin[2]
+            z2 = (Xn - Cj) @ Rjn[2]
+            ok = np.isfinite(Xn).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
+            for f, x, good in zip(fs, Xn, ok):
+                if good:
+                    fidx_to_3d[f] = x
 
     # ------------------------------------------------------------------
     def run(self) -> Dict:
@@ -305,20 +315,29 @@ class SfMPipeline:
         matches_dict, tracks, visibility = parse_matching_files(
             cfg.data_path, cfg.num_images
         )
+        refined, tracks, visibility = self.refine_all_matches(
+            matches_dict, tracks, visibility
+        )
         if cfg.merge_tracks:
+            # Merge AFTER per-pair RANSAC refinement: (a) unions are built
+            # from verified observations only, and (b) one pair's outlier
+            # verdict can no longer delete an observation that another
+            # pair's inliers vouch for (refine's per-image deletion was
+            # scoped to single-file tracks; merged tracks span files).
             from sfm_nerf_tpu.sfm.tracks import merge_tracks
 
             n_before = len(tracks)
-            matches_dict, tracks, visibility, _ = merge_tracks(
-                matches_dict, tracks, tol=cfg.merge_tol
+            inlier_matches = {pair: m for pair, (_, m) in refined.items()}
+            remapped, tracks, visibility, _ = merge_tracks(
+                inlier_matches, tracks, tol=cfg.merge_tol
             )
+            refined = {
+                pair: (F, remapped[pair]) for pair, (F, _) in refined.items()
+            }
             print(f"Track merging: {n_before} -> {len(tracks)} tracks")
             self.stats["track_merge"] = {
                 "before": n_before, "after": len(tracks)
             }
-        refined, tracks, visibility = self.refine_all_matches(
-            matches_dict, tracks, visibility
-        )
 
         # --- two-view initialization on (1,2) --------------------------
         F12, m12 = refined[(1, 2)]
@@ -429,7 +448,26 @@ class SfMPipeline:
                 )
                 pairs.append((col[i], col[j]))
                 rels.append(np.asarray(R_rel))
-            if len(pairs) >= len(cam_ids) - 1:
+            # the spectral solve is only meaningful on a CONNECTED pose
+            # graph containing the anchor — a disconnected component's
+            # eigenvector blocks are independent (measured: 131-170 deg
+            # garbage that would overwrite every camera)
+            parent = list(range(len(cam_ids)))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                parent[find(a)] = find(b)
+            connected = len({find(n) for n in range(len(cam_ids))}) == 1
+            if not connected:
+                print(
+                    "Rotation averaging skipped: pose graph disconnected"
+                )
+            if connected and len(pairs) >= len(cam_ids) - 1:
                 R_avg = np.asarray(rotation_averaging(
                     pairs, np.stack(rels), len(cam_ids),
                     anchor=col[cam_ids[0]],
@@ -509,9 +547,16 @@ class SfMPipeline:
             )))
             for c in range(n_cam)
         ])
-        med0 = float(np.median(errs0[vis_work > 0])) if vis_work.any() else 0.0
+        med0 = (
+            float(np.nanmedian(errs0[vis_work > 0])) if vis_work.any() else 0.0
+        )
+        if not np.isfinite(med0):
+            med0 = 0.0
         pre_thresh = max(5.0 * cfg.ba_prune_px, 10.0 * med0)
-        drop0 = (errs0 > pre_thresh) & (vis_work > 0)
+        # NaN-safe: a non-finite error (degenerate triangulation near a
+        # principal plane) must be DROPPED, not kept — `> thresh` is False
+        # for NaN, which would silently disable exactly this gate
+        drop0 = ~(errs0 <= pre_thresh) & (vis_work > 0)
         if 0 < drop0.sum() <= 0.5 * vis_work.sum():
             print(
                 f"pre-BA gate: dropping {int(drop0.sum())} / "
