@@ -37,13 +37,20 @@ from sfm_nerf_tpu.ops.linalg import HI, rodrigues
 def _observe(cam: jnp.ndarray, X: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """Residual-ready projection of one point through one camera.
 
-    cam = [rvec(3), tvec(3)]; returns pixel (2,).  Behind-camera guarding is
-    done by the caller via masks; here z is clamped away from 0 so the
-    Jacobian stays finite.
+    cam = [rvec(3), tvec(3)]; returns pixel (2,).  The depth clamp is
+    ONE-SIDED (z floored at +1e-6, never sign-preserving): u = f*x/z is
+    invariant under reflecting a point through the camera center, so a
+    sign-preserving clamp lets LM march the whole rig through a distant
+    point cloud to a mirrored optimum with near-identical residuals but
+    every depth negative (observed on the bundled 5-view data: round-1
+    global BA ended with 99% of observations behind the cameras at
+    sub-pixel "error", gutting round 2 via the frozen cheirality mask).
+    Flooring z makes behind-camera projections astronomically wrong, i.e.
+    the cost itself is a cheirality barrier; the Jacobian stays finite.
     """
     R = rodrigues(cam[:3])
     xc = R @ X + cam[3:]
-    z = jnp.where(jnp.abs(xc[2]) < 1e-8, 1e-8, xc[2])
+    z = jnp.maximum(xc[2], 1e-6)
     u = K[0, 0] * xc[0] / z + K[0, 2]
     v = K[1, 1] * xc[1] / z + K[1, 2]
     return jnp.stack([u, v])

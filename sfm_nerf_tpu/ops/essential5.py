@@ -230,4 +230,44 @@ def ransac_essential_5pt(
         if counts[b] > best_count:
             best_count = int(counts[b])
             best_E, best_inl = Ec[b], inl[b]
+
+    # Re-estimate the winner on its full inlier set (mirrors the 8-point
+    # path's re-estimation, ops/epipolar.py:205-211, itself mirroring the
+    # reference /root/reference/Phase1/Fundamental.py:133-137).  A minimal
+    # 5-point E is exact on 5 correspondences but noise on those 5 points
+    # propagates to the whole set; the linear re-fit on all inliers plus
+    # essential-manifold projection averages that noise out.  Without this,
+    # a near-tied minimal hypothesis can win the count yet sit far enough
+    # from the true E that the downstream joint two-view BA falls into a
+    # bad pose basin (round-1 regression: 1.18 px linear -> 11.2 px after
+    # "refinement" on the bundled pair (1,2)).
+    def _sampson_px(E):
+        F = Kinv.T @ E @ Kinv
+        Fx1 = p1 @ F.T                           # (N, 3)
+        Ftx2 = p2 @ F
+        num = np.einsum("ni,ni->n", p2, Fx1) ** 2
+        den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+        return num / np.maximum(den, 1e-18)
+
+    for _ in range(3):                           # inner local-optimization loop
+        if best_inl.sum() < 8:
+            break
+        a1, a2 = h1[best_inl], h2[best_inl]      # normalized coords, z=1
+        A = np.stack(
+            [a2[:, 0] * a1[:, 0], a2[:, 0] * a1[:, 1], a2[:, 0],
+             a2[:, 1] * a1[:, 0], a2[:, 1] * a1[:, 1], a2[:, 1],
+             a1[:, 0], a1[:, 1], np.ones(len(a1))], axis=1)
+        _, _, Vt = np.linalg.svd(A, full_matrices=False)
+        E_lin = Vt[-1].reshape(3, 3)
+        U, s, Vt = np.linalg.svd(E_lin)          # project to essential manifold
+        sm = (s[0] + s[1]) / 2.0
+        E_new = U @ np.diag([sm, sm, 0.0]) @ Vt
+        E_new /= np.linalg.norm(E_new)
+        inl_new = _sampson_px(E_new) < threshold_px ** 2
+        if inl_new.sum() < best_count:
+            break                                # refit lost support; keep prior
+        if inl_new.sum() == best_count and np.array_equal(inl_new, best_inl):
+            best_E = E_new
+            break
+        best_E, best_inl, best_count = E_new, inl_new, int(inl_new.sum())
     return best_E, best_inl

@@ -182,9 +182,33 @@ class SfMPipeline:
             # X_w = R1^T (X' - t1);  R2_w = R2' R1;  C2_w = R1^T C2' + C1
             t1 = -R1j @ C1j
             Rs_fx, Cs_fx = RC_from_camera_params(cams_fx)
-            R2 = Rs_fx[1] @ R1j
-            C2 = jnp.einsum("ji,j->i", R1j, Cs_fx[1]) + C1j
-            X_opt = (pts_fx - t1) @ R1j
+            R2_ba = Rs_fx[1] @ R1j
+            C2_ba = jnp.einsum("ji,j->i", R1j, Cs_fx[1]) + C1j
+            X_ba = (pts_fx - t1) @ R1j
+
+            # bundle_adjust freezes its cheirality mask at the INITIAL
+            # geometry (ops/ba.py:82-92): a two-view point behind either
+            # camera loses that camera's residuals, leaving <=1 active view
+            # -> unconstrained along its ray, and LM slides it arbitrarily
+            # (measured: 0.27 px init -> individual masked points at 300 /
+            # 5500 px after BA while the constrained median IMPROVED to
+            # 0.16 px).  Keep the per-point LM-refined estimate for those
+            # points; take the BA result only for fully-constrained ones.
+            z1b = jnp.einsum("ij,nj->ni", R1j, X_opt - C1j)[:, 2]
+            z2b = jnp.einsum("ij,nj->ni", R2, X_opt - C2)[:, 2]
+            constrained = (z1b > 1e-8) & (z2b > 1e-8)
+            X_ba = jnp.where(constrained[:, None], X_ba, X_opt)
+
+            # accept the refined pose only if it actually reduced the mean
+            # error — a joint BA is a refinement and must never make the
+            # two-view solution worse (a near-degenerate inlier set can
+            # put LM in a bad basin; the 5-point path hit this in round 1)
+            def _mean_err(Rb, Cb, Xb):
+                ea = reprojection_errors(Kj, R1j, C1j, Xb, jnp.asarray(pts1))
+                eb = reprojection_errors(Kj, Rb, Cb, Xb, jnp.asarray(pts2))
+                return float(jnp.sqrt(ea).mean() + jnp.sqrt(eb).mean()) / 2
+            if _mean_err(R2_ba, C2_ba, X_ba) <= _mean_err(R2, C2, X_opt):
+                R2, C2, X_opt = R2_ba, C2_ba, X_ba
 
         e1_nl = np.sqrt(np.asarray(reprojection_errors(
             Kj, jnp.asarray(R1), jnp.asarray(C1).reshape(3), X_opt,

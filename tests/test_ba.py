@@ -189,3 +189,55 @@ def test_rotation_to_rvec_near_pi(rng):
             R_back, _ = cv2.Rodrigues(back)
             # axis sign is ambiguous at exactly pi — compare rotations
             np.testing.assert_allclose(R_back, R, atol=1e-5)
+
+
+def test_behind_camera_projection_is_not_a_mirror():
+    """Regression: u = f*x/z is invariant under reflecting a point through
+    the camera center, so a sign-preserving z clamp in the BA residual let
+    LM walk the whole rig through a distant point cloud to a mirrored
+    optimum (99% of observations behind the cameras at sub-pixel 'error'
+    on the bundled 5-view data).  The one-sided z floor makes the
+    behind-camera projection astronomically different from the in-front
+    one — the cost itself is the cheirality barrier."""
+    from sfm_nerf_tpu.ops.ba import _observe
+
+    K = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    cam = jnp.zeros(6)
+    X_front = jnp.asarray([0.5, 0.3, 4.0])
+    p_front = np.asarray(_observe(cam, X_front, K))
+    p_mirror = np.asarray(_observe(cam, -X_front, K))
+    np.testing.assert_allclose(
+        p_front, [382.5, 277.5], atol=1e-9)          # honest projection
+    assert np.linalg.norm(p_mirror - p_front) > 1e6  # barrier, not mirror
+
+
+def test_ba_does_not_flip_rig_through_distant_cloud():
+    """Small-baseline camera cluster + distant points: the configuration
+    where the mirrored optimum is nearly cost-equal.  After many LM
+    iterations every active observation must still have positive depth."""
+    rng = np.random.default_rng(3)
+    n_cams, n_pts = 5, 150
+    # cameras clustered in a 0.3-unit ball, points 8-15 units away
+    Cs = rng.normal(0, 0.1, (n_cams, 3))
+    Rs = np.stack([np.eye(3)] * n_cams)
+    pts = np.concatenate(
+        [rng.uniform(-3, 3, (n_pts, 2)), rng.uniform(8, 15, (n_pts, 1))], 1)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    cams = np.asarray(camera_params_from_RC(jnp.asarray(Rs), jnp.asarray(Cs)))
+    xc = np.einsum("nij,mj->nmi", Rs, pts) - np.einsum(
+        "nij,nj->ni", Rs, Cs)[:, None]
+    obs = xc[..., :2] / xc[..., 2:] * 500.0 + np.array([320.0, 240.0])
+    obs += rng.normal(0, 1.0, obs.shape)              # 1px observation noise
+    vis = np.ones((n_cams, n_pts))
+    # perturb the initialization so LM has real work to do
+    cams0 = cams + rng.normal(0, 0.01, cams.shape)
+    pts0 = pts + rng.normal(0, 0.05, pts.shape)
+    res = bundle_adjust(
+        jnp.asarray(K), jnp.asarray(cams0), jnp.asarray(pts0),
+        jnp.asarray(obs), jnp.asarray(vis), n_iters=60,
+    )
+    Rs_f = np.asarray(rodrigues(jnp.asarray(res.camera_params[:, :3])))
+    z = (np.einsum("nij,mj->nmi", Rs_f, np.asarray(res.points))
+         + np.asarray(res.camera_params)[:, None, 3:])[..., 2]
+    assert (z > 0).all(), f"{(z <= 0).sum()} observations behind cameras"
+    assert float(res.cost) < float(res.initial_cost)
