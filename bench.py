@@ -47,15 +47,19 @@ def main():
     # f32 on this chip — XLA already demotes f32 matmuls (the attachment
     # sets --xla_allow_excess_precision), so the casts only add VPU work.
     compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
-    # default: the fused Pallas forward+backward kernel (custom VJP).
-    # 91.4k rays/s at this config vs 34.7k for the XLA autodiff path, at
-    # XLA-matching training quality (41.36 vs 41.5 dB on the quality demo
-    # — PERFORMANCE.md).  BENCH_FUSED=0 measures the XLA path.
+    # default: the MERGED single-kernel fused step (fwd keeps activations
+    # in VMEM, MSE cotangent computed in-kernel, no backward recompute).
+    # 134.8k rays/s at this config vs 91.8k for the two-kernel fused path
+    # and 34.7k for XLA autodiff, at XLA-matching training quality
+    # (PERFORMANCE.md).  BENCH_FUSED=0 measures the XLA path.
     use_fused = os.environ.get("BENCH_FUSED", "1") != "0"
 
+    # BENCH_MERGED=0 selects the two-kernel (recompute-backward) fused path
+    use_merged = os.environ.get("BENCH_MERGED", "1") != "0"
     cfg = NeRFPipelineConfig(
         model=NeRFModelConfig(arch="active"),
-        render=RenderConfig(n_sample=n_sample, use_fused_kernel=use_fused),
+        render=RenderConfig(n_sample=n_sample, use_fused_kernel=use_fused,
+                            fused_merged_step=use_merged),
         train=TrainConfig(n_rays_batch=n_rays, compute_dtype=compute_dtype),
     )
     rng = np.random.default_rng(0)

@@ -72,6 +72,14 @@ class RenderConfig:
     # fused Pallas render kernel for full-frame renders (active arch,
     # n_sample % 128 == 0, n_importance == 0; 1.36x the XLA path on v5e)
     use_fused_kernel: bool = False
+    # training fast path: merged fwd+bwd step kernel (one launch, no
+    # backward recompute — the MSE cotangent is computed in-kernel).
+    # False falls back to the two-kernel custom-VJP path.
+    fused_merged_step: bool = True
+    fused_ray_tile: int = 4        # rays per subtile (VMEM-bound: ~2.8 MB
+                                   # of stored activations per ray @256x256)
+    fused_tiles_per_program: int = 32
+    fused_vmem_mb: int = 100       # Mosaic vmem_limit_bytes for the kernel
 
 
 @dataclasses.dataclass(frozen=True)

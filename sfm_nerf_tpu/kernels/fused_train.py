@@ -1,23 +1,31 @@
-"""EXPERIMENTAL: fused NeRF render with a hand-written backward pass, so
-training can run through the Pallas kernel (the inference kernel in
-fused_render.py is forward-only; XLA autodiff cannot see inside a kernel).
+"""Fused NeRF training kernels with hand-written backward passes (the
+inference kernel in fused_render.py is forward-only; XLA autodiff cannot
+see inside a kernel).
 
-Design (flash-attention-style recomputation):
+TWO designs, sharing the chunk forward / compositing-backward / MLP-backward
+building blocks:
 
-- forward: the same sampling -> matmul-PE -> MLP -> composite pipeline as
-  fused_render.py, additionally emitting the per-(ray, chunk) BOUNDARY
-  transmittances as residuals (N, n_chunks) — a few KB, vs. storing
-  activations which would be GBs;
-- backward: walks sample chunks in REVERSE per ray tile, recomputes the
-  chunk's forward activations in VMEM, backprops compositing analytically
-  (dL/dalpha_i = q_i T_i - R_i/(1-alpha_i+eps) with q = g.c and R the
-  global suffix sum of q*w, carried across chunks), then the dense MLP
-  chain, accumulating weight/bias grads into VMEM-resident outputs across
-  the sequential grid (constant index maps; program 0 zero-initializes).
-- custom_vjp wrapper ``fused_render_train`` exposes it to jax.grad; grads
-  flow to the packed tuple and back through the (differentiable) packing to
-  the parameter pytree.  Ray/z inputs get zero cotangents (training never
-  differentiates them).
+1. Two-kernel recompute path (``fused_render_train``, flash-attention
+   style): forward emits per-(ray, chunk) BOUNDARY transmittances as
+   residuals (a few KB); backward walks chunks in REVERSE, recomputes each
+   chunk's activations in VMEM, backprops compositing analytically
+   (dL/dalpha_i = q_i T_i - R_i/(1-alpha_i+eps) with q = g.c and R the
+   global suffix sum of q*w), then the dense MLP chain.  General cotangent
+   (the loss lives outside), 4x the forward matmul volume per step.
+
+2. Merged single-kernel step (``fused_mse_loss``): the MSE cotangent is
+   per-ray LOCAL, so the kernel computes g = 2(rgb-target)/(3N) itself;
+   forward KEEPS each chunk's activations resident in VMEM and backward
+   consumes them directly — no recompute, 3x the forward matmul volume,
+   one launch per step, rays/z read from HBM once.  Measured 134.8k train
+   rays/s on v5e at the flagship config vs 91.8k for the recompute path
+   (vs 34.7k XLA autodiff).  MSE-specific by construction; the recompute
+   path remains for any other objective.
+
+Both accumulate weight/bias grads into VMEM-resident outputs across the
+sequential grid (constant index maps; program 0 zero-initializes) and
+expose custom_vjp wrappers so jax.grad flows through the (differentiable)
+packing to the parameter pytree.  Ray/z/target inputs get zero cotangents.
 
 Scope: active arch, 'train' compositor, no white background.  Interpret
 mode is the correctness reference (tested against jax.grad of the XLA
@@ -55,6 +63,26 @@ f32 = jnp.float32
 MXU_PRECISION = jax.lax.Precision.DEFAULT
 TRI_PRECISION = jax.lax.Precision.HIGHEST
 BWD_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _dot_tn(a, b, precision=None):
+    """a.T @ b without materializing the transpose: (R,M),(R,N) -> (M,N).
+
+    Inside a Mosaic kernel ``jnp.dot(a.T, b)`` emits an actual relayout
+    (sublane/lane shuffles) before the matmul; contracting dim 0 of both
+    operands lets the MXU consume the LHS column-wise directly."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=BWD_PRECISION if precision is None else precision)
+
+
+def _dot_nt(a, b, precision=None):
+    """a @ b.T without materializing the transpose: (M,K),(N,K) -> (M,N)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=BWD_PRECISION if precision is None else precision)
 
 
 def _k3_phase(x, mat):
@@ -191,6 +219,93 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
     return kernel
 
 
+def _composite_backward_chunk(g, w, rgb3, T_i, one_m, alpha, dists,
+                              S_carry, sample_chunk):
+    """Analytic compositing backward for one sample chunk.
+
+    Returns (dL_dsigma (T, CH), updated suffix carry S_carry (T, 1)).
+    dL/dalpha_i = q_i T_i - R_i/(1-alpha_i+eps), with q = g.c and R the
+    strict-suffix sum of q*w carried across chunks (processed in reverse).
+    """
+    q = jnp.sum(rgb3 * g[:, None, :], axis=-1)           # (T, CH)
+    qw = q * w
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (sample_chunk, sample_chunk), 0)
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (sample_chunk, sample_chunk), 1)
+    upper = (rows > cols).astype(f32)                    # j > i contributes
+    R = jnp.dot(qw, upper, preferred_element_type=f32,
+                precision=TRI_PRECISION) + S_carry
+    dL_dalpha = q * T_i - R / one_m
+    dL_dsigma = dL_dalpha * dists * (1.0 - alpha)
+    return dL_dsigma, S_carry + jnp.sum(qw, axis=1, keepdims=True)
+
+
+def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
+                        ray_tile, sample_chunk, n_pe):
+    """Backprop one chunk's MLP given its forward activations; accumulates
+    weight/bias grads into the VMEM-resident gW/gB refs and returns this
+    chunk's per-ray direction-head cotangent (to be applied once per ray).
+
+    Shared by the recompute backward kernel (activations rebuilt in VMEM)
+    and the merged fwd+bwd step kernel (activations kept from forward).
+    """
+    hidden = acts["hs"][0].shape[-1]
+    rowsN = ray_tile * sample_chunk
+    rgb = acts["rgb"]
+    # rgb head
+    d_c = (w[..., None] * g[:, None, :]).reshape(rowsN, 3)
+    d_rgb_raw = d_c * rgb * (1.0 - rgb)
+    gW["rgb2"][...] += _dot_tn(acts["rgb_h"], d_rgb_raw)
+    gB["rgb2"][...] += jnp.sum(d_rgb_raw, axis=0)
+    d_rgb_h = _dot_nt(d_rgb_raw, W["rgb2"][:]) * (acts["rgb_h"] > 0)
+    # rgb1: feat rows + per-ray dir rows
+    gW["rgb1"][0:hidden, :] += _dot_tn(acts["feat"], d_rgb_h)
+    gB["rgb1"][...] += jnp.sum(d_rgb_h, axis=0)
+    d_dirpart = jnp.sum(
+        d_rgb_h.reshape(ray_tile, sample_chunk, -1), axis=1)
+    d_feat = _dot_nt(d_rgb_h, W["rgb1"][0:hidden, :]) * (acts["feat"] > 0)
+    # merged density+feature head
+    sig_a = 1.0 - jnp.exp(-acts["density"])    # softplus' = sigmoid
+    d_dens_col = dL_dsigma.reshape(rowsN, 1) * sig_a
+    h_last = acts["hs"][-1]
+    gW["densfeat"][:, 0:1] += _dot_tn(h_last, d_dens_col)
+    gW["densfeat"][:, 1:] += _dot_tn(h_last, d_feat)
+    gB["densfeat"][0:1] += jnp.sum(d_dens_col, axis=0)
+    gB["densfeat"][1:] += jnp.sum(d_feat, axis=0)
+    d_h = (
+        _dot_nt(d_dens_col, W["densfeat"][:, 0:1])
+        + _dot_nt(d_feat, W["densfeat"][:, 1:])
+    ) * (h_last > 0)
+    # fc2 chain: hs = [h_fc1, h_fc0..h_fc3(4 entries), h_skip,
+    #                  h_fc2_0, h_fc2_1, h_fc2_2]
+    for i in (2, 1, 0):
+        h_inp = acts["hs"][5 + i]              # input to fc2_i
+        gW[f"fc2_{i}"][...] += _dot_tn(h_inp, d_h)
+        gB[f"fc2_{i}"][...] += jnp.sum(d_h, axis=0)
+        d_h = _dot_nt(d_h, W[f"fc2_{i}"][:]) * (h_inp > 0)
+    # skip layer (input = [h_fc3, pts, trig]); d_h entering here is the
+    # grad wrt the skip layer's OUTPUT, already masked by
+    # (input-of-fc2_0 > 0) == (h_skip > 0).
+    h_fc3 = acts["hs"][4]
+    gW["skip"][0:hidden, :] += _dot_tn(h_fc3, d_h)
+    gW["skip"][hidden:hidden + 3, :] += _dot_tn(acts["pts"], d_h)
+    gW["skip"][hidden + 3:hidden + 3 + n_pe, :] += _dot_tn(acts["trig"], d_h)
+    gB["skip"][...] += jnp.sum(d_h, axis=0)
+    d_h = _dot_nt(d_h, W["skip"][0:hidden, :]) * (h_fc3 > 0)
+    # fc_3..fc_0
+    for i in (3, 2, 1, 0):
+        h_inp = acts["hs"][i]                  # input to fc_i
+        gW[f"fc_{i}"][...] += _dot_tn(h_inp, d_h)
+        gB[f"fc_{i}"][...] += jnp.sum(d_h, axis=0)
+        d_h = _dot_nt(d_h, W[f"fc_{i}"][:]) * (h_inp > 0)
+    # fc1 (input = [pts, trig]); d_h is grad wrt h_fc1 output
+    gW["fc1"][0:3, :] += _dot_tn(acts["pts"], d_h)
+    gW["fc1"][3:3 + n_pe, :] += _dot_tn(acts["trig"], d_h)
+    gB["fc1"][...] += jnp.sum(d_h, axis=0)
+    return d_dirpart
+
+
 def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                      tiles_per_program):
     n_chunks = n_sample // sample_chunk
@@ -236,102 +351,12 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 T_i = T_in * excl                          # (T, CH)
                 w = alpha * T_i
                 rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
-                q = jnp.sum(rgb3 * g[:, None, :], axis=-1)  # (T, CH)
-                qw = q * w
-                # strict-suffix sum within chunk + carry from later chunks
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (sample_chunk, sample_chunk), 0)
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (sample_chunk, sample_chunk), 1)
-                upper = (rows > cols).astype(f32)          # j > i contributes
-                R = jnp.dot(qw, upper, preferred_element_type=f32, precision=TRI_PRECISION) + S_carry
-                dL_dalpha = q * T_i - R / one_m
-                dL_dsigma = dL_dalpha * dists * (1.0 - alpha)
-                S_carry = S_carry + jnp.sum(qw, axis=1, keepdims=True)
-
-                # --- MLP backward ---------------------------------------
-                hidden = acts["hs"][0].shape[-1]
-                rowsN = ray_tile * sample_chunk
-                # rgb head
-                d_c = (w[..., None] * g[:, None, :]).reshape(rowsN, 3)
-                d_rgb_raw = d_c * rgb * (1.0 - rgb)
-                gW["rgb2"][...] += jnp.dot(
-                    acts["rgb_h"].T, d_rgb_raw, preferred_element_type=f32, precision=BWD_PRECISION)
-                gB["rgb2"][...] += jnp.sum(d_rgb_raw, axis=0)
-                d_rgb_h = jnp.dot(
-                    d_rgb_raw, W["rgb2"][:].T, preferred_element_type=f32, precision=BWD_PRECISION
-                ) * (acts["rgb_h"] > 0)
-                # rgb1: feat rows + per-ray dir rows
-                gW["rgb1"][0:hidden, :] += jnp.dot(
-                    acts["feat"].T, d_rgb_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                gB["rgb1"][...] += jnp.sum(d_rgb_h, axis=0)
-                d_dirpart = jnp.sum(
-                    d_rgb_h.reshape(ray_tile, sample_chunk, -1), axis=1)
-                d_dirpart_total = d_dirpart_total + d_dirpart
-                d_feat = jnp.dot(
-                    d_rgb_h, W["rgb1"][0:hidden, :].T,
-                    preferred_element_type=f32, precision=BWD_PRECISION,
-                ) * (acts["feat"] > 0)
-                # merged density+feature head
-                sig_a = 1.0 - jnp.exp(-acts["density"])    # softplus' = sigmoid
-                d_dens_col = (
-                    dL_dsigma.reshape(rowsN, 1) * sig_a
-                )
-                h_last = acts["hs"][-1]
-                gW["densfeat"][:, 0:1] += jnp.dot(
-                    h_last.T, d_dens_col, preferred_element_type=f32, precision=BWD_PRECISION)
-                gW["densfeat"][:, 1:] += jnp.dot(
-                    h_last.T, d_feat, preferred_element_type=f32, precision=BWD_PRECISION)
-                gB["densfeat"][0:1] += jnp.sum(d_dens_col, axis=0)
-                gB["densfeat"][1:] += jnp.sum(d_feat, axis=0)
-                d_h = (
-                    jnp.dot(d_dens_col, W["densfeat"][:, 0:1].T,
-                            preferred_element_type=f32, precision=BWD_PRECISION)
-                    + jnp.dot(d_feat, W["densfeat"][:, 1:].T,
-                              preferred_element_type=f32, precision=BWD_PRECISION)
-                ) * (h_last > 0)
-                # fc2 chain: hs = [h_fc1, h_fc0..h_fc3(4 entries), h_skip,
-                #                  h_fc2_0, h_fc2_1, h_fc2_2]
-                for i in (2, 1, 0):
-                    h_inp = acts["hs"][5 + i]              # input to fc2_i
-                    gW[f"fc2_{i}"][...] += jnp.dot(
-                        h_inp.T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                    gB[f"fc2_{i}"][...] += jnp.sum(d_h, axis=0)
-                    d_h = jnp.dot(
-                        d_h, W[f"fc2_{i}"][:].T, preferred_element_type=f32, precision=BWD_PRECISION
-                    ) * (h_inp > 0)
-                # skip layer (input = [h_fc3, pts, trig]); d_h currently
-                # carries grad wrt h_skip's output times mask of its input
-                # -> careful: at this point d_h is grad wrt h_skip POST-relu
-                # times (h_skip>0)?  We structure: d_h entering here is the
-                # grad wrt the skip layer's OUTPUT pre-chain, already masked
-                # by (input-of-fc2_0 > 0) == (h_skip > 0).  Good.
-                h_fc3 = acts["hs"][4]
-                gW["skip"][0:hidden, :] += jnp.dot(
-                    h_fc3.T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                gW["skip"][hidden:hidden + 3, :] += jnp.dot(
-                    acts["pts"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                gW["skip"][hidden + 3:hidden + 3 + n_pe, :] += jnp.dot(
-                    acts["trig"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                gB["skip"][...] += jnp.sum(d_h, axis=0)
-                d_h = jnp.dot(
-                    d_h, W["skip"][0:hidden, :].T, preferred_element_type=f32, precision=BWD_PRECISION
-                ) * (h_fc3 > 0)
-                # fc_3..fc_0
-                for i in (3, 2, 1, 0):
-                    h_inp = acts["hs"][i]                  # input to fc_i
-                    gW[f"fc_{i}"][...] += jnp.dot(
-                        h_inp.T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                    gB[f"fc_{i}"][...] += jnp.sum(d_h, axis=0)
-                    d_h = jnp.dot(
-                        d_h, W[f"fc_{i}"][:].T, preferred_element_type=f32, precision=BWD_PRECISION
-                    ) * (h_inp > 0)
-                # fc1 (input = [pts, trig]); d_h is grad wrt h_fc1 output
-                gW["fc1"][0:3, :] += jnp.dot(
-                    acts["pts"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                gW["fc1"][3:3 + n_pe, :] += jnp.dot(
-                    acts["trig"].T, d_h, preferred_element_type=f32, precision=BWD_PRECISION)
-                gB["fc1"][...] += jnp.sum(d_h, axis=0)
+                dL_dsigma, S_carry = _composite_backward_chunk(
+                    g, w, rgb3, T_i, one_m, alpha, dists, S_carry,
+                    sample_chunk)
+                d_dirpart_total = d_dirpart_total + _chunk_mlp_backward(
+                    W, gW, gB, acts, g, w, dL_dsigma,
+                    ray_tile, sample_chunk, n_pe)
 
             # per-ray direction rows of rgb1 (accumulated over all chunks)
             hidden = W["fc1"].shape[1]
@@ -348,6 +373,11 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
 
 def _common_prep(origins, directions, z_vals, rcfg, ray_tile,
                  tiles_per_program):
+    # kernels are f32 throughout; coerce here so callers under x64 (tests)
+    # or a f64 sample_pdf don't trip the VMEM ref dtype check
+    origins = origins.astype(f32)
+    directions = directions.astype(f32)
+    z_vals = z_vals.astype(f32)
     n = origins.shape[0]
     n_sample = z_vals.shape[1]
     block = ray_tile * tiles_per_program
@@ -472,3 +502,244 @@ def _frt_bwd(mcfg, rcfg, ray_tile, sample_chunk, tiles_per_program,
 
 
 fused_render_train.defvjp(_frt_fwd, _frt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Merged forward+backward step kernel ("v2"): one Pallas launch per batch.
+#
+# The two-kernel design above costs 4x the forward matmul volume per train
+# step (fwd 1x + backward recompute 1x + grad dots 2x).  The MSE loss
+# gradient is per-ray LOCAL (dL/drgb_i = 2 (rgb_i - target_i) / (3N)), so
+# the backward never has to leave the kernel: forward keeps each chunk's
+# activations resident in VMEM, computes g from the target in-kernel, and
+# walks the chunks in reverse consuming the STORED activations — 3x the
+# forward matmul volume, no recompute, one launch instead of two, and z /
+# dists / rays are read from HBM once instead of twice.  VMEM cost is
+# ~2.8 MB per ray at 256 samples x 256 hidden (vs ~16 KB for the recompute
+# design), so ray_tile stays small and vmem_limit_bytes is raised.
+# ---------------------------------------------------------------------------
+
+
+def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
+                      tiles_per_program, emit_weights=False):
+    n_chunks = n_sample // sample_chunk
+    n_pe = 6 * mcfg.n_pos_freq
+    n_de = 6 * mcfg.n_dir_freq
+
+    def kernel(o_ref, d_ref, z_ref, dists_ref, t_ref, wcol_ref,
+               pemat_ref, pephase_ref, dmat_ref, dphase_ref,
+               *wb_and_out):
+        n_w = 2 * len(_ACTIVE_LAYERS)
+        wb = wb_and_out[:n_w]
+        rgb_out = wb_and_out[n_w]
+        if emit_weights:
+            w_out = wb_and_out[n_w + 1]
+            grads = wb_and_out[n_w + 2:]
+        else:
+            grads = wb_and_out[n_w + 1:]
+        W, B = _wb_maps(wb)
+        gW = {name: grads[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
+        gB = {name: grads[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for gref in grads:
+                gref[...] = jnp.zeros_like(gref)
+
+        def subtile(s, _):
+            row0 = pl.multiple_of(s * ray_tile, 8)
+            o = o_ref[pl.ds(row0, ray_tile), :]
+            d = d_ref[pl.ds(row0, ray_tile), :]
+            t = t_ref[pl.ds(row0, ray_tile), :]
+            wcol = wcol_ref[pl.ds(row0, ray_tile), :]      # (T,1) dL/drgb scale
+            dtrig = jnp.sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
+
+            T_in = jnp.ones((ray_tile, 1), f32)
+            acc = jnp.zeros((ray_tile, 3), f32)
+            saved = []
+            for c in range(n_chunks):                      # forward, unrolled
+                start = c * sample_chunk
+                z = z_ref[pl.ds(row0, ray_tile), start:start + sample_chunk]
+                dists = dists_ref[
+                    pl.ds(row0, ray_tile), start:start + sample_chunk]
+                density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
+                    W, B, o, d, dtrig, z, dists, pemat_ref, pephase_ref,
+                    ray_tile, sample_chunk, n_pe, n_de, keep=True,
+                )
+                T_i = T_in * excl
+                w = alpha * T_i
+                rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
+                acc = acc + jnp.sum(w[..., None] * rgb3, axis=1)
+                if emit_weights:
+                    w_out[pl.ds(row0, ray_tile),
+                          start:start + sample_chunk] = w
+                saved.append((acts, alpha, one_m, T_i, w, rgb3, dists))
+                T_in = T_in * cum[:, -1:]
+            rgb_out[pl.ds(row0, ray_tile), :] = acc
+
+            g = (acc - t) * wcol                           # in-kernel MSE grad
+            S_carry = jnp.zeros((ray_tile, 1), f32)
+            d_dirpart_total = jnp.zeros((ray_tile, W["rgb1"].shape[1]), f32)
+            for c in range(n_chunks - 1, -1, -1):          # backward, stored
+                acts, alpha, one_m, T_i, w, rgb3, dists = saved[c]
+                dL_dsigma, S_carry = _composite_backward_chunk(
+                    g, w, rgb3, T_i, one_m, alpha, dists, S_carry,
+                    sample_chunk)
+                d_dirpart_total = d_dirpart_total + _chunk_mlp_backward(
+                    W, gW, gB, acts, g, w, dL_dsigma,
+                    ray_tile, sample_chunk, n_pe)
+
+            hidden = W["fc1"].shape[1]
+            gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
+                d.T, d_dirpart_total, preferred_element_type=f32,
+                precision=BWD_PRECISION)
+            gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
+                dtrig.T, d_dirpart_total, preferred_element_type=f32,
+                precision=BWD_PRECISION)
+            return 0
+
+        jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcfg", "rcfg", "ray_tile", "sample_chunk",
+                     "tiles_per_program", "vmem_mb", "interpret",
+                     "emit_weights"),
+)
+def _fused_step_impl(packed, origins, directions, z_vals, target,
+                     mcfg, rcfg, ray_tile=8, sample_chunk=128,
+                     tiles_per_program=16, vmem_mb=100, interpret=False,
+                     emit_weights=False):
+    """One launch: (rgb[, weights], grads-wrt-packed) for the MSE objective."""
+    o, d, z, dists, n, n_progs, block, n_sample = _common_prep(
+        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
+    n_chunks = n_sample // sample_chunk
+    assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
+    pad_n = n_progs * block - n
+    t = jnp.pad(target.astype(f32), ((0, pad_n), (0, 0)))
+    # dL/drgb scale per ray: 2/(3n) for real rays, 0 for padding — the
+    # padded rays' garbage (acc - 0) must not leak into the weight grads
+    wcol = jnp.full((n, 1), 2.0 / (3.0 * n), f32)
+    wcol = jnp.pad(wcol, ((0, pad_n), (0, 0)))
+    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    kernel = _make_step_kernel(
+        mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program,
+        emit_weights=emit_weights)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    grad_specs = tuple(
+        pl.BlockSpec(p.shape, lambda i, nd=len(p.shape): (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed
+    )
+    grad_shapes = tuple(jax.ShapeDtypeStruct(p.shape, f32) for p in packed)
+    w_specs = (blk(n_sample),) if emit_weights else ()
+    w_shapes = (
+        (jax.ShapeDtypeStruct((n_progs * block, n_sample), f32),)
+        if emit_weights else ()
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    rgb, *rest = pl.pallas_call(
+        kernel,
+        grid=(n_progs,),
+        in_specs=[blk(3), blk(3), blk(n_sample), blk(n_sample),
+                  blk(3), blk(1),
+                  full, full, full, full, *[full] * len(packed)],
+        out_specs=(blk(3), *w_specs, *grad_specs),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_progs * block, 3), f32),
+            *w_shapes,
+            *grad_shapes,
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(o, d, z, dists, t, wcol, jnp.asarray(pe_mat), jnp.asarray(pe_phase),
+      jnp.asarray(d_mat), jnp.asarray(d_phase), *packed)
+    if emit_weights:
+        return rgb[:n], rest[0][:n], tuple(rest[1:])
+    return rgb[:n], tuple(rest)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def fused_mse_loss(packed, origins, directions, z_vals, target, mcfg, rcfg,
+                   ray_tile=8, sample_chunk=128, tiles_per_program=16,
+                   vmem_mb=100, interpret=False):
+    """mean((render(rays) - target)^2), differentiable w.r.t. ``packed``.
+
+    The forward pass already produces the exact parameter gradients (the
+    merged kernel computes the MSE cotangent in-kernel), so the VJP is just
+    a scalar rescale of the stashed grads — jax.value_and_grad over this
+    function costs ONE kernel launch total."""
+    rgb, _ = _fused_step_impl(
+        packed, origins, directions, z_vals, target, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, vmem_mb, interpret)
+    return jnp.mean((rgb - target) ** 2)
+
+
+def _fml_fwd(packed, origins, directions, z_vals, target, mcfg, rcfg,
+             ray_tile, sample_chunk, tiles_per_program, vmem_mb, interpret):
+    rgb, grads = _fused_step_impl(
+        packed, origins, directions, z_vals, target, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, vmem_mb, interpret)
+    loss = jnp.mean((rgb - target) ** 2)
+    return loss, (grads, packed, origins, directions, z_vals, target)
+
+
+def _fml_bwd(mcfg, rcfg, ray_tile, sample_chunk, tiles_per_program, vmem_mb,
+             interpret, res, gbar):
+    grads, packed, origins, directions, z_vals, target = res
+    scaled = tuple((gbar * g).astype(p.dtype) for g, p in zip(grads, packed))
+    zeros = lambda a: jnp.zeros_like(a)
+    return (scaled, zeros(origins), zeros(directions), zeros(z_vals),
+            zeros(target))
+
+
+fused_mse_loss.defvjp(_fml_fwd, _fml_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def fused_mse_loss_weights(packed, origins, directions, z_vals, target,
+                           mcfg, rcfg, ray_tile=8, sample_chunk=128,
+                           tiles_per_program=16, vmem_mb=100,
+                           interpret=False):
+    """(loss, per-sample compositing weights) — the coarse pass of fused
+    hierarchical training.  The weights output is DETACHED (vanilla-NeRF
+    semantics: sample_pdf consumes the coarse weight histogram without
+    backpropagating through it), so the VJP is identical to
+    fused_mse_loss's scalar rescale."""
+    rgb, w, _ = _fused_step_impl(
+        packed, origins, directions, z_vals, target, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, vmem_mb, interpret,
+        emit_weights=True)
+    return jnp.mean((rgb - target) ** 2), w
+
+
+def _fmlw_fwd(packed, origins, directions, z_vals, target, mcfg, rcfg,
+              ray_tile, sample_chunk, tiles_per_program, vmem_mb, interpret):
+    rgb, w, grads = _fused_step_impl(
+        packed, origins, directions, z_vals, target, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, vmem_mb, interpret,
+        emit_weights=True)
+    loss = jnp.mean((rgb - target) ** 2)
+    return (loss, w), (grads, packed, origins, directions, z_vals, target)
+
+
+def _fmlw_bwd(mcfg, rcfg, ray_tile, sample_chunk, tiles_per_program, vmem_mb,
+              interpret, res, cts):
+    gbar, _ = cts                       # weights cotangent ignored (detached)
+    grads, packed, origins, directions, z_vals, target = res
+    scaled = tuple((gbar * g).astype(p.dtype) for g, p in zip(grads, packed))
+    zeros = lambda a: jnp.zeros_like(a)
+    return (scaled, zeros(origins), zeros(directions), zeros(z_vals),
+            zeros(target))
+
+
+fused_mse_loss_weights.defvjp(_fmlw_fwd, _fmlw_bwd)

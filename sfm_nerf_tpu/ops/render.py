@@ -166,7 +166,12 @@ def render_rays_hierarchical(
     out_c, weights, _ = composite(density_c, rgb_c, z_coarse, cfg)
 
     mids = 0.5 * (z_coarse[..., 1:] + z_coarse[..., :-1])           # (N, S-1)
-    z_fine = sample_pdf(k2, mids, weights[..., 1:-1], n_importance)
+    # weights DETACHED into the importance sampler (vanilla-NeRF semantics:
+    # the coarse model learns only from its own MSE, not through z_fine;
+    # also keeps this path gradient-equivalent to the fused hierarchical
+    # kernel, whose weights output has no backward)
+    z_fine = sample_pdf(
+        k2, mids, jax.lax.stop_gradient(weights[..., 1:-1]), n_importance)
     z_all = jnp.sort(jnp.concatenate([z_coarse, z_fine], -1), -1)   # (N, S+I)
     pts = origins[:, None, :] + directions[:, None, :] * z_all[..., None]
     dirs = jnp.broadcast_to(directions[:, None, :], pts.shape)

@@ -51,6 +51,31 @@ def make_optimizer(cfg: NeRFPipelineConfig) -> optax.GradientTransformation:
     return optax.adam(make_schedule(cfg))
 
 
+def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
+    """Whether the fused Pallas training kernel's envelope covers this
+    config; outside it make_loss_fn silently falls back to the XLA autodiff
+    path.  Envelope: active arch, sample count a multiple of the kernel's
+    128-sample chunk, 'train' compositor, no white background, accelerator
+    backend.  Hierarchical sampling (n_importance > 0) is covered by the
+    MERGED step kernel when the fine pass's n_sample + n_importance is also
+    a 128 multiple (coarse kernel emits the weight histogram, sample_pdf +
+    sort run in XLA between the two kernel launches)."""
+    mcfg, rcfg = cfg.model, cfg.render
+    hier_ok = rcfg.n_importance == 0 or (
+        rcfg.fused_merged_step
+        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
+    )
+    return (
+        rcfg.use_fused_kernel
+        and mcfg.arch == "active"
+        and hier_ok
+        and rcfg.n_sample % 128 == 0
+        and rcfg.variant == "train"
+        and not rcfg.white_background
+        and jax.default_backend() != "cpu"
+    )
+
+
 def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
     """THE per-batch loss: on-device ray sampling -> render -> MSE, with the
     compute_dtype cast applied.  Single source of truth shared by the
@@ -63,31 +88,56 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
     mcfg, rcfg = cfg.model, cfg.render
     n_rays = n_rays if n_rays is not None else cfg.train.n_rays_batch
     bf16 = cfg.train.compute_dtype == "bfloat16"
-    fused_train = (
-        rcfg.use_fused_kernel
-        and mcfg.arch == "active"
-        and rcfg.n_importance == 0
-        and rcfg.n_sample % 128 == 0
-        and rcfg.variant == "train"
-        and not rcfg.white_background
-        and jax.default_backend() != "cpu"
-    )
+    fused_train = fused_train_supported(cfg)
 
     def loss_fn(params, key_sample, key_render, images, poses, K):
         o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
         if fused_train:
-            # fused Pallas forward + hand-written backward (custom VJP);
-            # grads flow through the differentiable packing to the pytree
+            # fused Pallas kernels (custom VJP); grads flow through the
+            # differentiable packing to the pytree
             from sfm_nerf_tpu.kernels.fused_render import pack_active_params
-            from sfm_nerf_tpu.kernels.fused_train import fused_render_train
-            from sfm_nerf_tpu.ops.render import stratified_samples
+            from sfm_nerf_tpu.kernels.fused_train import (
+                fused_mse_loss, fused_mse_loss_weights, fused_render_train,
+            )
+            from sfm_nerf_tpu.ops.render import sample_pdf, stratified_samples
 
-            z = stratified_samples(key_render, n_rays, rcfg).astype(
-                jnp.float32
-            )
-            packed = pack_active_params(
-                params, jnp.bfloat16 if bf16 else jnp.float32
-            )
+            kz, kpdf = jax.random.split(key_render)
+            z = stratified_samples(kz, n_rays, rcfg).astype(jnp.float32)
+            pdt = jnp.bfloat16 if bf16 else jnp.float32
+            if rcfg.n_importance > 0:
+                # hierarchical: coarse merged kernel (emits the weight
+                # histogram) -> inverse-CDF importance sampling + sort in
+                # XLA -> fine merged kernel; loss = mse_c + mse_f, exactly
+                # the XLA path's objective (render_rays_hierarchical, with
+                # weights detached into sample_pdf on both paths)
+                packed_c = pack_active_params(params["coarse"], pdt)
+                packed_f = pack_active_params(params["fine"], pdt)
+                kw = dict(ray_tile=rcfg.fused_ray_tile, sample_chunk=128,
+                          tiles_per_program=rcfg.fused_tiles_per_program,
+                          vmem_mb=rcfg.fused_vmem_mb)
+                loss_c, weights = fused_mse_loss_weights(
+                    packed_c, o, d, z, target, mcfg, rcfg, **kw)
+                mids = 0.5 * (z[..., 1:] + z[..., :-1])
+                z_fine = sample_pdf(
+                    kpdf, mids, weights[..., 1:-1], rcfg.n_importance)
+                z_all = jnp.sort(
+                    jnp.concatenate([z, z_fine], -1), -1).astype(jnp.float32)
+                loss_f = fused_mse_loss(
+                    packed_f, o, d, z_all, target, mcfg, rcfg, **kw)
+                return loss_f + loss_c
+            packed = pack_active_params(params, pdt)
+            if rcfg.fused_merged_step:
+                # one launch per step: forward keeps activations in VMEM,
+                # the MSE cotangent is computed in-kernel, backward consumes
+                # the stored activations (no recompute — 3x fwd matmul
+                # volume instead of the two-kernel path's 4x)
+                return fused_mse_loss(
+                    packed, o, d, z, target, mcfg, rcfg,
+                    ray_tile=rcfg.fused_ray_tile, sample_chunk=128,
+                    tiles_per_program=rcfg.fused_tiles_per_program,
+                    vmem_mb=rcfg.fused_vmem_mb,
+                )
+            # two-kernel path: fused forward + recompute backward.
             # ray_tile=4: the backward keeps ~9 activation tensors per chunk
             # in VMEM; 4 rays x 128 samples keeps that under the 16 MB
             # budget (8 rays measured 2.7 MB over)

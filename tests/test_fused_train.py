@@ -82,13 +82,20 @@ def test_fused_training_loss_path(monkeypatch, tmp_path):
     from util_synthetic import make_blender_dataset
 
     orig = ft.fused_render_train
+    orig_merged = ft.fused_mse_loss
 
     def interp(packed, o, d, z, mcfg, rcfg, **kw):
         return orig(packed, o, d, z, mcfg, rcfg,
                     ray_tile=16, sample_chunk=16, tiles_per_program=1,
                     interpret=True)
 
+    def interp_merged(packed, o, d, z, target, mcfg, rcfg, **kw):
+        return orig_merged(packed, o, d, z, target, mcfg, rcfg,
+                           ray_tile=16, sample_chunk=16, tiles_per_program=1,
+                           interpret=True)
+
     monkeypatch.setattr(ft, "fused_render_train", interp)
+    monkeypatch.setattr(ft, "fused_mse_loss", interp_merged)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     root = make_blender_dataset(str(tmp_path / "d"), n_frames=2,
@@ -115,3 +122,110 @@ def test_fused_training_loss_path(monkeypatch, tmp_path):
         params = optax.apply_updates(params, up)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def merged_loss(params, mcfg, rcfg, o, d, z, target):
+    from sfm_nerf_tpu.kernels.fused_train import fused_mse_loss
+
+    packed = pack_active_params(params, jnp.float32)
+    return fused_mse_loss(
+        packed, o, d, z, target, mcfg, rcfg,
+        ray_tile=16, sample_chunk=16, tiles_per_program=1, interpret=True,
+    )
+
+
+def test_merged_step_loss_matches_xla():
+    mcfg, rcfg, params, o, d, z, target = setup()
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+
+
+def test_merged_step_grads_match_xla():
+    """The merged fwd+bwd kernel's in-kernel MSE cotangent + stored-
+    activation backward produce the same parameter grads as jax.grad of
+    the XLA path (and thus as the recompute kernel)."""
+    mcfg, rcfg, params, o, d, z, target = setup()
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    gm = jax.grad(merged_loss)(params, mcfg, rcfg, o, d, z, target)
+    for (pathx, lx), (pathk, lk) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gm)[0],
+    ):
+        assert pathx == pathk
+        a, b = np.asarray(lx), np.asarray(lk)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=5e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pathx)}",
+        )
+
+
+def test_merged_step_pads_partial_batch():
+    """Ray counts that don't fill the last program: padded rays must not
+    leak into loss or grads (the in-kernel cotangent column is zeroed)."""
+    mcfg, rcfg, params, o, d, z, target = setup(n_rays=24)
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    gm = jax.grad(merged_loss)(params, mcfg, rcfg, o, d, z, target)
+    for (_, lx_), (_, lm_) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gm)[0],
+    ):
+        a, b = np.asarray(lx_), np.asarray(lm_)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-4 * scale)
+
+
+def test_fused_hierarchical_matches_xla():
+    """Fused coarse(+weights) -> sample_pdf -> fused fine pipeline: loss and
+    grads (both models) match the XLA hierarchical path with detached
+    weights (interpret mode)."""
+    from sfm_nerf_tpu.kernels.fused_train import (
+        fused_mse_loss, fused_mse_loss_weights,
+    )
+    from sfm_nerf_tpu.ops.render import render_rays_hierarchical, sample_pdf
+
+    mcfg, rcfg, params_c, o, d, z, target = setup(n_rays=16, n_sample=32)
+    params_f = init_nerf_params(jax.random.key(9), mcfg)
+    params = {"coarse": params_c, "fine": params_f}
+    n_imp = 16
+    kw = dict(ray_tile=16, sample_chunk=16, tiles_per_program=1,
+              interpret=True)
+
+    def fused_loss(params):
+        packed_c = pack_active_params(params["coarse"], jnp.float32)
+        packed_f = pack_active_params(params["fine"], jnp.float32)
+        loss_c, weights = fused_mse_loss_weights(
+            packed_c, o, d, z, target, mcfg, rcfg, **kw)
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        z_fine = sample_pdf(None, mids, weights[..., 1:-1], n_imp)
+        z_all = jnp.sort(jnp.concatenate([z, z_fine], -1), -1)
+        loss_f = fused_mse_loss(
+            packed_f, o, d, z_all, target, mcfg, rcfg, **kw)
+        return loss_f + loss_c
+
+    def xla_loss_h(params):
+        coarse_fn = lambda p, dd: nerf_apply(params["coarse"], p, dd, mcfg)
+        fine_fn = lambda p, dd: nerf_apply(params["fine"], p, dd, mcfg)
+        rgb_f, rgb_c = render_rays_hierarchical(
+            coarse_fn, fine_fn, o, d, rcfg, n_imp, None)
+        return jnp.mean((rgb_f - target) ** 2) + jnp.mean(
+            (rgb_c - target) ** 2)
+
+    lx, gx = jax.value_and_grad(xla_loss_h)(params)
+    lk, gk = jax.value_and_grad(fused_loss)(params)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-4)
+    for (pathx, a), (pathk, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gk)[0],
+    ):
+        assert pathx == pathk
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=5e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pathx)}",
+        )
