@@ -50,6 +50,12 @@ def configParser():
                         help="deterministic mid-bin sampling for gif frames "
                              "(the reference's legacy renderer always "
                              "jitters, Wrapper.py:148-149)")
+    parser.add_argument('--modern_schedule', action='store_true',
+                        help="use train.py's StepLR(50000, 0.1) instead of "
+                             "this legacy loop's StepLR(1000, 0.1) "
+                             "(reference Wrapper.py:220 — lr decays to ~0 "
+                             "within a few thousand iters; kept as the "
+                             "default for parity with this entry point)")
     return parser
 
 
@@ -187,6 +193,17 @@ def main(args):
     for k, v in vars(args).items():
         if hasattr(t_args, k):
             setattr(t_args, k, v)
+    # Legacy-loop schedule parity (reference Wrapper.py:220): this entry
+    # point trains with StepLR(step_size=1000, gamma=0.1), so the learning
+    # rate collapses to ~0 after a few thousand iterations — unlike
+    # train.py's StepLR(50000, 0.1).  Deliberate reference behavior, kept
+    # as this CLI's default; --modern_schedule opts into the train.py one.
+    # (The reference Wrapper's OTHER checkpoint quirk — bare state_dict
+    # saves that its own loaders cannot read back, Wrapper.py:286 vs :211 —
+    # is a bug, not behavior; our loaders accept both .pth layouts instead.)
+    if not getattr(args, "modern_schedule", False):
+        t_args.lrate_decay_steps = 1000
+        t_args.lrate_decay = 0.1
     train_mod.main(t_args)
 
 

@@ -53,7 +53,15 @@ def configParser():
                         help="hierarchical fine-pass importance samples "
                              "(0 = off; coarse/fine model pair when on)")
     parser.add_argument('--fused', action='store_true',
-                        help="full-frame renders via the fused Pallas kernel")
+                        help="fused Pallas kernels: full-frame renders AND "
+                             "the training step (merged fwd+bwd kernel; "
+                             "falls back to XLA automatically outside the "
+                             "fused envelope — active arch, n_sample%%128==0, "
+                             "train variant, no hierarchical/white bg)")
+    parser.add_argument('--steps_per_call', default=1, type=int,
+                        help="train steps fused into one device call via "
+                             "lax.scan (amortizes dispatch latency on "
+                             "remote/tunneled TPU attachments)")
     parser.add_argument('--seed', default=0, type=int)
     return parser
 
@@ -91,6 +99,7 @@ def build_config(args):
             max_iters=int(args.max_iters),
             save_ckpt_iter=int(args.save_ckpt_iter),
             ckpt_backend=args.ckpt_backend,
+            steps_per_call=int(args.steps_per_call),
             seed=int(args.seed),
         ),
         parallel=ParallelConfig(dp=int(args.dp)),

@@ -79,10 +79,22 @@ def make_multihost_mesh(
     if n_proc > 1:
         from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            (dp_per_host, tp), (n_proc, 1),
-            devices=jax.devices(), allow_split_physical_axes=True,
-        ).reshape(n_proc, dp_per_host, tp)
+        try:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (dp_per_host, tp), (n_proc, 1),
+                devices=jax.devices(), allow_split_physical_axes=True,
+            ).reshape(n_proc, dp_per_host, tp)
+        except ValueError:
+            # No slice topology info (e.g. multi-process CPU, single-slice
+            # TPU viewed as n processes): group devices by process index —
+            # the dcn axis is then exactly the host boundary, which is the
+            # property the ('dcn','data') gradient reduction relies on.
+            devs = sorted(
+                jax.devices(), key=lambda d: (d.process_index, d.id)
+            )
+            arr = np.asarray(devs[: n_proc * dp_per_host * tp]).reshape(
+                n_proc, dp_per_host, tp
+            )
     else:
         arr = np.asarray(jax.devices()[: dp_per_host * tp]).reshape(
             1, dp_per_host, tp

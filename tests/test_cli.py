@@ -81,3 +81,80 @@ def test_build_config_roundtrip():
     assert cfg.model.hidden == 128
     assert cfg.checkpoint_path.endswith("lego")
     assert cfg.render.near == 2.0 and cfg.render.far == 6.0
+
+
+def test_steps_per_call_flag_reaches_config():
+    """--steps_per_call (TPU-only addition, promised in the module
+    docstring) must actually exist and land in TrainConfig."""
+    mod = load_module("Phase2/train.py")
+    args = mod.configParser().parse_args(["--steps_per_call", "8"])
+    cfg = mod.build_config(args)
+    assert cfg.train.steps_per_call == 8
+
+
+def test_fused_flag_reaches_training_with_envelope_fallback():
+    """--fused turns on the fused training kernel; outside the fused
+    envelope (hierarchical sampling, legacy variant, non-128-multiple
+    sample counts, cpu backend) make_loss_fn silently falls back to XLA."""
+    import dataclasses
+
+    import jax
+
+    from sfm_nerf_tpu.train import nerf_trainer as nt
+
+    mod = load_module("Phase2/train.py")
+    args = mod.configParser().parse_args(["--fused"])
+    cfg = mod.build_config(args)
+    assert cfg.render.use_fused_kernel
+
+    # the envelope check is the trainer's own; fake an accelerator backend
+    orig = jax.default_backend
+    jax.default_backend = lambda: "tpu"
+    try:
+        def engaged(rcfg):
+            return nt.fused_train_supported(
+                dataclasses.replace(cfg, render=rcfg))
+        assert engaged(cfg.render)
+        assert not engaged(dataclasses.replace(cfg.render, n_importance=64))
+        assert not engaged(dataclasses.replace(cfg.render, n_sample=192))
+        assert not engaged(dataclasses.replace(cfg.render, variant="legacy"))
+        assert not engaged(
+            dataclasses.replace(cfg.render, white_background=True))
+    finally:
+        jax.default_backend = orig
+    # on the CPU test backend the envelope always rejects
+    assert not nt.fused_train_supported(cfg)
+
+
+def test_wrapper_train_uses_legacy_schedule(monkeypatch):
+    """The legacy Wrapper entry point trains with the reference's
+    StepLR(1000, 0.1) (Wrapper.py:220) by default; --modern_schedule opts
+    into train.py's StepLR(50000, 0.1)."""
+    mod = load_module("Phase2/Wrapper.py")
+    captured = {}
+
+    import importlib.util as ilu
+    real_sfl = ilu.spec_from_file_location
+
+    def fake_main(t_args):
+        captured["steps"] = int(t_args.lrate_decay_steps)
+        captured["gamma"] = float(t_args.lrate_decay)
+
+    def fake_spec(name, path):
+        spec = real_sfl(name, path)
+        real_exec = spec.loader.exec_module
+        def exec_and_patch(m):
+            real_exec(m)
+            m.main = fake_main
+        spec.loader.exec_module = exec_and_patch
+        return spec
+
+    monkeypatch.setattr(ilu, "spec_from_file_location", fake_spec)
+    args = mod.configParser().parse_args(["--mode", "train"])
+    mod.main(args)
+    assert captured == {"steps": 1000, "gamma": 0.1}
+
+    args = mod.configParser().parse_args(["--mode", "train",
+                                          "--modern_schedule"])
+    mod.main(args)
+    assert captured["steps"] == 50000

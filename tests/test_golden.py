@@ -1,0 +1,123 @@
+"""Image-level golden gate on the shipped reference checkpoints.
+
+VERDICT round-1 gap #2: the ray-level oracle in test_render could miss a
+renamed compositor bug that still produces a wrong turntable.  These tests
+render a full frame from the converted reference .pth checkpoints
+(/root/reference/Phase2/checkpoints*/) through the gif path's geometry
+(pose_spherical + legacy compositor, Wrapper.py:381-507) and gate on:
+
+1. PSNR against a COMMITTED golden PNG (regression gate — any drift in
+   converter, PE, MLP, ray gen, sampler, or compositor fails CI);
+2. PSNR against an independent torch re-execution of the reference's
+   renderer (parity gate — catches shared-wrong-convention bugs that a
+   self-golden cannot).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+CHECKPOINTS = {
+    "chair": "/root/reference/Phase2/checkpoints/chair/final_model.pth",
+    "no_pe": "/root/reference/Phase2/checkpoints_no_pos_encoding/final_model.pth",
+}
+CAMERA_ANGLE_X = 0.6911112070083618      # lego/chair nerf_synthetic intrinsics
+
+
+def _render(path, height, width, n_sample):
+    from sfm_nerf_tpu.config import RenderConfig
+    from sfm_nerf_tpu.io.blender import pose_spherical
+    from sfm_nerf_tpu.models import nerf_apply
+    from sfm_nerf_tpu.models.convert import convert_pth
+    from sfm_nerf_tpu.ops.rays import image_rays
+    from sfm_nerf_tpu.ops.render import render_rays_chunked
+
+    params, cfg = convert_pth(path)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    # reference focal formula (nonstandard, train.py:53) + gif-path camera
+    f = 0.5 * CAMERA_ANGLE_X * width / np.tan(0.5 * CAMERA_ANGLE_X)
+    K = jnp.asarray([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
+    pose = jnp.asarray(pose_spherical(0.0, -30.0, 4.0), jnp.float32)
+    rcfg = RenderConfig(n_sample=n_sample, near=2.0, far=6.0, perturb=False,
+                        variant="legacy")
+    model_fn = lambda p, d: nerf_apply(params, p, d, cfg)
+    o, d = image_rays(K, pose, height, width)
+    img = np.asarray(render_rays_chunked(model_fn, o, d, rcfg))
+    return img.reshape(height, width, 3)
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))
+
+
+@requires_reference
+@pytest.mark.parametrize("name", sorted(CHECKPOINTS))
+def test_golden_frame_psnr(name):
+    import imageio.v2 as imageio
+
+    img = _render(CHECKPOINTS[name], 64, 64, 96)
+    golden = imageio.imread(
+        os.path.join(GOLDEN_DIR, f"{name}_64_legacy.png")) / 255.0
+    p = psnr(np.clip(img, 0, 1), golden)
+    # 8-bit quantization alone is ~52 dB; platform/dtype drift allowed down
+    # to 40 dB — a compositor/convention bug lands far below that
+    assert p >= 40.0, f"{name}: PSNR vs committed golden = {p:.1f} dB"
+    # and the frame must contain actual content, not a flat field
+    assert img.std() > 0.02 and img.max() > 0.3
+
+
+@requires_reference
+def test_gif_path_matches_torch_oracle():
+    """Independent re-execution of the reference's gif renderer in torch
+    (per-pixel ray gen + legacy inclusive-transmittance compositor) must
+    agree with our pipeline at the image level."""
+    import torch
+
+    from test_model import _torch_legacy_forward
+    from sfm_nerf_tpu.io.blender import pose_spherical
+    from sfm_nerf_tpu.models.convert import load_torch_state_dict
+
+    H = W = 16
+    n_sample = 32
+    img_jax = _render(CHECKPOINTS["chair"], H, W, n_sample)
+
+    sd = {k: torch.from_numpy(v)
+          for k, v in load_torch_state_dict(CHECKPOINTS["chair"]).items()}
+    f = 0.5 * CAMERA_ANGLE_X * W / np.tan(0.5 * CAMERA_ANGLE_X)
+    pose = pose_spherical(0.0, -30.0, 4.0).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    cam = np.stack([(xs - W / 2) / f, (ys - H / 2) / f,
+                    np.ones_like(xs)], -1).astype(np.float32)
+    dirs = cam @ pose[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = np.broadcast_to(pose[:3, 3], dirs.shape)
+    near, far = 2.0, 6.0
+    # legacy sampler with deterministic mid-bin offset == perturb=False
+    # (Wrapper.py:148-149 with rand -> 0.5)
+    tv = near + (far - near) * (np.arange(n_sample, dtype=np.float32)
+                                + 0.5) / n_sample
+    pts = o[..., None, :] + dirs[..., None, :] * tv[:, None]
+    pts_t = torch.from_numpy(pts.reshape(-1, 3).astype(np.float32))
+    dirs_t = torch.from_numpy(np.broadcast_to(
+        dirs[..., None, :], pts.shape).reshape(-1, 3).astype(np.float32).copy())
+    with torch.no_grad():
+        dens, rgb = _torch_legacy_forward(sd, pts_t, dirs_t)
+    dens = dens.reshape(H, W, n_sample).numpy()
+    rgb = rgb.reshape(H, W, n_sample, 3).numpy()
+    dists = np.diff(tv, append=tv[-1] + 1.0)        # legacy 1.0 tail
+    alpha = 1 - np.exp(-dens * dists)
+    T = np.cumprod(1 - alpha + 1e-10, axis=-1)      # inclusive (legacy)
+    img_torch = ((alpha * T)[..., None] * rgb).sum(2)
+
+    p = psnr(img_jax, img_torch)
+    assert p >= 45.0, f"JAX vs torch oracle PSNR = {p:.1f} dB"

@@ -121,3 +121,36 @@ def make_sfm_scene(
         "obs": np.stack(obs),
         "vis": np.ones((n_cams, n_points), dtype=bool),
     }
+
+
+def tiny_pipeline_setup(n_rays=256, n_img=3, height=16, width=16, seed=0):
+    """Deterministic tiny NeRF training setup shared by the in-process
+    parallel tests and the 2-process multihost worker (no tmp files, no
+    pytest fixtures — the worker runs standalone)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_nerf_tpu.config import (
+        NeRFModelConfig, NeRFPipelineConfig, RenderConfig, TrainConfig,
+    )
+    from sfm_nerf_tpu.models import init_nerf_params
+    from sfm_nerf_tpu.train.nerf_trainer import make_optimizer
+
+    cfg = NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=32, n_pos_freq=4, n_dir_freq=2),
+        render=RenderConfig(n_sample=16),
+        train=TrainConfig(n_rays_batch=n_rays),
+    )
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray(
+        rng.uniform(0, 1, (n_img, height, width, 3)), jnp.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
+    poses[:, 2, 3] = 4.0
+    focal = 0.5 * 0.6911 * width / np.tan(0.5 * 0.6911)
+    K = jnp.asarray(
+        [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
+        jnp.float32)
+    tx = make_optimizer(cfg)
+    params = init_nerf_params(jax.random.key(seed), cfg.model)
+    opt_state = tx.init(params)
+    return cfg, tx, params, opt_state, images, jnp.asarray(poses), K
