@@ -173,8 +173,8 @@ def ransac_fundamental(
     if normalize:
         T1 = normalization_matrix(pts1, valid)
         T2 = normalization_matrix(pts2, valid)
-        h1 = homogenize(pts1) @ T1.T
-        h2 = homogenize(pts2) @ T2.T
+        h1 = jnp.matmul(homogenize(pts1), T1.T, precision=HI)
+        h2 = jnp.matmul(homogenize(pts2), T2.T, precision=HI)
         p1, p2 = h1[..., :2], h2[..., :2]
     else:
         T1 = T2 = jnp.eye(3, dtype=pts1.dtype)
@@ -209,7 +209,8 @@ def ransac_fundamental(
     inliers = d < threshold
 
     F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))
-    F = T2.T @ F @ T1 if normalize else F
+    if normalize:
+        F = jnp.matmul(jnp.matmul(T2.T, F, precision=HI), T1, precision=HI)
     return RansacResult(F, inliers, jnp.sum(inliers), best)
 
 
@@ -245,7 +246,8 @@ def ransac_fundamental_bucketed(
 def essential_from_fundamental(K: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
     """E = K^T F K (Fundamental.py:141-147; no (1,1,0) singular-value cleanup,
     matching the reference's omission — documented in SURVEY §2.1)."""
-    return K.T @ F @ K
+    # HIGHEST: bf16-demoted 3x3 conjugation corrupts E by ~0.2%
+    return jnp.matmul(jnp.matmul(K.T, F, precision=HI), K, precision=HI)
 
 
 def cleanup_essential(E: jnp.ndarray) -> jnp.ndarray:
@@ -281,8 +283,8 @@ def decompose_essential(
     U, _, Vt = jnp.linalg.svd(E)
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     C = U[:, 2]
-    R_a = U @ W @ Vt
-    R_b = U @ W.T @ Vt
+    R_a = jnp.matmul(jnp.matmul(U, W, precision=HI), Vt, precision=HI)
+    R_b = jnp.matmul(jnp.matmul(U, W.T, precision=HI), Vt, precision=HI)
     Cs = jnp.stack([C, -C, C, -C])
     Rs = jnp.stack([R_a, R_a, R_b, R_b])
     neg = jnp.linalg.det(Rs) < 0

@@ -84,7 +84,9 @@ def rotation_averaging(
     # so f32 eigh resolves the eigenSPACE but the basis within it is
     # noisy — measured ~5 deg global error on TPU f32 vs 2e-6 deg in f64.
     # Run in f64 (the SfM host default) when accuracy matters.
-    R = blocks @ jnp.swapaxes(blocks[anchor], -1, -2)[None]
+    R = jnp.matmul(
+        blocks, jnp.swapaxes(blocks[anchor], -1, -2)[None],
+        precision=jax.lax.Precision.HIGHEST)
     return project_to_so3(R)
 
 

@@ -36,14 +36,19 @@ from sfm_nerf_tpu.ops.lm import levenberg_marquardt
 
 def projection_matrix_RT(K, R, T):
     """P = K [R | T] with T a translation vector (Utils.py:3-31)."""
-    return K @ jnp.concatenate([R, T.reshape(3, 1)], axis=1)
+    # HIGHEST: bf16-demoted 3x3 products corrupt P by ~0.2% -> ~1.6 px
+    # at this dataset's pixel scale (observed on the TPU f32 pipeline)
+    return jnp.matmul(
+        K, jnp.concatenate([R, T.reshape(3, 1)], axis=1), precision=HI)
 
 
 def projection_matrix_RC(K, R, C):
     """P = K R [I | -C] with C the camera center (Utils.py:86-106)."""
-    return K @ R @ jnp.concatenate(
-        [jnp.eye(3, dtype=K.dtype), -C.reshape(3, 1)], axis=1
-    )
+    return jnp.matmul(K, jnp.matmul(
+        R,
+        jnp.concatenate([jnp.eye(3, dtype=K.dtype), -C.reshape(3, 1)],
+                        axis=1),
+        precision=HI), precision=HI)
 
 
 def project(P: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
@@ -104,7 +109,7 @@ def disambiguate_pose(
 
     def tri(args):
         C, R = args
-        T2 = -R @ C.reshape(3, 1)
+        T2 = -jnp.matmul(R, C.reshape(3, 1), precision=HI)
         return triangulate_linear(K, R1, T1, R, T2, pts1, pts2)
 
     all_points = jax.lax.map(tri, (Cs, Rs))          # (4, N, 3)
@@ -146,6 +151,37 @@ def triangulate_nonlinear(
         return levenberg_marquardt(fn, x0, n_iters=n_iters)
 
     return jax.vmap(refine)(pts1, pts2, X0)
+
+
+def triangulate_pair_bucketed(
+    K, R1, C1, R2, C2, pts1_np, pts2_np, n_iters: int = 20,
+):
+    """Host wrapper: pad the point count to the next power of two, run the
+    batched DLT + vmapped LM refinement, slice back — one accelerator
+    compile per size bucket instead of one per (pair, count) shape
+    (mirrors ransac_fundamental_bucketed; padding duplicates the first row,
+    whose result is discarded).  C1/C2 are camera CENTERS.  Returns
+    (X_linear (n,3), X_refined (n,3))."""
+    import numpy as np
+
+    n = len(pts1_np)
+    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    pad = bucket - n
+    p1 = np.pad(np.asarray(pts1_np), ((0, pad), (0, 0)), mode="edge")
+    p2 = np.pad(np.asarray(pts2_np), ((0, pad), (0, 0)), mode="edge")
+    Kj = jnp.asarray(K)
+    R1j, R2j = jnp.asarray(R1), jnp.asarray(R2)
+    C1n = np.asarray(C1).reshape(3)
+    C2n = np.asarray(C2).reshape(3)
+    T1 = jnp.asarray(-np.asarray(R1) @ C1n)
+    T2 = jnp.asarray(-np.asarray(R2) @ C2n)
+    X_lin = triangulate_linear(
+        Kj, R1j, T1, R2j, T2, jnp.asarray(p1), jnp.asarray(p2))
+    X_opt, _, _ = triangulate_nonlinear(
+        Kj, R1j, jnp.asarray(C1n), R2j, jnp.asarray(C2n),
+        jnp.asarray(p1), jnp.asarray(p2), X_lin, n_iters=n_iters,
+    )
+    return np.asarray(X_lin)[:n], np.asarray(X_opt)[:n]
 
 
 def reprojection_errors(
