@@ -36,6 +36,11 @@ def main():
                         help="two-view E: conjugate the 8-point F "
                              "(reference behavior) or the Stewenius 5-point "
                              "minimal solver")
+    parser.add_argument("--global_init", action="store_true",
+                        help="full global-SfM initialization: rotation "
+                             "averaging + translation averaging (joint "
+                             "camera centers from pairwise baseline "
+                             "directions) -> re-triangulation -> BA")
     parser.add_argument("--global_rotation_init", action="store_true",
                         help="re-initialize all camera rotations by global "
                              "rotation averaging over pairwise essentials "
@@ -84,6 +89,7 @@ def main():
         ba_max_iters=args.ba_max_iters,
         essential_method=args.essential_method,
         global_rotation_init=args.global_rotation_init,
+        global_init=args.global_init,
         merge_tracks=args.merge_tracks,
         seed=args.seed,
         output_dir=args.output_dir,

@@ -110,6 +110,55 @@ def bench_ba(args):
     }))
 
 
+def bench_pipeline(args):
+    """Full SfM pipeline at scale on a synthetic reference-format dataset
+    (>= 50 cams, >= 100k match rows) — the end-to-end wall-clock number,
+    dominated by per-stage accelerator work now that RANSAC / PnP /
+    triangulation are all shape-bucketed (one compile per size bucket)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import tempfile
+
+    import jax
+
+    from util_synthetic import write_reference_format_dataset
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.sfm import SfMPipeline
+
+    tmp = tempfile.mkdtemp(prefix="sfm_scale_")
+    out = os.path.join(tmp, "out")
+    os.makedirs(out, exist_ok=True)
+    t0 = time.time()
+    _, gt = write_reference_format_dataset(
+        tmp, n_cams=args.pipe_cams, n_points=args.pipe_points,
+        noise_px=0.5, seed=0,
+    )
+    gen_s = time.time() - t0
+    cfg = SfMConfig(
+        data_path=tmp, num_images=args.pipe_cams, output_dir=out,
+        ransac_iters=args.pipe_ransac_iters, pnp_iters=2000,
+        ba_max_iters=30, merge_tracks=True,
+    )
+    t0 = time.time()
+    pipe = SfMPipeline(cfg)
+    pipe.run()
+    wall = time.time() - t0
+    ba = pipe.stats.get("ba", {})
+    print(json.dumps({
+        "metric": "pipeline_seconds_end_to_end",
+        "n_cams": args.pipe_cams, "n_points": args.pipe_points,
+        "n_match_rows": int(gt["n_match_rows"]),
+        "platform": str(jax.devices()[0]),
+        "value": round(wall, 1), "datagen_s": round(gen_s, 1),
+        "ba_rms_px": round(ba.get("rms_px_after", -1.0), 4),
+        "ba_mean_px": round(
+            ba.get("final_err_px", {}).get("mean", -1.0), 4),
+        "n_obs": ba.get("n_obs", -1),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="default",
@@ -122,6 +171,11 @@ def main():
                     help="benchmark bundle adjustment instead of RANSAC")
     ap.add_argument("--ba_cams", type=int, default=50)
     ap.add_argument("--ba_points", type=int, default=20000)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="full SfM pipeline on a large synthetic dataset")
+    ap.add_argument("--pipe_cams", type=int, default=50)
+    ap.add_argument("--pipe_points", type=int, default=15000)
+    ap.add_argument("--pipe_ransac_iters", type=int, default=4000)
     args = ap.parse_args()
 
     if args.ba:
@@ -131,6 +185,15 @@ def main():
             jax.config.update("jax_platforms", "cpu")
             jax.config.update("jax_enable_x64", True)
         bench_ba(args)
+        return
+
+    if args.pipeline:
+        import jax
+
+        if args.platform == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_enable_x64", True)
+        bench_pipeline(args)
         return
 
     import jax

@@ -168,6 +168,10 @@ class SfMConfig:
     # camera rotations jointly from pairwise essentials; the reference's
     # incremental chaining compounds error camera-by-camera)
     global_rotation_init: bool = False
+    # full global-SfM initialization: rotation averaging + translation
+    # averaging (pairwise baseline directions -> joint camera centers) ->
+    # re-triangulation -> BA.  Implies global_rotation_init.
+    global_init: bool = False
     # track merging across matching files (ADDITION: the reference's
     # per-file feature namespace never reconciles re-detections)
     merge_tracks: bool = False

@@ -85,12 +85,22 @@ def pnp_ransac(
     n_iters: int = 10000,
     threshold: float = 10.0,
     chunk: int = 512,
+    n_valid=None,         # dynamic true row count (rows >= n_valid = padding)
 ) -> PnPRansacResult:
-    """Batched-hypothesis PnP RANSAC in one jitted call."""
+    """Batched-hypothesis PnP RANSAC in one jitted call.
+
+    ``n_valid`` supports shape bucketing (pnp_ransac_bucketed): with padded
+    inputs, sampling draws only from the first ``n_valid`` rows and padded
+    rows never count as inliers — bit-identical to the unpadded call."""
     n_pts = X3d.shape[0]
+    maxval = n_pts if n_valid is None else n_valid
+    valid = (
+        jnp.ones((n_pts,), bool) if n_valid is None
+        else jnp.arange(n_pts) < n_valid
+    )
     n_chunks = (n_iters + chunk - 1) // chunk
     total = n_chunks * chunk
-    idx = jax.random.randint(key, (total, 6), 0, n_pts)
+    idx = jax.random.randint(key, (total, 6), 0, maxval)
 
     def score_chunk(idx_chunk):
         C, R = linear_pnp(X3d[idx_chunk], x2d[idx_chunk], K)  # batched
@@ -100,7 +110,7 @@ def pnp_ransac(
         e = jax.vmap(
             lambda Ci, Ri: reprojection_errors(K, Ri, Ci, X3d, x2d)
         )(C, R)                                       # (chunk, N)
-        counts = jnp.sum(e < threshold, axis=-1)
+        counts = jnp.sum((e < threshold) & valid, axis=-1)
         ok = (
             jnp.all(jnp.isfinite(C), axis=-1)
             & jnp.all(jnp.isfinite(R.reshape(R.shape[0], -1)), axis=-1)
@@ -113,8 +123,53 @@ def pnp_ransac(
     best = jnp.argmax(counts)
     C, R = linear_pnp(X3d[idx[best]], x2d[idx[best]], K)
     e = reprojection_errors(K, R, C, X3d, x2d)
-    inliers = e < threshold
+    inliers = (e < threshold) & valid
     return PnPRansacResult(R, C, inliers, jnp.sum(inliers))
+
+
+def pnp_ransac_bucketed(
+    key: jax.Array,
+    X3d_np, x2d_np, K,
+    n_iters: int = 10000,
+    threshold: float = 10.0,
+    chunk: int = 512,
+) -> PnPRansacResult:
+    """Host wrapper: pad the correspondence count to the next power of two
+    and call the jitted core with the true count — one accelerator compile
+    per size bucket instead of one per registered camera (remote compiles
+    cost minutes; mirrors ransac_fundamental_bucketed)."""
+    import numpy as np
+
+    n = len(X3d_np)
+    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    pad = bucket - n
+    X = np.pad(np.asarray(X3d_np), ((0, pad), (0, 0)), mode="edge")
+    x = np.pad(np.asarray(x2d_np), ((0, pad), (0, 0)), mode="edge")
+    res = pnp_ransac(
+        key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
+        n_iters=n_iters, threshold=threshold, chunk=chunk,
+        n_valid=jnp.asarray(n),
+    )
+    return PnPRansacResult(res.R, res.C, res.inliers[:n], res.n_inliers)
+
+
+def nonlinear_pnp_bucketed(
+    K, R_init, C_init, X3d_np, x2d_np, weights_np, n_iters: int = 50,
+):
+    """Bucketed quaternion-LM refinement: padded rows get weight 0, which
+    the masked residual already supports — bit-identical to unpadded."""
+    import numpy as np
+
+    n = len(X3d_np)
+    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    pad = bucket - n
+    X = np.pad(np.asarray(X3d_np), ((0, pad), (0, 0)), mode="edge")
+    x = np.pad(np.asarray(x2d_np), ((0, pad), (0, 0)), mode="edge")
+    w = np.pad(np.asarray(weights_np), (0, pad))
+    return nonlinear_pnp(
+        jnp.asarray(K), R_init, C_init, jnp.asarray(X), jnp.asarray(x),
+        weights=jnp.asarray(w), n_iters=n_iters,
+    )
 
 
 def reprojection_error_mean_px(K, R, C, X3d, x2d, weights=None) -> jnp.ndarray:

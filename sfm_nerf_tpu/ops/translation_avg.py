@@ -1,0 +1,166 @@
+"""Global translation averaging from pairwise baseline directions.
+
+Completes the global-SfM initialization started by rotation averaging
+(ops/rotation_avg.py): with global rotations known, each two-view
+decomposition contributes a unit DIRECTION of one camera center relative to
+another (scale is unobservable per pair); translation averaging solves all
+camera centers jointly from those directions (Govindu CVPR'01 least-squares
+form, with IRLS reweighting toward the LUD objective of Ozyesil & Singer
+CVPR'15 for outlier robustness — implemented from the published math).
+
+The reference has no global-SfM path at all (its Phase1/Wrapper.py chains
+two-view poses incrementally); this module is an ADDITION, the natural
+completion of `--global_rotation_init`.
+
+Formulation: for measurement m on pair (i, j) with unit world-frame
+direction u_m ~ (C_j - C_i)/||C_j - C_i||, minimize
+
+    sum_m w_m || (I - u_m u_m^T)(C_j - C_i) ||^2
+
+subject to C_anchor = 0 (translation gauge) and
+sum_m u_m . (C_j - C_i) = M (scale gauge; also rejects the trivial zero
+solution and forces positive baselines along the measured directions).
+The KKT system is a dense (3N+1) solve — trivial for SfM-sized N; one
+LAPACK/batched solve, jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def translation_averaging(
+    pairs: Sequence[Tuple[int, int]],
+    u_world: np.ndarray,
+    n_cams: int,
+    anchor: int = 0,
+    weights: np.ndarray = None,
+    n_irls: int = 5,
+    reject_deg: float = 10.0,
+) -> np.ndarray:
+    """Solve global camera centers from pairwise direction measurements.
+
+    pairs: M (i, j) index pairs (0-based); u_world: (M, 3) unit vectors,
+    u_world[m] ~ direction of (C_j - C_i) in WORLD coordinates (rotate the
+    two-view relative center by R_i^T first).  weights: optional per-edge
+    confidences (e.g. inlier counts).  Returns (n_cams, 3) centers with
+    C_anchor = 0 and sum of projections = M (arbitrary global scale —
+    rescale to taste).  Host-side float64 numpy: the problem is tiny and
+    conditioning matters more than throughput.
+    """
+    pairs_all = np.asarray(pairs, np.int64).reshape(-1, 2)
+    u_all = np.asarray(u_world, np.float64)
+    u_all = u_all / np.maximum(
+        np.linalg.norm(u_all, axis=-1, keepdims=True), 1e-12)
+    w_all = (np.ones(len(pairs_all)) if weights is None
+             else np.asarray(weights, np.float64))
+    N = n_cams
+    if len(pairs_all) < N - 1:
+        raise ValueError(
+            f"{len(pairs_all)} direction measurements cannot constrain "
+            f"{N} cameras (need >= N-1 on a spanning tree)")
+
+    C = _solve(pairs_all, u_all, w_all, N, anchor, n_irls)
+    # explicit outlier-edge rejection: IRLS downweights gross outliers but
+    # never to zero — an edge whose measured direction disagrees with the
+    # IRLS solution by a large angle is a wrong two-view geometry, not
+    # noise; drop it and re-solve, as long as the graph stays constrained
+    res = direction_residuals_deg(pairs_all, u_all, C)
+    thresh = max(reject_deg, 5.0 * float(np.median(res)))
+    keep = res <= thresh
+    if keep.sum() >= N - 1 and 0 < (~keep).sum() < 0.3 * len(pairs_all):
+        # only accept the gate if the pruned graph still spans all cameras
+        parent = list(range(N))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs_all[keep]:
+            parent[find(a)] = find(b)
+        if len({find(k) for k in range(N)}) == 1:
+            C = _solve(pairs_all[keep], u_all[keep], w_all[keep], N,
+                       anchor, n_irls)
+    return C
+
+
+def _solve(pairs, u, w_edge, N, anchor, n_irls):
+    M = len(pairs)
+    w_edge = w_edge / w_edge.mean()
+
+    # incidence: rows select (C_j - C_i); built once, reused across IRLS
+    S = np.zeros((M, N))
+    S[np.arange(M), pairs[:, 1]] = 1.0
+    S[np.arange(M), pairs[:, 0]] = -1.0
+    P = np.eye(3)[None] - u[:, :, None] * u[:, None, :]   # (M, 3, 3)
+
+    w_irls = np.ones(M)
+    C = np.zeros((N, 3))
+    for _ in range(max(1, n_irls)):
+        wm = w_edge * w_irls
+        # Q = sum_m wm S_m^T P_m S_m  over the (N,3) unknowns, flattened
+        # (N*3, N*3); built by accumulating 3x3 blocks at (i,i),(i,j),...
+        Q = np.zeros((N, N, 3, 3))
+        for sign_a, col_a in ((-1, 0), (1, 1)):
+            for sign_b, col_b in ((-1, 0), (1, 1)):
+                blocks = (sign_a * sign_b) * wm[:, None, None] * P
+                np.add.at(Q, (pairs[:, col_a], pairs[:, col_b]), blocks)
+        Qf = Q.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
+        # scale-gauge row: s^T c = M  with s accumulating +-wm * u
+        s = np.zeros((N, 3))
+        np.add.at(s, pairs[:, 1], wm[:, None] * u)
+        np.add.at(s, pairs[:, 0], -wm[:, None] * u)
+        sf = s.reshape(-1)
+
+        # eliminate the anchor's 3 unknowns (translation gauge)
+        keep = np.ones(3 * N, bool)
+        keep[3 * anchor:3 * anchor + 3] = False
+        A = Qf[np.ix_(keep, keep)]
+        b = sf[keep]
+        kkt = np.zeros((A.shape[0] + 1, A.shape[0] + 1))
+        kkt[:-1, :-1] = 2.0 * A
+        kkt[:-1, -1] = b
+        kkt[-1, :-1] = b
+        rhs = np.zeros(A.shape[0] + 1)
+        rhs[-1] = float(M)
+        sol = np.linalg.solve(
+            kkt + 1e-12 * np.eye(kkt.shape[0]), rhs)[:-1]
+        C = np.zeros(3 * N)
+        C[keep] = sol
+        C = C.reshape(N, 3)
+
+        # IRLS toward the LUD objective: w = 1/max(||r||, h)
+        r = np.einsum("mab,mb->ma", P, C[pairs[:, 1]] - C[pairs[:, 0]])
+        rn = np.linalg.norm(r, axis=-1)
+        h = max(1e-6, float(np.median(rn)) * 0.1 + 1e-12)
+        w_irls = 1.0 / np.maximum(rn, h)
+        w_irls /= w_irls.mean()
+    return C
+
+
+def direction_residuals_deg(pairs, u_world, C):
+    """Per-edge angle (degrees) between the measured direction and the
+    solved baseline — the translation-averaging analog of
+    relative_rotation_residuals; useful for outlier-edge gating."""
+    pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+    u = np.asarray(u_world, np.float64)
+    u = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+    d = np.asarray(C)[pairs[:, 1]] - np.asarray(C)[pairs[:, 0]]
+    dn = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    cos = np.clip(np.einsum("md,md->m", u, dn), -1.0, 1.0)
+    return np.degrees(np.arccos(cos))
+
+
+def pair_direction_world(R_i: np.ndarray, c_rel: np.ndarray) -> np.ndarray:
+    """World-frame unit direction of (C_j - C_i) from a two-view relative
+    center ``c_rel`` (camera j's center expressed in camera i's frame, the
+    output of decompose_essential + cheirality with camera i at identity):
+    x_i = R_i (X - C_i)  =>  C_j - C_i = R_i^T c_rel."""
+    d = np.asarray(R_i, np.float64).T @ np.asarray(c_rel, np.float64).reshape(3)
+    n = np.linalg.norm(d)
+    return d / max(n, 1e-12)

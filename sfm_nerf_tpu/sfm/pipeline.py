@@ -51,8 +51,8 @@ from sfm_nerf_tpu.ops.epipolar import (
     ransac_fundamental_bucketed,
 )
 from sfm_nerf_tpu.ops.pnp import (
-    nonlinear_pnp,
-    pnp_ransac,
+    nonlinear_pnp_bucketed,
+    pnp_ransac_bucketed,
     reprojection_error_mean_px,
 )
 from sfm_nerf_tpu.ops.triangulation import (
@@ -62,6 +62,7 @@ from sfm_nerf_tpu.ops.triangulation import (
     reprojection_errors,
     triangulate_linear,
     triangulate_nonlinear,
+    triangulate_pair_bucketed,
 )
 
 
@@ -260,9 +261,11 @@ class SfMPipeline:
         """PnPRANSAC + NonlinearPnP (the reference's get_pose,
         Wrapper.py:597-620)."""
         cfg = self.cfg
-        res = pnp_ransac(
-            self._next_key(), jnp.asarray(obj_points), jnp.asarray(img_points),
-            jnp.asarray(K), n_iters=cfg.pnp_iters, threshold=cfg.pnp_threshold,
+        # bucketed: one accelerator compile per size bucket, not one per
+        # camera's correspondence count (remote compiles cost minutes)
+        res = pnp_ransac_bucketed(
+            self._next_key(), obj_points, img_points, K,
+            n_iters=cfg.pnp_iters, threshold=cfg.pnp_threshold,
         )
         if int(res.n_inliers) < 6:
             print(f"Not enough inliers for reliable PnP with image {i}")
@@ -271,9 +274,9 @@ class SfMPipeline:
         err_lin = float(reprojection_error_mean_px(
             jnp.asarray(K), res.R, res.C, jnp.asarray(obj_points),
             jnp.asarray(img_points), weights=w))
-        C, R, rms = nonlinear_pnp(
-            jnp.asarray(K), res.R, res.C, jnp.asarray(obj_points),
-            jnp.asarray(img_points), weights=w, n_iters=cfg.pnp_refine_iters,
+        C, R, rms = nonlinear_pnp_bucketed(
+            K, res.R, res.C, obj_points, img_points, np.asarray(w),
+            n_iters=cfg.pnp_refine_iters,
         )
         err_nl = float(reprojection_error_mean_px(
             jnp.asarray(K), R, C, jnp.asarray(obj_points),
@@ -301,21 +304,13 @@ class SfMPipeline:
         for (i, j), fs in groups.items():
             p1 = np.asarray([tracks[f][i][:2] for f in fs])
             p2 = np.asarray([tracks[f][j][:2] for f in fs])
-            Ri = jnp.asarray(camera_info[i]["R"])
+            Ri = camera_info[i]["R"]
             Ci = np.asarray(camera_info[i]["C"]).reshape(3)
-            Rj = jnp.asarray(camera_info[j]["R"])
+            Rj = camera_info[j]["R"]
             Cj = np.asarray(camera_info[j]["C"]).reshape(3)
-            X = triangulate_linear(
-                Kj, Ri, jnp.asarray(-np.asarray(Ri) @ Ci),
-                Rj, jnp.asarray(-np.asarray(Rj) @ Cj),
-                jnp.asarray(p1), jnp.asarray(p2),
+            _, Xn = triangulate_pair_bucketed(
+                K, Ri, Ci, Rj, Cj, p1, p2, n_iters=cfg.tri_refine_iters,
             )
-            X, _, _ = triangulate_nonlinear(
-                Kj, Ri, jnp.asarray(Ci), Rj, jnp.asarray(Cj),
-                jnp.asarray(p1), jnp.asarray(p2), X,
-                n_iters=cfg.tri_refine_iters,
-            )
-            Xn = np.asarray(X)
             # keep the previous estimate for degenerate re-triangulations
             # (near-zero baseline -> inf/NaN; or the point lands behind
             # either camera) — every other triangulation site gates on
@@ -428,20 +423,11 @@ class SfMPipeline:
                 arr = np.asarray(new_rows)
                 Rj, Cj = camera_info[j]["R"], camera_info[j]["C"]
                 # deviation 1: triangulate with KNOWN global poses
-                Xnew = triangulate_linear(
-                    jnp.asarray(K),
-                    jnp.asarray(Rj), jnp.asarray(-Rj @ Cj.reshape(3)),
-                    jnp.asarray(R), jnp.asarray(-R @ C.reshape(3)),
-                    jnp.asarray(arr[:, 0:2]), jnp.asarray(arr[:, 2:4]),
+                # (bucketed: one compile per size bucket across all pairs)
+                _, Xnew = triangulate_pair_bucketed(
+                    K, Rj, Cj, R, C, arr[:, 0:2], arr[:, 2:4],
+                    n_iters=cfg.tri_refine_iters,
                 )
-                Xnew, _, _ = triangulate_nonlinear(
-                    jnp.asarray(K),
-                    jnp.asarray(Rj), jnp.asarray(Cj.reshape(3)),
-                    jnp.asarray(R), jnp.asarray(C.reshape(3)),
-                    jnp.asarray(arr[:, 0:2]), jnp.asarray(arr[:, 2:4]),
-                    Xnew, n_iters=cfg.tri_refine_iters,
-                )
-                Xnew = np.asarray(Xnew)
                 for n, row in enumerate(arr):
                     fidx_to_3d.setdefault(int(row[-1]), Xnew[n])
             print(f"Registered Camera: {i}")
@@ -450,7 +436,8 @@ class SfMPipeline:
         # Incremental chaining compounds rotation error camera-by-camera;
         # averaging solves all rotations jointly from the pairwise
         # measurements (ADDITION; ops/rotation_avg.py) before BA polishes.
-        if cfg.global_rotation_init and len(camera_info) >= 3:
+        if (cfg.global_rotation_init or cfg.global_init) \
+                and len(camera_info) >= 3:
             from sfm_nerf_tpu.ops.rotation_avg import (
                 relative_rotation_residuals, rotation_averaging,
             )
@@ -458,7 +445,7 @@ class SfMPipeline:
             cam_ids = sorted(camera_info.keys())
             col = {c: n for n, c in enumerate(cam_ids)}
             Kj0 = jnp.asarray(K)
-            pairs, rels = [], []
+            pairs, rels, crels, n_inl = [], [], [], []
             for (i, j), (Fij, mij) in refined.items():
                 if i not in col or j not in col or len(mij) < 8:
                     continue
@@ -466,12 +453,14 @@ class SfMPipeline:
                 if cfg.essential_cleanup:
                     Eij = cleanup_essential(Eij)
                 Cs, Rs = decompose_essential(Eij, cfg.center_convention)
-                _, _, R_rel, _, _ = disambiguate_pose(
+                _, C_rel, R_rel, _, _ = disambiguate_pose(
                     Kj0, Cs, Rs,
                     jnp.asarray(mij[:, 0:2]), jnp.asarray(mij[:, 2:4]),
                 )
                 pairs.append((col[i], col[j]))
                 rels.append(np.asarray(R_rel))
+                crels.append(np.asarray(C_rel))
+                n_inl.append(len(mij))
             # the spectral solve is only meaningful on a CONNECTED pose
             # graph containing the anchor — a disconnected component's
             # eigenvector blocks are independent (measured: 131-170 deg
@@ -511,6 +500,52 @@ class SfMPipeline:
                     "n_pairs": len(pairs),
                     "mean_residual_deg": float(res.mean()),
                 }
+                # --- optional translation averaging (--global_init) ----
+                # With rotations now globally consistent, each pair's
+                # relative center gives a world-frame DIRECTION of
+                # C_j - C_i; solve all centers jointly (IRLS least squares
+                # + outlier-edge rejection, ops/translation_avg.py), then
+                # rescale to the incremental solution's baseline so plots
+                # and downstream magnitudes stay comparable.
+                if cfg.global_init:
+                    from sfm_nerf_tpu.ops.translation_avg import (
+                        direction_residuals_deg,
+                        pair_direction_world,
+                        translation_averaging,
+                    )
+
+                    u_world = np.stack([
+                        pair_direction_world(
+                            camera_info[cam_ids[a]]["R"], c_rel)
+                        for (a, b), c_rel in zip(pairs, crels)
+                    ])
+                    C_glob = translation_averaging(
+                        pairs, u_world, len(cam_ids), anchor=0,
+                        weights=np.asarray(n_inl, np.float64),
+                    )
+                    # gauge: translate so the anchor keeps its center;
+                    # scale to match the incremental pair-(1,2) baseline
+                    C_glob = C_glob - C_glob[0]
+                    ref_base = np.linalg.norm(
+                        camera_info[cam_ids[1]]["C"].reshape(3)
+                        - camera_info[cam_ids[0]]["C"].reshape(3))
+                    new_base = np.linalg.norm(C_glob[1] - C_glob[0])
+                    if new_base > 1e-12 and ref_base > 1e-12:
+                        C_glob = C_glob * (ref_base / new_base)
+                    C0 = camera_info[cam_ids[0]]["C"].reshape(3)
+                    tres = direction_residuals_deg(
+                        pairs, u_world, C_glob)
+                    print(
+                        f"Translation averaging over {len(pairs)} pairs: "
+                        f"median direction residual "
+                        f"{float(np.median(tres)):.2f} deg"
+                    )
+                    for n_c, c in enumerate(cam_ids):
+                        camera_info[c]["C"] = C_glob[n_c] + C0
+                    self.stats["translation_avg"] = {
+                        "n_pairs": len(pairs),
+                        "median_residual_deg": float(np.median(tres)),
+                    }
                 # the existing points were triangulated under the OLD
                 # rotations — re-triangulate everything under the
                 # re-initialized cameras (global-SfM shape: rotations ->

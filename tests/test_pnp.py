@@ -97,3 +97,63 @@ def test_nonlinear_pnp_respects_weights():
     )
     np.testing.assert_allclose(np.asarray(R_opt), R_true, atol=1e-4)
     np.testing.assert_allclose(np.asarray(C_opt), C_true, atol=1e-4)
+
+
+def test_pnp_ransac_bucketed_matches_unbucketed():
+    """Padding + n_valid must be bit-identical to the unpadded call (same
+    RNG draws because maxval is the true count either way)."""
+    from sfm_nerf_tpu.ops.pnp import pnp_ransac_bucketed
+
+    X, x, K, R_true, C_true = cam_setup(noise=1.0, n=100)
+    key = jax.random.key(5)
+    res_a = pnp_ransac(
+        key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K), n_iters=512,
+    )
+    res_b = pnp_ransac_bucketed(key, X, x, K, n_iters=512)
+    np.testing.assert_array_equal(np.asarray(res_a.R), np.asarray(res_b.R))
+    np.testing.assert_array_equal(np.asarray(res_a.C), np.asarray(res_b.C))
+    np.testing.assert_array_equal(
+        np.asarray(res_a.inliers), np.asarray(res_b.inliers))
+
+
+def test_nonlinear_pnp_bucketed_matches_unbucketed():
+    from sfm_nerf_tpu.ops.pnp import nonlinear_pnp_bucketed
+
+    rng = np.random.default_rng(4)
+    X, x, K, R_true, C_true = cam_setup(noise=0.5, n=90)
+    w = np.ones(90)
+    C0 = C_true + rng.normal(0, 0.05, 3)
+    R0 = cv2.Rodrigues(rng.normal(0, 0.02, 3))[0] @ R_true
+    Ca, Ra, _ = nonlinear_pnp(
+        jnp.asarray(K), jnp.asarray(R0), jnp.asarray(C0),
+        jnp.asarray(X), jnp.asarray(x),
+        weights=jnp.asarray(w), n_iters=20,
+    )
+    Cb, Rb, _ = nonlinear_pnp_bucketed(
+        K, jnp.asarray(R0), jnp.asarray(C0), X, x, w, n_iters=20,
+    )
+    np.testing.assert_allclose(np.asarray(Ca), np.asarray(Cb), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ra), np.asarray(Rb), atol=1e-12)
+
+
+def test_triangulate_pair_bucketed_matches_unbucketed():
+    from sfm_nerf_tpu.ops.triangulation import (
+        triangulate_linear, triangulate_nonlinear, triangulate_pair_bucketed,
+    )
+
+    scene = make_sfm_scene(n_cams=2, n_points=77, noise_px=0.5, seed=2)
+    K, R1, C1 = scene["K"], scene["Rs"][0], scene["Cs"][0]
+    R2, C2 = scene["Rs"][1], scene["Cs"][1]
+    p1, p2 = scene["obs"][0], scene["obs"][1]
+    X_lin = triangulate_linear(
+        jnp.asarray(K), jnp.asarray(R1), jnp.asarray(-R1 @ C1),
+        jnp.asarray(R2), jnp.asarray(-R2 @ C2),
+        jnp.asarray(p1), jnp.asarray(p2))
+    X_opt, _, _ = triangulate_nonlinear(
+        jnp.asarray(K), jnp.asarray(R1), jnp.asarray(C1),
+        jnp.asarray(R2), jnp.asarray(C2),
+        jnp.asarray(p1), jnp.asarray(p2), X_lin, n_iters=15)
+    Xl_b, Xo_b = triangulate_pair_bucketed(
+        K, R1, C1, R2, C2, p1, p2, n_iters=15)
+    np.testing.assert_array_equal(np.asarray(X_lin), Xl_b)
+    np.testing.assert_array_equal(np.asarray(X_opt), Xo_b)

@@ -82,3 +82,29 @@ def test_pipeline_global_rotation_init(tmp_path):
     assert stats["rotation_avg"]["n_pairs"] >= 4
     assert stats["rotation_avg"]["mean_residual_deg"] < 3.0
     assert stats["ba"]["final_err_px"]["median"] < 1.0
+
+
+def test_pipeline_global_init(tmp_path):
+    """Full global-SfM initialization (--global_init: rotation averaging +
+    translation averaging -> re-triangulation -> BA) reaches at least the
+    incremental path's error regime on the bundled dataset."""
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.sfm import SfMPipeline
+
+    cfg = SfMConfig(
+        data_path=REF_DATA,
+        ransac_iters=1500,
+        pnp_iters=1500,
+        ba_max_iters=30,
+        global_init=True,
+        output_dir=str(tmp_path),
+        seed=0,
+    )
+    result = SfMPipeline(cfg).run()
+    stats = result["stats"]
+    assert stats["rotation_avg"]["n_pairs"] >= 4
+    assert stats["translation_avg"]["median_residual_deg"] < 5.0
+    # incremental path lands ~0.35 px mean / ~0.25 px median (f64);
+    # global init must be in the same regime
+    assert stats["ba"]["final_err_px"]["mean"] < 0.5
+    assert stats["ba"]["final_err_px"]["median"] < 0.35

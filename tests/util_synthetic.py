@@ -154,3 +154,88 @@ def tiny_pipeline_setup(n_rays=256, n_img=3, height=16, width=16, seed=0):
     params = init_nerf_params(jax.random.key(seed), cfg.model)
     opt_state = tx.init(params)
     return cfg, tx, params, opt_state, images, jnp.asarray(poses), K
+
+
+def write_reference_format_dataset(
+    out_dir, n_cams=50, n_points=4000, noise_px=0.5,
+    width=800, height=600, seed=0, visibility_window=8,
+):
+    """Synthesize an SfM dataset on disk in the REFERENCE's input format
+    (calibration.txt + matching{i}.txt + i.png), at arbitrary scale.
+
+    Cameras sit on a ring looking inward; each feature is observed by a
+    contiguous window of cameras (realistic track structure).  Returns
+    (out_dir, ground_truth dict).
+    """
+    import os
+
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    f = 0.9 * width
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
+    points = rng.uniform(-1.5, 1.5, (n_points, 3))
+    Rs, Cs = [], []
+    for i in range(n_cams):
+        th = 2 * np.pi * i / n_cams
+        C = np.array([6 * np.cos(th), 0.4 * np.sin(3 * th), 6 * np.sin(th)])
+        fwd = -C / np.linalg.norm(C)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        R = np.stack([right, np.cross(fwd, right), fwd])
+        Rs.append(R); Cs.append(C)
+    Rs, Cs = np.stack(Rs), np.stack(Cs)
+
+    # projections + in-image mask
+    Xh = np.hstack([points, np.ones((n_points, 1))])
+    obs = np.zeros((n_cams, n_points, 2))
+    ok = np.zeros((n_cams, n_points), bool)
+    for c in range(n_cams):
+        P = K @ Rs[c] @ np.hstack([np.eye(3), -Cs[c][:, None]])
+        x = (P @ Xh.T).T
+        z = x[:, 2]
+        x = x[:, :2] / np.maximum(z[:, None], 1e-9)
+        x += rng.normal(0, noise_px, x.shape)
+        obs[c] = x
+        ok[c] = (
+            (z > 0.2) & (x[:, 0] >= 0) & (x[:, 0] < width)
+            & (x[:, 1] >= 0) & (x[:, 1] < height)
+        )
+    # restrict each feature to a contiguous camera window (track realism)
+    start = rng.integers(0, n_cams, n_points)
+    for p in range(n_points):
+        w = np.zeros(n_cams, bool)
+        idxs = (start[p] + np.arange(visibility_window)) % n_cams
+        w[idxs] = True
+        ok[:, p] &= w
+
+    with open(os.path.join(out_dir, "calibration.txt"), "w") as fcal:
+        for row in K:
+            fcal.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+    img = np.full((height, width, 3), 128, np.uint8)
+    for i in range(1, n_cams + 1):
+        cv2.imwrite(os.path.join(out_dir, f"{i}.png"), img)
+
+    n_rows = 0
+    for i in range(1, n_cams):          # matching{i}.txt: i vs j>i
+        lines = []
+        for p in range(n_points):
+            if not ok[i - 1, p]:
+                continue
+            js = [j for j in range(i + 1, n_cams + 1) if ok[j - 1, p]]
+            if not js:
+                continue
+            toks = [str(len(js) + 1), "128", "128", "128",
+                    f"{obs[i - 1, p, 0]:.4f}", f"{obs[i - 1, p, 1]:.4f}"]
+            for j in js:
+                toks += [str(j), f"{obs[j - 1, p, 0]:.4f}",
+                         f"{obs[j - 1, p, 1]:.4f}"]
+            lines.append(" ".join(toks))
+            n_rows += len(js)
+        with open(os.path.join(out_dir, f"matching{i}.txt"), "w") as fm:
+            fm.write(f"nFeatures: {len(lines)}\n")
+            fm.write("\n".join(lines) + ("\n" if lines else ""))
+    return out_dir, {
+        "K": K, "Rs": Rs, "Cs": Cs, "points": points, "n_match_rows": n_rows,
+    }
