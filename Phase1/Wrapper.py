@@ -45,6 +45,18 @@ def main():
                         help="re-initialize all camera rotations by global "
                              "rotation averaging over pairwise essentials "
                              "before bundle adjustment")
+    parser.add_argument("--init_pair", default="fixed",
+                        choices=["fixed", "auto"],
+                        help="initial two-view pair: 'fixed' = (1,2) "
+                             "(reference behavior, Wrapper.py:666); 'auto' "
+                             "scores candidates by inlier support x median "
+                             "triangulation parallax")
+    parser.add_argument("--view_order", default="index",
+                        choices=["index", "greedy"],
+                        help="camera registration order: 'index' = ascending "
+                             "image index (reference); 'greedy' = "
+                             "next-best-view by 2D-3D correspondence count, "
+                             "retrying images index order would skip")
     parser.add_argument("--merge_tracks", action="store_true",
                         help="reconcile re-detected features across matching "
                              "files into single tracks (the reference's "
@@ -90,6 +102,8 @@ def main():
         essential_method=args.essential_method,
         global_rotation_init=args.global_rotation_init,
         global_init=args.global_init,
+        init_pair=args.init_pair,
+        view_order=args.view_order,
         merge_tracks=args.merge_tracks,
         seed=args.seed,
         output_dir=args.output_dir,

@@ -78,6 +78,10 @@ class RenderConfig:
     fused_merged_step: bool = True
     fused_ray_tile: int = 4        # rays per subtile (VMEM-bound: ~2.8 MB
                                    # of stored activations per ray @256x256)
+    fused_sample_chunk: int = 128  # samples per matmul block; the merged
+                                   # kernel stores ALL chunks' activations
+                                   # anyway, so bigger chunks cost no extra
+                                   # VMEM and make every dot taller
     fused_tiles_per_program: int = 32
     fused_vmem_mb: int = 100       # Mosaic vmem_limit_bytes for the kernel
 
@@ -172,6 +176,18 @@ class SfMConfig:
     # averaging (pairwise baseline directions -> joint camera centers) ->
     # re-triangulation -> BA.  Implies global_rotation_init.
     global_init: bool = False
+    # keyframe / view selection (ADDITION; the reference hardcodes the
+    # initial pair to (1,2) and registers strictly by image index,
+    # Phase1/Wrapper.py:666,679):
+    #   init_pair='auto'    scores candidate pairs by inlier support x
+    #                       median triangulation parallax and initializes
+    #                       from the best-conditioned one;
+    #   view_order='greedy' registers the unmapped image with the most
+    #                       2D-3D correspondences next (next-best-view),
+    #                       retrying images that index order would skip.
+    init_pair: str = "fixed"         # 'fixed' (reference) | 'auto'
+    view_order: str = "index"        # 'index' (reference) | 'greedy'
+    min_parallax_deg: float = 1.0    # init-pair gate: median ray parallax
     # track merging across matching files (ADDITION: the reference's
     # per-file feature namespace never reconciles re-detections)
     merge_tracks: bool = False

@@ -42,32 +42,51 @@ def load_blender_dataset(
     mode: str,
     focal_formula: str = "reference",
     downscale: int = 1,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, CameraInfo]:
     """Returns (images (N,H,W,3) float32, poses (N,4,4) float32, CameraInfo).
 
     ``downscale`` integer-subsamples images (and scales intrinsics) — an
     addition over the reference for fast iteration at 200^2/100^2.
+    ``use_native`` decodes PNGs through the parallel C++ libpng path
+    (native/image_decode.cpp) when available; byte-identical to the
+    imageio fallback for 8-bit inputs (tested).
     """
-    import imageio.v2 as imageio
-
     json_file = os.path.join(data_path, f"transforms_{mode}.json")
     with open(json_file) as f:
         meta = json.load(f)
     camera_angle_x = float(meta["camera_angle_x"])
 
-    images, poses = [], []
-    for frame in meta["frames"]:
-        fp = os.path.join(data_path, frame["file_path"] + ".png")
-        img = imageio.imread(fp).astype(np.float32) / 255.0
-        if img.shape[-1] == 4:
-            img = img[..., :3]
-        if downscale > 1:
-            img = img[::downscale, ::downscale]
-        images.append(img)
-        poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
+    fps = [
+        os.path.join(data_path, frame["file_path"] + ".png")
+        for frame in meta["frames"]
+    ]
+    poses = np.stack([
+        np.asarray(frame["transform_matrix"], dtype=np.float32)
+        for frame in meta["frames"]
+    ])
 
-    images = np.stack(images).astype(np.float32)
-    poses = np.stack(poses)
+    raw = None
+    if use_native:
+        from sfm_nerf_tpu.io.sfm_data import decode_images_native
+
+        raw = decode_images_native(fps)
+    if raw is not None:
+        images = raw.astype(np.float32) / 255.0
+        if downscale > 1:
+            images = images[:, ::downscale, ::downscale]
+    else:
+        import imageio.v2 as imageio
+
+        images = []
+        for fp in fps:
+            img = imageio.imread(fp).astype(np.float32) / 255.0
+            if img.shape[-1] == 4:
+                img = img[..., :3]
+            if downscale > 1:
+                img = img[::downscale, ::downscale]
+            images.append(img)
+        images = np.stack(images).astype(np.float32)
     height, width = images.shape[1], images.shape[2]
     focal = derive_focal(camera_angle_x, width, focal_formula)
     K = np.array(

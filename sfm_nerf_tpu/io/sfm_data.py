@@ -35,15 +35,26 @@ def _load_native() -> Optional[ctypes.CDLL]:
         return _native_lib
     so = os.path.join(_NATIVE_DIR, "libmatching_parser.so")
     src = os.path.join(_NATIVE_DIR, "matching_parser.cpp")
+    src_img = os.path.join(_NATIVE_DIR, "image_decode.cpp")
     try:
-        if not os.path.exists(so) or (
-            os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(so)
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
-                check=True, capture_output=True,
-            )
+        newest_src = max(
+            os.path.getmtime(s) for s in (src, src_img) if os.path.exists(s)
+        )
+        if not os.path.exists(so) or newest_src > os.path.getmtime(so):
+            try:
+                # full build (needs libpng for the image decoder)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so,
+                     src, src_img, "-lpng"],
+                    check=True, capture_output=True,
+                )
+            except subprocess.CalledProcessError:
+                # no libpng dev files: parser-only build (image decode
+                # falls back to imageio/cv2 in the loaders)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                    check=True, capture_output=True,
+                )
         lib = ctypes.CDLL(so)
         lib.parse_matching_file.restype = ctypes.c_int64
         lib.parse_matching_file.argtypes = [
@@ -62,10 +73,47 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
+        try:  # absent when built without libpng
+            lib.png_dims.restype = ctypes.c_int64
+            lib.png_dims.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.decode_png_batch.restype = ctypes.c_int64
+            lib.decode_png_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+        except AttributeError:
+            pass
         _native_lib = lib
     except Exception:
         _native_lib = None
     return _native_lib
+
+
+def decode_images_native(paths: List[str]) -> Optional[np.ndarray]:
+    """Parallel native PNG decode (native/image_decode.cpp, one libpng
+    decode per thread) -> (N, H, W, 3) uint8 RGB, alpha dropped (the
+    reference's ``img[..., :3]``, Phase2/train.py:44), 16-bit inputs
+    normalized to 8-bit.  Returns None when the native layer is
+    unavailable or any file fails — callers fall back to imageio/cv2."""
+    lib = _load_native()
+    if not paths or lib is None or not hasattr(lib, "decode_png_batch"):
+        return None
+    h = ctypes.c_int64(0)
+    w = ctypes.c_int64(0)
+    if lib.png_dims(paths[0].encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    buf = np.empty((len(paths), h.value, w.value, 3), np.uint8)
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
+    rc = lib.decode_png_batch(
+        blob, len(paths),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h.value, w.value,
+    )
+    return buf if rc == 0 else None
 
 
 def load_calibration(calib_file: str) -> np.ndarray:

@@ -257,6 +257,63 @@ class SfMPipeline:
         return result
 
     # ------------------------------------------------------------------
+    def _select_init_pair(self, refined, K) -> Tuple[int, int]:
+        """Score candidate initial pairs (ADDITION — keyframe selection;
+        the reference hardcodes (1,2), Phase1/Wrapper.py:666): inlier
+        support x median triangulation parallax over the top candidates
+        by inlier count.  A high-inlier pair with ~zero baseline
+        triangulates garbage depth; a wide-baseline pair with a handful
+        of matches is noise-limited — the product (parallax capped at
+        20 deg, medians below cfg.min_parallax_deg rejected) rewards
+        both."""
+        cfg = self.cfg
+        Kj = jnp.asarray(K)
+        cands = sorted(refined.items(), key=lambda kv: -len(kv[1][1]))[:5]
+        best, best_score = None, -1.0
+        scores: Dict[Tuple[int, int], float] = {}
+        for (i, j), (F, m) in cands:
+            if len(m) < 8:
+                continue
+            E = essential_from_fundamental(Kj, jnp.asarray(F))
+            if cfg.essential_cleanup:
+                E = cleanup_essential(E)
+            Cs, Rs = decompose_essential(E, cfg.center_convention)
+            X, C2, R2, _, _ = disambiguate_pose(
+                Kj, Cs, Rs, jnp.asarray(m[:, 0:2]), jnp.asarray(m[:, 2:4]))
+            X = np.asarray(X)
+            C2 = np.asarray(C2).reshape(3)
+            R2n = np.asarray(R2)
+            # cheirality-valid points only (camera i at the origin here)
+            z1 = X[:, 2]
+            z2 = (X - C2) @ R2n[2]
+            ok = np.isfinite(X).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
+            if int(ok.sum()) < 8:
+                scores[(i, j)] = 0.0
+                continue
+            r1 = X[ok]
+            r2 = X[ok] - C2
+            cosang = np.sum(r1 * r2, axis=1) / (
+                np.linalg.norm(r1, axis=1) * np.linalg.norm(r2, axis=1)
+                + 1e-12)
+            med = float(np.median(
+                np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))))
+            if med < cfg.min_parallax_deg:
+                scores[(i, j)] = 0.0
+                continue
+            score = float(ok.sum()) * min(med, 20.0)
+            scores[(i, j)] = score
+            if score > best_score:
+                best, best_score = (i, j), score
+        if best is None:
+            best = (1, 2) if (1, 2) in refined else cands[0][0]
+        print(f"Initial pair (auto): {best}")
+        self.stats["init_pair"] = {
+            "pair": list(best),
+            "scores": {f"{p[0]}_{p[1]}": s for p, s in scores.items()},
+        }
+        return best
+
+    # ------------------------------------------------------------------
     def register_camera(self, i, obj_points, img_points, K):
         """PnPRANSAC + NonlinearPnP (the reference's get_pose,
         Wrapper.py:597-620)."""
@@ -324,6 +381,50 @@ class SfMPipeline:
                     fidx_to_3d[f] = x
 
     # ------------------------------------------------------------------
+    def _map_unmapped_from_tracks(self, K, camera_info, tracks, fidx_to_3d,
+                                  on_new=None) -> int:
+        """Triangulate UNMAPPED features directly from their TRACK
+        observations in two registered views (first/last), cheirality-
+        gated.  Matching files namespace features by their FIRST image
+        (io/sfm_data.py module docstring), so a feature first seen by a
+        still-unregistered image never appears in a refined pair between
+        two registered cameras — orderings that don't start at image 1
+        (--init_pair auto / --view_order greedy) need this pass to
+        un-strand those images (ADDITION; the reference's fixed order
+        never hits the case)."""
+        cfg = self.cfg
+        reg = sorted(camera_info)
+        groups: Dict[Tuple[int, int], list] = {}
+        for f, track in enumerate(tracks):
+            if f in fidx_to_3d:
+                continue
+            views = [c for c in reg if c in track]
+            if len(views) >= 2:
+                groups.setdefault((views[0], views[-1]), []).append(f)
+        added = 0
+        for (i, j), fs in groups.items():
+            p1 = np.asarray([tracks[f][i][:2] for f in fs])
+            p2 = np.asarray([tracks[f][j][:2] for f in fs])
+            Ri = camera_info[i]["R"]
+            Ci = np.asarray(camera_info[i]["C"]).reshape(3)
+            Rj = camera_info[j]["R"]
+            Cj = np.asarray(camera_info[j]["C"]).reshape(3)
+            _, Xn = triangulate_pair_bucketed(
+                K, Ri, Ci, Rj, Cj, p1, p2, n_iters=cfg.tri_refine_iters,
+            )
+            Rin, Rjn = np.asarray(Ri), np.asarray(Rj)
+            z1 = (Xn - Ci) @ Rin[2]
+            z2 = (Xn - Cj) @ Rjn[2]
+            ok = np.isfinite(Xn).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
+            for f, x, good in zip(fs, Xn, ok):
+                if good:
+                    fidx_to_3d[f] = x
+                    added += 1
+                    if on_new is not None:
+                        on_new(f)
+        return added
+
+    # ------------------------------------------------------------------
     def run(self) -> Dict:
         cfg = self.cfg
         t_start = time.time()
@@ -358,21 +459,28 @@ class SfMPipeline:
                 "before": n_before, "after": len(tracks)
             }
 
-        # --- two-view initialization on (1,2) --------------------------
-        F12, m12 = refined[(1, 2)]
-        if len(images) >= 2:
+        # --- two-view initialization -----------------------------------
+        # reference: hardcoded pair (1,2) (Wrapper.py:666); --init_pair
+        # auto scores candidates by inliers x parallax (ADDITION)
+        init_pair = (1, 2)
+        if cfg.init_pair == "auto":
+            init_pair = self._select_init_pair(refined, K)
+        a, b = init_pair
+        F12, m12 = refined[init_pair]
+        have_imgs = len(images) >= max(a, b)
+        if have_imgs:
             art.save_match_visualization(
-                images[0], images[1], m12, cfg.output_dir,
-                name="feature_matches_1_2.png",
+                images[a - 1], images[b - 1], m12, cfg.output_dir,
+                name=f"feature_matches_{a}_{b}.png",
             )
-        camera_info = {1: {"R": np.eye(3), "C": np.zeros(3)}}
+        camera_info = {a: {"R": np.eye(3), "C": np.zeros(3)}}
         tv = self.two_view_reconstruct(
-            K, F12, camera_info[1]["R"], camera_info[1]["C"],
+            K, F12, camera_info[a]["R"], camera_info[a]["C"],
             m12[:, 0:2], m12[:, 2:4],
-            images=(images[0], images[1]) if len(images) >= 2 else None,
+            images=(images[a - 1], images[b - 1]) if have_imgs else None,
             emit_artifacts=True,
         )
-        camera_info[2] = {"R": tv.R, "C": tv.C}
+        camera_info[b] = {"R": tv.R, "C": tv.C}
         self.stats["two_view"] = {
             "linear": tv.per_frame_linear, "nonlinear": tv.per_frame_nonlinear,
             "mean_linear": tv.mean_error_linear,
@@ -384,7 +492,51 @@ class SfMPipeline:
         }
 
         # --- incremental registration ---------------------------------
-        for i in range(3, cfg.num_images + 1):
+        # support[i] = number of mapped features observed by unregistered
+        # image i, maintained incrementally as points are added.  Index
+        # order (reference, Wrapper.py:679) visits each image once,
+        # ascending; greedy (--view_order greedy, ADDITION) registers the
+        # best-supported view next, which also reaches images that index
+        # order would have visited before their support existed.
+        support: Dict[int, int] = {
+            i: 0
+            for i in range(1, cfg.num_images + 1) if i not in camera_info
+        }
+
+        def _count_support(f_idx):
+            for img in tracks[f_idx]:
+                if img in support:
+                    support[img] += 1
+
+        for f_idx in fidx_to_3d:
+            _count_support(f_idx)
+
+        while support:
+            if cfg.view_order == "greedy":
+                i = max(support, key=support.get)
+                if support[i] < 8:
+                    # stalled: try mapping unmapped multi-view tracks
+                    # directly (features first seen by an unregistered
+                    # image are invisible to the pair-based triangulation
+                    # above — see _map_unmapped_from_tracks)
+                    added = self._map_unmapped_from_tracks(
+                        K, camera_info, tracks, fidx_to_3d,
+                        on_new=_count_support,
+                    )
+                    if added:
+                        print(
+                            f"  Track-completion pass mapped {added} "
+                            "points; retrying registration."
+                        )
+                        continue
+                    print(
+                        f"  Best remaining view {i} has only {support[i]} "
+                        "2D-3D correspondences; stopping registration."
+                    )
+                    break
+            else:
+                i = min(support)           # reference: ascending index
+            del support[i]
             print(f"Registering Image: {i} ......")
             obj_points, img_points = [], []
             for f_idx, xyz in fidx_to_3d.items():
@@ -406,11 +558,11 @@ class SfMPipeline:
                 continue
             camera_info[i] = {"R": R, "C": C}
 
-            # triangulate NEW points against every registered previous camera
-            for j in range(1, i):
-                if j not in camera_info:
+            # triangulate NEW points against every other registered camera
+            for j in sorted(camera_info):
+                if j == i:
                     continue
-                pair = (j, i)
+                pair = (j, i) if j < i else (i, j)
                 if pair not in refined:
                     print(f"No matches for pair {pair}. Skipping.")
                     continue
@@ -421,15 +573,23 @@ class SfMPipeline:
                 if not new_rows:
                     continue
                 arr = np.asarray(new_rows)
+                # matching rows store (min-image cols 0:2, max-image 2:4)
+                p_j, p_i = (
+                    (arr[:, 0:2], arr[:, 2:4]) if j < i
+                    else (arr[:, 2:4], arr[:, 0:2])
+                )
                 Rj, Cj = camera_info[j]["R"], camera_info[j]["C"]
                 # deviation 1: triangulate with KNOWN global poses
                 # (bucketed: one compile per size bucket across all pairs)
                 _, Xnew = triangulate_pair_bucketed(
-                    K, Rj, Cj, R, C, arr[:, 0:2], arr[:, 2:4],
+                    K, Rj, Cj, R, C, p_j, p_i,
                     n_iters=cfg.tri_refine_iters,
                 )
                 for n, row in enumerate(arr):
-                    fidx_to_3d.setdefault(int(row[-1]), Xnew[n])
+                    f_new = int(row[-1])
+                    if f_new not in fidx_to_3d:
+                        fidx_to_3d[f_new] = Xnew[n]
+                        _count_support(f_new)
             print(f"Registered Camera: {i}")
 
         # --- optional global rotation re-initialization ----------------
