@@ -58,8 +58,14 @@ def main():
     use_merged = os.environ.get("BENCH_MERGED", "1") != "0"
     cfg = NeRFPipelineConfig(
         model=NeRFModelConfig(arch="active"),
-        render=RenderConfig(n_sample=n_sample, use_fused_kernel=use_fused,
-                            fused_merged_step=use_merged),
+        render=RenderConfig(
+            n_sample=n_sample, use_fused_kernel=use_fused,
+            fused_merged_step=use_merged,
+            fused_ray_tile=int(os.environ.get("BENCH_RAY_TILE", 4)),
+            fused_sample_chunk=int(os.environ.get("BENCH_SAMPLE_CHUNK", 128)),
+            fused_tiles_per_program=int(os.environ.get("BENCH_TILES", 32)),
+            fused_vmem_mb=int(os.environ.get("BENCH_VMEM_MB", 100)),
+        ),
         train=TrainConfig(n_rays_batch=n_rays, compute_dtype=compute_dtype),
     )
     rng = np.random.default_rng(0)

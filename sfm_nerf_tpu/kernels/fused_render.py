@@ -73,6 +73,41 @@ def pack_active_params(params, dtype=jnp.bfloat16):
     return tuple(packed)
 
 
+# Cody-Waite split of 2*pi with a 12-bit-mantissa hi: k*hi is EXACT for
+# |k| <= 2^12 (phases up to ~25.7k), so (u - k*hi) cancels exactly and the
+# reduction error is just the k*lo rounding (~7e-7; a float32(2*pi) hi
+# measured 1e-3 at |u|~2e4 from the k*hi rounding alone)
+_TWO_PI_HI = np.float32(6.28125)
+_TWO_PI_LO = np.float32(0.0019353071795864622)
+_INV_TWO_PI = np.float32(0.15915494309189535)
+# odd minimax-fit polynomial for sin on [-pi, pi], max |err| 9.6e-8
+# (fit: lstsq over odd powers on 20k Chebyshev nodes; see PERFORMANCE.md)
+_SIN_C = tuple(
+    np.float32(c) for c in (
+        0.999999599923587, -0.1666655263540972, 0.008332402988727868,
+        -0.0001980863334292709, 2.699714637773227e-06,
+        -2.0362244922702406e-08,
+    )
+)
+
+
+def fast_sin(u):
+    """sin() for PE phases: Cody-Waite range reduction + degree-11 odd
+    polynomial, ~3x fewer VPU ops than the lowered jnp.sin (which carries
+    a general-range argument-reduction path).  Accuracy: poly error 9.6e-8
+    + reduction error O(|k|*6e-15) — orders of magnitude below the f32
+    phase quantization the encoding already carries at the top PE
+    frequency (ulp(pi*2^L*|x|) ~ 2e-3 rad for L=10, |x|~6).  Kernels-only;
+    the XLA paths keep jnp.sin."""
+    k = jnp.round(u * _INV_TWO_PI)
+    r = (u - k * _TWO_PI_HI) - k * _TWO_PI_LO
+    r2 = r * r
+    p = _SIN_C[5]
+    for c in _SIN_C[4::-1]:
+        p = p * r2 + c
+    return p * r
+
+
 def pe_trig_matrices(n_freqs: int):
     """(Fmat (3, 6L), phase (1, 6L)) such that
     sin(x @ Fmat + phase) == concat_l [sin(f_l x), cos(f_l x)] — the whole
@@ -145,7 +180,7 @@ def _make_kernel(
             mat = mat_ref[:]
             u = (x[:, 0:1] * mat[0:1, :] + x[:, 1:2] * mat[1:2, :]
                  + x[:, 2:3] * mat[2:3, :])
-            return jnp.sin(u + phase_ref[:])
+            return fast_sin(u + phase_ref[:])
 
         def subtile_body(s, _):
             # each program streams ``tiles_per_program`` ray sub-tiles

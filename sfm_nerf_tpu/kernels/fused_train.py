@@ -36,6 +36,7 @@ PERFORMANCE.md.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +46,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sfm_nerf_tpu.kernels.fused_render import (
     _ACTIVE_LAYERS,
+    fast_sin,
     pe_trig_matrices,
 )
 
 f32 = jnp.float32
+# Hardware-attribution knob (bench_kernel sweeps only — results are
+# numerically WRONG with any stage disabled).  Comma-separated subset of
+# {"sin", "composite", "bwd"}: skips that stage so its wall-clock share can
+# be measured on-chip (the axon tunnel provides no profiler).  Read once at
+# import; production paths never set it.
+ABLATE = frozenset(
+    s for s in os.environ.get("FUSED_ABLATE", "").split(",") if s
+)
+# "slowsin" in FUSED_ABLATE A/Bs the lowered jnp.sin against fast_sin
+_sin = jnp.sin if "slowsin" in ABLATE else fast_sin
+# Compositing implementation A/B: "scan" computes the per-chunk
+# transmittance as a direct lane-wise prefix PRODUCT (7 masked pltpu.roll
+# steps) and the backward suffix sum likewise — no log/exp pair and no
+# HIGHEST-precision triangular MXU dots (6 bf16 passes each).  "tridot"
+# keeps the round-1 log-cumsum-via-dot formulation.
+COMPOSITE_IMPL = os.environ.get("FUSED_COMPOSITE", "tridot")
 # MXU precision, by dot class.  Mosaic demotes plain f32 dots to single-pass
 # bf16 (and does not lower Precision.HIGH or DotAlgorithmPreset at all).
 # Quality-demo ablation (PERFORMANCE.md): the leak is NOT in the bulk MLP /
@@ -98,6 +116,35 @@ def _k3_phase(x, mat):
             + x[:, 2:3] * mat[2:3, :])
 
 
+def _cumprod_lanes(x, n):
+    """Inclusive prefix product along the last (lane) dim, width ``n``.
+
+    Hillis-Steele over log2(n) masked circular shifts.  Exact f32 at every
+    step (vs the tridot path's exp(dot(log)) round-trip) and pure VPU work
+    — the products live in (0, 1], so there is no cancellation."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    shift = 1
+    while shift < n:
+        y = pltpu.roll(x, shift, axis=x.ndim - 1)
+        x = jnp.where(col >= shift, x * y, x)
+        shift *= 2
+    return x
+
+
+def _suffix_sum_lanes(x, n):
+    """Exclusive suffix sum along lanes: out[i] = sum_{j > i} x[j]."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    # strict shift-left (x[i] <- x[i+1], 0 at the end), then an inclusive
+    # suffix Hillis-Steele scan
+    x = jnp.where(col < n - 1, pltpu.roll(x, n - 1, axis=x.ndim - 1), 0.0)
+    shift = 1
+    while shift < n:
+        y = pltpu.roll(x, n - shift, axis=x.ndim - 1)
+        x = jnp.where(col < n - shift, x + y, x)
+        shift *= 2
+    return x
+
+
 def _wb_maps(wb):
     W = {name: wb[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
     B = {name: wb[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
@@ -105,7 +152,8 @@ def _wb_maps(wb):
 
 
 def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
-                   ray_tile, sample_chunk, n_pe, n_de, keep=False):
+                   ray_tile, sample_chunk, n_pe, n_de, keep=False,
+                   tri=None):
     """One chunk's forward.  Returns (density, rgb, alpha, one_m, excl, cum)
     plus (if keep) the intermediate activations needed for backward."""
 
@@ -115,7 +163,8 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
         )
 
     pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
-    trig = jnp.sin(_k3_phase(pts, pemat[:]) + pephase[:])
+    phase = _k3_phase(pts, pemat[:]) + pephase[:]
+    trig = phase if "sin" in ABLATE else _sin(phase)
 
     def lin_parts(name, parts):
         out = B[name][:].astype(f32)
@@ -158,15 +207,32 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
     rgb = jax.nn.sigmoid(lin("rgb2", rgb_h))
 
     dens = density.reshape(ray_tile, sample_chunk)
-    alpha = 1.0 - jnp.exp(-dens * dists)
-    one_m = 1.0 - alpha + 1e-10
-    log1m = jnp.log(one_m)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (sample_chunk, sample_chunk), 1)
-    tri = (rows <= cols).astype(f32)
-    csum = jnp.dot(log1m, tri, preferred_element_type=f32, precision=TRI_PRECISION)
-    cum = jnp.exp(csum)
-    excl = jnp.exp(csum - log1m)
+    if "composite" in ABLATE:
+        alpha = dens * dists
+        one_m = 1.0 - alpha + 1e-10
+        cum = one_m
+        excl = jnp.ones_like(one_m)
+    elif COMPOSITE_IMPL == "scan":
+        alpha = 1.0 - jnp.exp(-dens * dists)
+        one_m = 1.0 - alpha + 1e-10
+        cum = _cumprod_lanes(one_m, sample_chunk)
+        excl = cum / one_m
+    else:
+        alpha = 1.0 - jnp.exp(-dens * dists)
+        one_m = 1.0 - alpha + 1e-10
+        log1m = jnp.log(one_m)
+        if tri is None:  # host passes the triangular constant as an operand
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (sample_chunk, sample_chunk), 0)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (sample_chunk, sample_chunk), 1)
+            tri_m = (rows <= cols).astype(f32)
+        else:
+            tri_m = tri[:]
+        csum = jnp.dot(log1m, tri_m, preferred_element_type=f32,
+                       precision=TRI_PRECISION)
+        cum = jnp.exp(csum)
+        excl = cum / one_m            # == exp(csum - log1m), one exp fewer
     if keep:
         acts.update(hs=hs, df=df, feat=feat, rgb_h=rgb_h, rgb=rgb,
                     density=density)
@@ -178,9 +244,10 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
     n_chunks = n_sample // sample_chunk
     n_pe = 6 * mcfg.n_pos_freq
     n_de = 6 * mcfg.n_dir_freq
+    white = rcfg.white_background
 
     def kernel(o_ref, d_ref, z_ref, dists_ref,
-               pemat_ref, pephase_ref, dmat_ref, dphase_ref,
+               pemat_ref, pephase_ref, dmat_ref, dphase_ref, tri_ref,
                *wb_and_out):
         *wb, rgb_out, tb_out = wb_and_out
         W, B = _wb_maps(wb)
@@ -189,9 +256,10 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             row0 = pl.multiple_of(s * ray_tile, 8)
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
-            dtrig = jnp.sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
+            dtrig = _sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
             T_in = jnp.ones((ray_tile, 1), f32)
             acc = jnp.zeros((ray_tile, 3), f32)
+            wsum = jnp.zeros((ray_tile, 1), f32)
             # chunk loop statically unrolled: residual column writes and the
             # reverse walk in backward then use static indices (the dynamic
             # lane-dim variants violate Mosaic's 128-alignment rule)
@@ -205,12 +273,16 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 density, rgb, alpha, one_m, excl, cum, _ = _chunk_forward(
                     W, B, o, d, dtrig, z, dists,
                     pemat_ref, pephase_ref,
-                    ray_tile, sample_chunk, n_pe, n_de,
+                    ray_tile, sample_chunk, n_pe, n_de, tri=tri_ref,
                 )
                 w = alpha * (T_in * excl)
                 rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
                 acc = acc + jnp.sum(w[..., None] * rgb3, axis=1)
+                if white:
+                    wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
                 T_in = T_in * cum[:, -1:]
+            if white:  # reference train.py:268-270: rgb += (1 - acc_weights)
+                acc = acc + (1.0 - wsum)
             rgb_out[pl.ds(row0, ray_tile), :] = acc
             return 0
 
@@ -220,22 +292,37 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
 
 
 def _composite_backward_chunk(g, w, rgb3, T_i, one_m, alpha, dists,
-                              S_carry, sample_chunk):
+                              S_carry, sample_chunk, tri=None, gsum=None):
     """Analytic compositing backward for one sample chunk.
 
     Returns (dL_dsigma (T, CH), updated suffix carry S_carry (T, 1)).
     dL/dalpha_i = q_i T_i - R_i/(1-alpha_i+eps), with q = g.c and R the
     strict-suffix sum of q*w carried across chunks (processed in reverse).
+
+    ``gsum`` (white background): out = sum w_i rgb_i + (1 - sum w_i), so
+    dL/dw_i picks up a uniform -sum_c(g_c) term — q shifts by -gsum and the
+    rest of the chain is unchanged (reference train.py:268-270's white
+    compositor, differentiated).
     """
     q = jnp.sum(rgb3 * g[:, None, :], axis=-1)           # (T, CH)
+    if gsum is not None:
+        q = q - gsum
+    if "composite" in ABLATE:
+        return q * dists, S_carry
     qw = q * w
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (sample_chunk, sample_chunk), 0)
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (sample_chunk, sample_chunk), 1)
-    upper = (rows > cols).astype(f32)                    # j > i contributes
-    R = jnp.dot(qw, upper, preferred_element_type=f32,
-                precision=TRI_PRECISION) + S_carry
+    if COMPOSITE_IMPL == "scan":
+        R = _suffix_sum_lanes(qw, sample_chunk) + S_carry
+    else:
+        if tri is None:
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (sample_chunk, sample_chunk), 0)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (sample_chunk, sample_chunk), 1)
+            upper = (rows > cols).astype(f32)            # j > i contributes
+        else:
+            upper = 1.0 - tri[:]      # strict complement of inclusive tri
+        R = jnp.dot(qw, upper, preferred_element_type=f32,
+                    precision=TRI_PRECISION) + S_carry
     dL_dalpha = q * T_i - R / one_m
     dL_dsigma = dL_dalpha * dists * (1.0 - alpha)
     return dL_dsigma, S_carry + jnp.sum(qw, axis=1, keepdims=True)
@@ -311,9 +398,10 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
     n_chunks = n_sample // sample_chunk
     n_pe = 6 * mcfg.n_pos_freq
     n_de = 6 * mcfg.n_dir_freq
+    white = rcfg.white_background
 
     def kernel(o_ref, d_ref, z_ref, dists_ref, tb_ref, g_ref,
-               pemat_ref, pephase_ref, dmat_ref, dphase_ref,
+               pemat_ref, pephase_ref, dmat_ref, dphase_ref, tri_ref,
                *wb_and_out):
         n_w = 2 * len(_ACTIVE_LAYERS)
         wb = wb_and_out[:n_w]
@@ -333,7 +421,8 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
             g = g_ref[pl.ds(row0, ray_tile), :]            # (T, 3)
-            dtrig = jnp.sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
+            gsum = jnp.sum(g, axis=1, keepdims=True) if white else None
+            dtrig = _sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
             S_carry = jnp.zeros((ray_tile, 1), f32)        # suffix qw carry
             d_dirpart_total = jnp.zeros((ray_tile, W["rgb1"].shape[1]), f32)
 
@@ -347,13 +436,14 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
                     W, B, o, d, dtrig, z, dists, pemat_ref, pephase_ref,
                     ray_tile, sample_chunk, n_pe, n_de, keep=True,
+                    tri=tri_ref,
                 )
                 T_i = T_in * excl                          # (T, CH)
                 w = alpha * T_i
                 rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
                 dL_dsigma, S_carry = _composite_backward_chunk(
                     g, w, rgb3, T_i, one_m, alpha, dists, S_carry,
-                    sample_chunk)
+                    sample_chunk, tri=tri_ref, gsum=gsum)
                 d_dirpart_total = d_dirpart_total + _chunk_mlp_backward(
                     W, gW, gB, acts, g, w, dL_dsigma,
                     ray_tile, sample_chunk, n_pe)
@@ -408,6 +498,9 @@ def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
     assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
     d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    # inclusive upper-triangular constant for the log-cumsum dots, passed
+    # as an operand (in-kernel iota builds re-materialize per chunk)
+    tri_h = np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
     kernel = _make_fwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -417,7 +510,7 @@ def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
         kernel,
         grid=(n_progs,),
         in_specs=[blk(3), blk(3), blk(n_sample), blk(n_sample),
-                  full, full, full, full, *[full] * len(packed)],
+                  full, full, full, full, full, *[full] * len(packed)],
         out_specs=(blk(3), blk(n_chunks)),
         out_shape=(
             jax.ShapeDtypeStruct((n_progs * block, 3), f32),
@@ -425,7 +518,7 @@ def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
         ),
         interpret=interpret,
     )(o, d, z, dists, jnp.asarray(pe_mat), jnp.asarray(pe_phase),
-      jnp.asarray(d_mat), jnp.asarray(d_phase), *packed)
+      jnp.asarray(d_mat), jnp.asarray(d_phase), jnp.asarray(tri_h), *packed)
     return rgb[:n], tb
 
 
@@ -443,6 +536,9 @@ def _fused_train_bwd(packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
     g_pad = jnp.pad(g, ((0, n_progs * block - n), (0, 0)))
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
     d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    # inclusive upper-triangular constant for the log-cumsum dots, passed
+    # as an operand (in-kernel iota builds re-materialize per chunk)
+    tri_h = np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
     kernel = _make_bwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -462,12 +558,12 @@ def _fused_train_bwd(packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
         grid=(n_progs,),
         in_specs=[blk(3), blk(3), blk(n_sample), blk(n_sample),
                   blk(n_chunks), blk(3),
-                  full, full, full, full, *[full] * len(packed)],
+                  full, full, full, full, full, *[full] * len(packed)],
         out_specs=grad_specs,
         out_shape=grad_shapes,
         interpret=interpret,
     )(o, d, z, dists, tb, g_pad, jnp.asarray(pe_mat), jnp.asarray(pe_phase),
-      jnp.asarray(d_mat), jnp.asarray(d_phase), *packed)
+      jnp.asarray(d_mat), jnp.asarray(d_phase), jnp.asarray(tri_h), *packed)
     return grads
 
 
@@ -525,9 +621,10 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
     n_chunks = n_sample // sample_chunk
     n_pe = 6 * mcfg.n_pos_freq
     n_de = 6 * mcfg.n_dir_freq
+    white = rcfg.white_background
 
     def kernel(o_ref, d_ref, z_ref, dists_ref, t_ref, wcol_ref,
-               pemat_ref, pephase_ref, dmat_ref, dphase_ref,
+               pemat_ref, pephase_ref, dmat_ref, dphase_ref, tri_ref,
                *wb_and_out):
         n_w = 2 * len(_ACTIVE_LAYERS)
         wb = wb_and_out[:n_w]
@@ -552,10 +649,11 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             d = d_ref[pl.ds(row0, ray_tile), :]
             t = t_ref[pl.ds(row0, ray_tile), :]
             wcol = wcol_ref[pl.ds(row0, ray_tile), :]      # (T,1) dL/drgb scale
-            dtrig = jnp.sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
+            dtrig = _sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
 
             T_in = jnp.ones((ray_tile, 1), f32)
             acc = jnp.zeros((ray_tile, 3), f32)
+            wsum = jnp.zeros((ray_tile, 1), f32)
             saved = []
             for c in range(n_chunks):                      # forward, unrolled
                 start = c * sample_chunk
@@ -565,6 +663,7 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
                     W, B, o, d, dtrig, z, dists, pemat_ref, pephase_ref,
                     ray_tile, sample_chunk, n_pe, n_de, keep=True,
+                    tri=tri_ref,
                 )
                 T_i = T_in * excl
                 w = alpha * T_i
@@ -573,29 +672,36 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 if emit_weights:
                     w_out[pl.ds(row0, ray_tile),
                           start:start + sample_chunk] = w
+                if white:
+                    wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
                 saved.append((acts, alpha, one_m, T_i, w, rgb3, dists))
                 T_in = T_in * cum[:, -1:]
+            if white:  # reference train.py:268-270: rgb += (1 - acc_weights)
+                acc = acc + (1.0 - wsum)
             rgb_out[pl.ds(row0, ray_tile), :] = acc
 
-            g = (acc - t) * wcol                           # in-kernel MSE grad
-            S_carry = jnp.zeros((ray_tile, 1), f32)
-            d_dirpart_total = jnp.zeros((ray_tile, W["rgb1"].shape[1]), f32)
-            for c in range(n_chunks - 1, -1, -1):          # backward, stored
-                acts, alpha, one_m, T_i, w, rgb3, dists = saved[c]
-                dL_dsigma, S_carry = _composite_backward_chunk(
-                    g, w, rgb3, T_i, one_m, alpha, dists, S_carry,
-                    sample_chunk)
-                d_dirpart_total = d_dirpart_total + _chunk_mlp_backward(
-                    W, gW, gB, acts, g, w, dL_dsigma,
-                    ray_tile, sample_chunk, n_pe)
+            if "bwd" not in ABLATE:
+                g = (acc - t) * wcol                       # in-kernel MSE grad
+                gsum = jnp.sum(g, axis=1, keepdims=True) if white else None
+                S_carry = jnp.zeros((ray_tile, 1), f32)
+                d_dirpart_total = jnp.zeros(
+                    (ray_tile, W["rgb1"].shape[1]), f32)
+                for c in range(n_chunks - 1, -1, -1):      # backward, stored
+                    acts, alpha, one_m, T_i, w, rgb3, dists = saved[c]
+                    dL_dsigma, S_carry = _composite_backward_chunk(
+                        g, w, rgb3, T_i, one_m, alpha, dists, S_carry,
+                        sample_chunk, tri=tri_ref, gsum=gsum)
+                    d_dirpart_total = d_dirpart_total + _chunk_mlp_backward(
+                        W, gW, gB, acts, g, w, dL_dsigma,
+                        ray_tile, sample_chunk, n_pe)
 
-            hidden = W["fc1"].shape[1]
-            gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
-                d.T, d_dirpart_total, preferred_element_type=f32,
-                precision=BWD_PRECISION)
-            gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
-                dtrig.T, d_dirpart_total, preferred_element_type=f32,
-                precision=BWD_PRECISION)
+                hidden = W["fc1"].shape[1]
+                gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
+                    d.T, d_dirpart_total, preferred_element_type=f32,
+                    precision=BWD_PRECISION)
+                gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
+                    dtrig.T, d_dirpart_total, preferred_element_type=f32,
+                    precision=BWD_PRECISION)
             return 0
 
         jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
@@ -626,6 +732,9 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
     wcol = jnp.pad(wcol, ((0, pad_n), (0, 0)))
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
     d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    # inclusive upper-triangular constant for the log-cumsum dots, passed
+    # as an operand (in-kernel iota builds re-materialize per chunk)
+    tri_h = np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
     kernel = _make_step_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program,
         emit_weights=emit_weights)
@@ -652,7 +761,7 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
         grid=(n_progs,),
         in_specs=[blk(3), blk(3), blk(n_sample), blk(n_sample),
                   blk(3), blk(1),
-                  full, full, full, full, *[full] * len(packed)],
+                  full, full, full, full, full, *[full] * len(packed)],
         out_specs=(blk(3), *w_specs, *grad_specs),
         out_shape=(
             jax.ShapeDtypeStruct((n_progs * block, 3), f32),
@@ -662,7 +771,7 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
         interpret=interpret,
         **kwargs,
     )(o, d, z, dists, t, wcol, jnp.asarray(pe_mat), jnp.asarray(pe_phase),
-      jnp.asarray(d_mat), jnp.asarray(d_phase), *packed)
+      jnp.asarray(d_mat), jnp.asarray(d_phase), jnp.asarray(tri_h), *packed)
     if emit_weights:
         return rgb[:n], rest[0][:n], tuple(rest[1:])
     return rgb[:n], tuple(rest)

@@ -55,23 +55,26 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     """Whether the fused Pallas training kernel's envelope covers this
     config; outside it make_loss_fn silently falls back to the XLA autodiff
     path.  Envelope: active arch, sample count a multiple of the kernel's
-    128-sample chunk, 'train' compositor, no white background, accelerator
-    backend.  Hierarchical sampling (n_importance > 0) is covered by the
-    MERGED step kernel when the fine pass's n_sample + n_importance is also
-    a 128 multiple (coarse kernel emits the weight histogram, sample_pdf +
-    sort run in XLA between the two kernel launches)."""
+    128-sample chunk, 'train' compositor (white background supported — the
+    kernels accumulate the weight sum and shift the compositing cotangent by
+    -sum(g), reference train.py:268-270), accelerator backend.  Hierarchical
+    sampling (n_importance > 0) is covered by the MERGED step kernel when
+    the fine pass's n_sample + n_importance is also a 128 multiple (coarse
+    kernel emits the weight histogram, sample_pdf + sort run in XLA between
+    the two kernel launches)."""
     mcfg, rcfg = cfg.model, cfg.render
+    chunk = rcfg.fused_sample_chunk
     hier_ok = rcfg.n_importance == 0 or (
         rcfg.fused_merged_step
-        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
+        and (rcfg.n_sample + rcfg.n_importance) % chunk == 0
     )
     return (
         rcfg.use_fused_kernel
         and mcfg.arch == "active"
         and hier_ok
-        and rcfg.n_sample % 128 == 0
+        and chunk % 128 == 0
+        and rcfg.n_sample % chunk == 0
         and rcfg.variant == "train"
-        and not rcfg.white_background
         and jax.default_backend() != "cpu"
     )
 
@@ -112,7 +115,8 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
                 # weights detached into sample_pdf on both paths)
                 packed_c = pack_active_params(params["coarse"], pdt)
                 packed_f = pack_active_params(params["fine"], pdt)
-                kw = dict(ray_tile=rcfg.fused_ray_tile, sample_chunk=128,
+                kw = dict(ray_tile=rcfg.fused_ray_tile,
+                          sample_chunk=rcfg.fused_sample_chunk,
                           tiles_per_program=rcfg.fused_tiles_per_program,
                           vmem_mb=rcfg.fused_vmem_mb)
                 loss_c, weights = fused_mse_loss_weights(
@@ -133,7 +137,8 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
                 # volume instead of the two-kernel path's 4x)
                 return fused_mse_loss(
                     packed, o, d, z, target, mcfg, rcfg,
-                    ray_tile=rcfg.fused_ray_tile, sample_chunk=128,
+                    ray_tile=rcfg.fused_ray_tile,
+                    sample_chunk=rcfg.fused_sample_chunk,
                     tiles_per_program=rcfg.fused_tiles_per_program,
                     vmem_mb=rcfg.fused_vmem_mb,
                 )

@@ -118,7 +118,9 @@ def test_fused_flag_reaches_training_with_envelope_fallback():
         assert not engaged(dataclasses.replace(cfg.render, n_importance=64))
         assert not engaged(dataclasses.replace(cfg.render, n_sample=192))
         assert not engaged(dataclasses.replace(cfg.render, variant="legacy"))
-        assert not engaged(
+        # white background is INSIDE the envelope (kernels composite the
+        # background term and its cotangent since round 2)
+        assert engaged(
             dataclasses.replace(cfg.render, white_background=True))
     finally:
         jax.default_backend = orig

@@ -179,6 +179,59 @@ def test_merged_step_pads_partial_batch():
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-4 * scale)
 
 
+def _assert_grads_close(gx, gk, rtol=5e-3, atol_scale=5e-4):
+    for (pathx, lx), (pathk, lk) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gk)[0],
+    ):
+        assert pathx == pathk
+        a, b = np.asarray(lx), np.asarray(lk)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, rtol=rtol, atol=atol_scale * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pathx)}",
+        )
+
+
+def test_white_background_matches_xla():
+    """White-background compositing (reference train.py:268-270) through
+    both fused paths: forward adds (1 - sum w), backward shifts the
+    compositing cotangent by -sum(g)."""
+    import dataclasses
+
+    mcfg, rcfg, params, o, d, z, target = setup()
+    rcfg = dataclasses.replace(rcfg, white_background=True)
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lk = float(kernel_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lk, lx, rtol=1e-4)
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_close(gx, jax.grad(kernel_loss)(
+        params, mcfg, rcfg, o, d, z, target))
+    _assert_grads_close(gx, jax.grad(merged_loss)(
+        params, mcfg, rcfg, o, d, z, target))
+
+
+def test_scan_composite_matches_xla(monkeypatch):
+    """The lane-scan compositing implementation (prefix product + suffix
+    sum via pltpu.roll, FUSED_COMPOSITE=scan) matches the XLA reference in
+    loss and grads exactly like the tridot formulation."""
+    import sfm_nerf_tpu.kernels.fused_train as ft
+
+    monkeypatch.setattr(ft, "COMPOSITE_IMPL", "scan")
+    mcfg, rcfg, params, o, d, z, target = setup()
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_close(gx, jax.grad(merged_loss)(
+        params, mcfg, rcfg, o, d, z, target))
+    # two-kernel path under scan as well
+    _assert_grads_close(gx, jax.grad(kernel_loss)(
+        params, mcfg, rcfg, o, d, z, target))
+
+
 def test_fused_hierarchical_matches_xla():
     """Fused coarse(+weights) -> sample_pdf -> fused fine pipeline: loss and
     grads (both models) match the XLA hierarchical path with detached
