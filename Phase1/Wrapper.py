@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_path", default="Phase1/Data",
                         help="folder with 1..N.png, calibration.txt, matching*.txt")

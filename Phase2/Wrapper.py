@@ -176,6 +176,8 @@ def run_gif(args):
 
 
 def main(args):
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     print("Loading data...")
     if args.mode == "gif":
         print("Start gif")

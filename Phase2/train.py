@@ -57,7 +57,8 @@ def configParser():
                              "the training step (merged fwd+bwd kernel; "
                              "falls back to XLA automatically outside the "
                              "fused envelope — active arch, n_sample%%128==0, "
-                             "train variant, no hierarchical/white bg)")
+                             "train variant; hierarchical + white bg "
+                             "supported in-kernel)")
     parser.add_argument('--steps_per_call', default=1, type=int,
                         help="train steps fused into one device call via "
                              "lax.scan (amortizes dispatch latency on "
@@ -189,12 +190,17 @@ def run_test(cfg, images, poses, cam):
         fig.savefig(os.path.join(out_dir, f"figure_{i}.png"), dpi=150)
         plt.close(fig)
         psnr = -10 * np.log10(max(mse_val, 1e-12))
-        print(f"  MSE {mse_val:.6f}  PSNR {psnr:.2f} dB")
+        from sfm_nerf_tpu.utils.metrics import ssim
+
+        ssim_val = float(ssim(pred, gt))    # ADDITION: standard NeRF metric
+        print(f"  MSE {mse_val:.6f}  PSNR {psnr:.2f} dB  SSIM {ssim_val:.4f}")
     print(f"Testing complete. Average loss: {total / n_test:.6f}")
     print(f"Results saved to {out_dir}")
 
 
 def main(args):
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     print("Loading data...")
     from sfm_nerf_tpu.io.blender import load_blender_dataset
 

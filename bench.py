@@ -28,6 +28,8 @@ DEFAULT_CPU_BASELINE_RAYS_PER_SEC = 17.5
 
 
 def main():
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

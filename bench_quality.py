@@ -32,6 +32,8 @@ import numpy as np
 
 
 def main():
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

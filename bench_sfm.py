@@ -160,6 +160,8 @@ def bench_pipeline(args):
 
 
 def main():
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="default",
                     choices=["cpu", "default"])

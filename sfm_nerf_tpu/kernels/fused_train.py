@@ -218,9 +218,14 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
         cum = _cumprod_lanes(one_m, sample_chunk)
         excl = cum / one_m
     else:
-        alpha = 1.0 - jnp.exp(-dens * dists)
+        x = dens * dists
+        alpha = 1.0 - jnp.exp(-x)
         one_m = 1.0 - alpha + 1e-10
-        log1m = jnp.log(one_m)
+        # log(one_m) == log(exp(-x) + 1e-10) == -x up to 1e-10*e^x absolute
+        # (< 1e-6 for x < 9; for larger x the transmittance past the sample
+        # is ~0 and carries ~0 weight either way).  Using -x directly drops
+        # a log per sample AND unchains the tri-dot from the exp.
+        log1m = -x
         if tri is None:  # host passes the triangular constant as an operand
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (sample_chunk, sample_chunk), 0)
@@ -352,7 +357,10 @@ def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
     d_dirpart = jnp.sum(
         d_rgb_h.reshape(ray_tile, sample_chunk, -1), axis=1)
     d_feat = _dot_nt(d_rgb_h, W["rgb1"][0:hidden, :]) * (acts["feat"] > 0)
-    # merged density+feature head
+    # merged density+feature head.  (Concatenating the density cotangent
+    # with the feature cotangent to fuse the head's backward dots was
+    # A/B'd on-chip and measured SLOWER — the unaligned 1+hidden concat
+    # costs a relayout that outweighs the saved pass; keep the split dots.)
     sig_a = 1.0 - jnp.exp(-acts["density"])    # softplus' = sigmoid
     d_dens_col = dL_dsigma.reshape(rowsN, 1) * sig_a
     h_last = acts["hs"][-1]

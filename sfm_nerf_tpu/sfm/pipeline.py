@@ -428,6 +428,16 @@ class SfMPipeline:
     def run(self) -> Dict:
         cfg = self.cfg
         t_start = time.time()
+        # wall-clock per stage (deltas), printed at the end and saved in
+        # stats["stage_seconds"] — on the tunneled TPU the host-loop RTT
+        # dominates and this is the attribution tool
+        stage_log: list = []
+
+        def _stage(name):
+            prev = stage_log[-1][1] if stage_log else 0.0
+            now = time.time() - t_start
+            stage_log.append((name, now, now - prev))
+
         images = load_images(cfg.data_path, cfg.num_images)
         K = load_calibration(f"{cfg.data_path}/calibration.txt")
         print("Camera intrinsic matrix K:")
@@ -435,9 +445,11 @@ class SfMPipeline:
         matches_dict, tracks, visibility = parse_matching_files(
             cfg.data_path, cfg.num_images
         )
+        _stage("load+parse")
         refined, tracks, visibility = self.refine_all_matches(
             matches_dict, tracks, visibility
         )
+        _stage("ransac_refine")
         if cfg.merge_tracks:
             # Merge AFTER per-pair RANSAC refinement: (a) unions are built
             # from verified observations only, and (b) one pair's outlier
@@ -490,6 +502,7 @@ class SfMPipeline:
         fidx_to_3d: Dict[int, np.ndarray] = {
             int(row[-1]): tv.X[n] for n, row in enumerate(m12)
         }
+        _stage("two_view_init")
 
         # --- incremental registration ---------------------------------
         # support[i] = number of mapped features observed by unregistered
@@ -591,6 +604,7 @@ class SfMPipeline:
                         fidx_to_3d[f_new] = Xnew[n]
                         _count_support(f_new)
             print(f"Registered Camera: {i}")
+        _stage("registration")
 
         # --- optional global rotation re-initialization ----------------
         # Incremental chaining compounds rotation error camera-by-camera;
@@ -715,6 +729,7 @@ class SfMPipeline:
                     K, camera_info, tracks, fidx_to_3d, cam_ids)
 
         # --- pre-BA artifacts ------------------------------------------
+        _stage("global_init")
         all_points = np.asarray(list(fidx_to_3d.values()))
         art.save_reconstruction_plot(all_points, camera_info, cfg.output_dir)
         art.save_topdown_plot(all_points, camera_info, cfg.output_dir)
@@ -878,8 +893,12 @@ class SfMPipeline:
                 f"median {np.median(e):.4f} px"
             )
 
+        _stage("ba+artifacts")
         self.stats["elapsed_s"] = time.time() - t_start
         self.stats["n_points_total"] = len(fidx_to_3d)
+        self.stats["stage_seconds"] = {n: round(d, 2) for n, _, d in stage_log}
+        print("stage timing: " + " | ".join(
+            f"{n} {d:.1f}s" for n, _, d in stage_log))
         import json
 
         with open(f"{cfg.output_dir}/sfm_stats.json", "w") as f:

@@ -160,3 +160,38 @@ def test_wrapper_train_uses_legacy_schedule(monkeypatch):
                                           "--modern_schedule"])
     mod.main(args)
     assert captured["steps"] == 50000
+
+
+def test_run_test_emits_artifacts(tmp_path):
+    """Drive the eval path (mode=test) end-to-end on a tiny checkpoint:
+    artifact filenames (reference train.py:663-676 parity) + PSNR/SSIM
+    reporting must survive headless CPU runs."""
+    import numpy as np
+    from sfm_nerf_tpu.config import (
+        NeRFModelConfig, NeRFPipelineConfig, RenderConfig, TrainConfig,
+    )
+    from sfm_nerf_tpu.io.blender import load_blender_dataset
+    from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+    from sfm_nerf_tpu.train.nerf_trainer import NeRFTrainer
+    from util_synthetic import make_blender_dataset
+
+    root = make_blender_dataset(str(tmp_path / "d"), n_frames=2,
+                                height=16, width=16)
+    images, poses, cam = load_blender_dataset(root, "train")
+    cfg = NeRFPipelineConfig(
+        model=NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1),
+        render=RenderConfig(n_sample=16, near=2.0, far=6.0),
+        train=TrainConfig(n_rays_batch=64, val_every=0),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        images_path=str(tmp_path / "out"),
+        load_checkpoint=True,
+    )
+    tr = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    ckpt_lib.save_checkpoint(cfg.checkpoint_path, 1, tr.params)
+
+    mod = load_module("Phase2/train.py")
+    mod.run_test(cfg, images, poses, cam)
+    out = os.path.join(cfg.images_path, os.path.basename(cfg.checkpoint_path))
+    for name in ("test_0_gt.png", "test_0_pred.png",
+                 "test_0_comparison.png", "figure_0.png"):
+        assert os.path.exists(os.path.join(out, name)), name

@@ -54,3 +54,47 @@ def test_psnr_relationships():
 def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert isinstance(stats, dict) and len(stats) >= 1
+
+
+def _ssim_oracle(p, t, max_val=1.0, sigma=1.5, radius=5):
+    """Independent direct (non-separable) windowed SSIM: explicit 2D
+    gaussian weights, one window at a time."""
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g1 = np.exp(-0.5 * (x / sigma) ** 2)
+    w2 = np.outer(g1, g1)
+    w2 = w2 / w2.sum()
+    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+    h, w, c = p.shape
+    vals = []
+    for ch in range(c):
+        for i in range(radius, h - radius):
+            for j in range(radius, w - radius):
+                wp = p[i - radius:i + radius + 1,
+                       j - radius:j + radius + 1, ch]
+                wt = t[i - radius:i + radius + 1,
+                       j - radius:j + radius + 1, ch]
+                mp, mt = (w2 * wp).sum(), (w2 * wt).sum()
+                vp = (w2 * wp * wp).sum() - mp ** 2
+                vt = (w2 * wt * wt).sum() - mt ** 2
+                cov = (w2 * wp * wt).sum() - mp * mt
+                vals.append(((2 * mp * mt + c1) * (2 * cov + c2))
+                            / ((mp ** 2 + mt ** 2 + c1) * (vp + vt + c2)))
+    return float(np.mean(vals))
+
+
+def test_ssim_oracle_and_properties():
+    from sfm_nerf_tpu.utils.metrics import ssim
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (24, 20, 3))
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1)
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, _ssim_oracle(a, b), atol=2e-5)
+    # identity, symmetry, ordering under increasing noise
+    assert float(ssim(jnp.asarray(a), jnp.asarray(a))) > 0.9999
+    np.testing.assert_allclose(
+        got, float(ssim(jnp.asarray(b), jnp.asarray(a))), atol=1e-6)
+    worse = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1)
+    assert float(ssim(jnp.asarray(a), jnp.asarray(worse))) < got
+    # grayscale (H, W) input path
+    assert float(ssim(jnp.asarray(a[..., 0]), jnp.asarray(a[..., 0]))) > 0.9999
