@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--output_dir", default=".")
     parser.add_argument("--ransac_iters", type=int, default=50000)
     parser.add_argument("--ransac_threshold", type=float, default=5e-4)
+    parser.add_argument("--ransac_devices", type=int, default=1,
+                        help="shard RANSAC hypotheses over this many "
+                             "devices (bit-equal to single-device; wants "
+                             "a multi-chip mesh)")
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
     parser.add_argument("--ba_max_iters", type=int, default=50)
@@ -98,6 +102,7 @@ def main():
         num_images=args.num_images,
         ransac_iters=args.ransac_iters,
         ransac_threshold=args.ransac_threshold,
+        ransac_devices=args.ransac_devices,
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,

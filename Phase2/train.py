@@ -52,13 +52,19 @@ def configParser():
     parser.add_argument('--n_importance', default=0, type=int,
                         help="hierarchical fine-pass importance samples "
                              "(0 = off; coarse/fine model pair when on)")
-    parser.add_argument('--fused', action='store_true',
+    parser.add_argument('--fused', action='store_true', default=True,
                         help="fused Pallas kernels: full-frame renders AND "
                              "the training step (merged fwd+bwd kernel; "
                              "falls back to XLA automatically outside the "
                              "fused envelope — active arch, n_sample%%128==0, "
                              "train variant; hierarchical + white bg "
-                             "supported in-kernel)")
+                             "supported in-kernel).  DEFAULT since the "
+                             "merged kernel reached quality parity at 3.2x "
+                             "XLA speed (PERFORMANCE.md); --no_fused opts "
+                             "out")
+    parser.add_argument('--no_fused', dest='fused', action='store_false',
+                        help="train/render through XLA autodiff instead of "
+                             "the fused kernels")
     parser.add_argument('--steps_per_call', default=1, type=int,
                         help="train steps fused into one device call via "
                              "lax.scan (amortizes dispatch latency on "

@@ -57,6 +57,11 @@ def main():
     res = int(os.environ.get("BENCH_QUALITY_RES", 128))
     frames = int(os.environ.get("BENCH_QUALITY_FRAMES", 60))
     heldout = int(os.environ.get("BENCH_QUALITY_HELDOUT", 4))
+    # BENCH_QUALITY_NIMP > 0 exercises the HIERARCHICAL path (coarse/fine
+    # model pair; fused: coarse kernel emits weights -> sample_pdf -> fine
+    # merged kernel) on the real chip — the only non-interpret validation
+    # of the fused hierarchical kernels
+    n_imp = int(os.environ.get("BENCH_QUALITY_NIMP", 0))
 
     import tempfile
     root = make_blender_dataset(
@@ -75,13 +80,19 @@ def main():
     cfg = NeRFPipelineConfig(
         model=NeRFModelConfig(arch="active", hidden=128, n_pos_freq=8,
                               n_dir_freq=3),
-        render=RenderConfig(n_sample=128, use_fused_kernel=fused,
+        render=RenderConfig(n_sample=128, n_importance=n_imp,
+                            use_fused_kernel=fused,
                             fused_merged_step=merged),
         train=TrainConfig(n_rays_batch=4096, lrate=5e-4,
                           lrate_decay_steps=250000),
     )
     tx = make_optimizer(cfg)
-    params = init_nerf_params(jax.random.key(0), cfg.model)
+    if n_imp > 0:
+        kc, kf = jax.random.split(jax.random.key(0))
+        params = {"coarse": init_nerf_params(kc, cfg.model),
+                  "fine": init_nerf_params(kf, cfg.model)}
+    else:
+        params = init_nerf_params(jax.random.key(0), cfg.model)
     opt = tx.init(params)
     step = make_multi_train_step(cfg, tx, spc)
     render = make_render_image(cfg, chunk_rays=4096)

@@ -148,6 +148,9 @@ class SfMConfig:
     ransac_iters: int = 50000
     ransac_threshold: float = 5e-4   # Sampson distance in normalized coords
     normalize: bool = True
+    # >1: shard the hypothesis axis over that many devices
+    # (parallel/ransac.py; bit-equal to single-device for the same key)
+    ransac_devices: int = 1
     # PnP RANSAC (Phase1/PnP.py:160)
     pnp_iters: int = 10000
     pnp_threshold: float = 10.0      # squared px reprojection error

@@ -254,12 +254,16 @@ def _make_kernel(
                 rgb = jax.nn.sigmoid(lin("rgb2", rgb_h, f32))   # (T*CH, 3)
 
                 dens = density.reshape(ray_tile, sample_chunk)
-                alpha = 1.0 - jnp.exp(-dens * dists)            # (T, CH)
+                x = dens * dists
+                alpha = 1.0 - jnp.exp(-x)                       # (T, CH)
                 one_m = 1.0 - alpha + 1e-10
                 # exclusive cumprod within chunk, carried across chunks.
                 # Mosaic has no cumprod lowering -> log-space cumulative sum
                 # via a triangular-ones matmul (CHxCH, runs on the MXU).
-                log1m = jnp.log(one_m)                          # (T, CH)
+                # log(one_m) == log(exp(-x)+1e-10) == -x up to 1e-10*e^x
+                # absolute (saturated samples carry ~0 transmittance): one
+                # log fewer and the tri-dot no longer waits on the exp
+                log1m = -x                                      # (T, CH)
                 rows = jax.lax.broadcasted_iota(
                     jnp.int32, (sample_chunk, sample_chunk), 0)
                 cols = jax.lax.broadcasted_iota(

@@ -1,0 +1,115 @@
+"""Hypothesis-parallel F-RANSAC over a device mesh.
+
+RANSAC is embarrassingly parallel over hypotheses: each device scores an
+equal slice of the minimal-sample draws against the (replicated) match
+set, and only the per-hypothesis inlier COUNTS are exchanged (one
+all-gather of ``total_iters`` int32 — bytes, not megabytes).  This is the
+SPMD shape of the reference's 50,000-iteration Python loop
+(Phase1/Fundamental.py:95-129) at multi-chip scale: hypothesis draws,
+scoring math, and the winning-hypothesis re-estimation are IDENTICAL to
+``ops.epipolar.ransac_fundamental`` — same key -> same draws -> bit-equal
+winner — so the sharded path is a pure wall-clock lever.
+
+Single-chip callers should keep using ``ransac_fundamental``; the driver
+switches here when ``--ransac_devices > 1``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from sfm_nerf_tpu.ops.epipolar import (
+    RansacResult,
+    eight_point,
+    normalization_matrix,
+    sampson_distance,
+    weighted_eight_point,
+)
+from sfm_nerf_tpu.ops.linalg import HI, homogenize
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "n_iters", "normalize", "chunk"),
+)
+def ransac_fundamental_sharded(
+    key: jax.Array,
+    pts1: jnp.ndarray,        # (N, 2) pixel coords
+    pts2: jnp.ndarray,        # (N, 2)
+    n_valid: Optional[jnp.ndarray] = None,
+    *,
+    mesh,
+    axis: str = "data",
+    n_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+) -> RansacResult:
+    """``ransac_fundamental`` with the hypothesis axis sharded over
+    ``mesh[axis]``.  The chunk count is rounded up to a device multiple, so
+    the EFFECTIVE iteration count is ``ceil(ceil(n_iters/chunk)/n_dev) *
+    n_dev * chunk`` — pass an n_iters whose chunk count divides the device
+    count to match the single-device draw sequence exactly."""
+    n_pts = pts1.shape[0]
+    if n_valid is None:
+        valid = None
+        n_draw = n_pts
+    else:
+        valid = jnp.arange(n_pts) < n_valid
+        n_draw = n_valid
+    if normalize:
+        T1 = normalization_matrix(pts1, valid)
+        T2 = normalization_matrix(pts2, valid)
+        h1 = jnp.matmul(homogenize(pts1), T1.T, precision=HI)
+        h2 = jnp.matmul(homogenize(pts2), T2.T, precision=HI)
+        p1, p2 = h1[..., :2], h2[..., :2]
+    else:
+        T1 = T2 = jnp.eye(3, dtype=pts1.dtype)
+        p1, p2 = pts1, pts2
+        h1, h2 = homogenize(pts1), homogenize(pts2)
+
+    n_dev = mesh.shape[axis]
+    n_chunks = (n_iters + chunk - 1) // chunk
+    n_chunks = ((n_chunks + n_dev - 1) // n_dev) * n_dev
+    total = n_chunks * chunk
+    idx = jax.random.randint(key, (total, 8), 0, n_draw)
+
+    def gate(d):
+        return d if valid is None else jnp.where(valid, d, jnp.inf)
+
+    def score_shard(idx_shard, p1r, p2r, h1r, h2r, thr):
+        # idx_shard: (n_chunks/n_dev, chunk, 8) — this device's hypotheses
+        def score_chunk(ic):
+            F = eight_point(p1r[ic], p2r[ic])
+            d = gate(sampson_distance(F, h1r, h2r))
+            counts = jnp.sum(d < thr, axis=-1)
+            ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
+            return jnp.where(ok, counts, -1)
+
+        return jax.lax.map(score_chunk, idx_shard).reshape(-1)
+
+    rep = P(*([None] * 2))
+    counts = shard_map(
+        score_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), rep, rep, rep, rep, P()),
+        out_specs=P(axis),
+    )(idx.reshape(n_chunks, chunk, 8), p1, p2, h1, h2,
+      jnp.asarray(threshold, p1.dtype))
+    best = jnp.argmax(counts)
+
+    # winning hypothesis re-scored + re-estimated on its inliers, exactly
+    # as the single-device path (ops/epipolar.py:208-214)
+    Fb = eight_point(p1[idx[best]], p2[idx[best]])
+    d = gate(sampson_distance(Fb, h1, h2))
+    inliers = d < threshold
+    F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))
+    if normalize:
+        F = jnp.matmul(jnp.matmul(T2.T, F, precision=HI), T1, precision=HI)
+    return RansacResult(F, inliers, jnp.sum(inliers), best)

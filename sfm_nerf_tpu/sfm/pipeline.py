@@ -95,13 +95,40 @@ class SfMPipeline:
         (Phase1/Wrapper.py:236-290)."""
         cfg = self.cfg
         refined = {}
+        mesh = None
+        if cfg.ransac_devices > 1:
+            # hypothesis-parallel RANSAC over a device mesh
+            # (parallel/ransac.py; bit-equal to the single-device path)
+            from sfm_nerf_tpu.parallel import make_mesh
+
+            mesh = make_mesh(dp=cfg.ransac_devices, tp=1)
         for (i, j), arr in sorted(matches_dict.items()):
             # bucketed: one accelerator compile per size bucket, not per pair
-            res = ransac_fundamental_bucketed(
-                self._next_key(), arr[:, 0:2], arr[:, 2:4],
-                n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
-                normalize=cfg.normalize,
-            )
+            if mesh is not None:
+                from sfm_nerf_tpu.parallel.ransac import (
+                    ransac_fundamental_sharded,
+                )
+
+                n = len(arr)
+                bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+                p1 = np.pad(np.asarray(arr[:, 0:2], np.float64),
+                            ((0, bucket - n), (0, 0)))
+                p2 = np.pad(np.asarray(arr[:, 2:4], np.float64),
+                            ((0, bucket - n), (0, 0)))
+                res = ransac_fundamental_sharded(
+                    self._next_key(), jnp.asarray(p1), jnp.asarray(p2),
+                    jnp.asarray(n), mesh=mesh,
+                    n_iters=cfg.ransac_iters,
+                    threshold=cfg.ransac_threshold,
+                    normalize=cfg.normalize,
+                )
+                res = res._replace(inliers=res.inliers[:n])
+            else:
+                res = ransac_fundamental_bucketed(
+                    self._next_key(), arr[:, 0:2], arr[:, 2:4],
+                    n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
+                    normalize=cfg.normalize,
+                )
             inliers = np.asarray(res.inliers)
             print(
                 f"RANSAC: Found {int(res.n_inliers)} inliers out of "

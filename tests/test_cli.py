@@ -195,3 +195,13 @@ def test_run_test_emits_artifacts(tmp_path):
     for name in ("test_0_gt.png", "test_0_pred.png",
                  "test_0_comparison.png", "figure_0.png"):
         assert os.path.exists(os.path.join(out, name)), name
+
+
+def test_fused_default_on_with_opt_out():
+    """Fused kernels are the training DEFAULT (parity + 3.2x speed);
+    --no_fused opts back into XLA autodiff."""
+    mod = load_module("Phase2/train.py")
+    assert mod.build_config(
+        mod.configParser().parse_args([])).render.use_fused_kernel
+    assert not mod.build_config(
+        mod.configParser().parse_args(["--no_fused"])).render.use_fused_kernel

@@ -298,3 +298,43 @@ def test_two_process_multihost_dp_step(scene):
         assert r["n_proc"] == 2 and r["devices"] == 8
         np.testing.assert_allclose(r["loss"], float(loss_ref), rtol=1e-5)
         np.testing.assert_allclose(r["checksum"], checksum_ref, rtol=1e-5)
+
+
+def test_sharded_ransac_matches_single_device():
+    """Hypothesis-sharded F-RANSAC (8-device mesh) is BIT-EQUAL to the
+    single-device path for the same key: identical draws, identical
+    counts, identical winner and inlier set."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sfm_nerf_tpu.ops.epipolar import ransac_fundamental
+    from sfm_nerf_tpu.parallel.ransac import ransac_fundamental_sharded
+
+    rng = np.random.default_rng(11)
+    n = 256
+    # planar-ish scene seen by two cameras -> valid F; 30% outliers
+    F_true = np.array([[0, -1e-4, 2e-2], [1e-4, 0, -3e-2], [-2e-2, 3e-2, 1.0]])
+    p1 = rng.uniform(50, 750, (n, 2))
+    # points on the epipolar line of p1 (inliers), noise 0.3 px
+    l = (F_true @ np.c_[p1, np.ones(n)].T).T      # lines in image 2
+    t = rng.uniform(100, 700, n)
+    x2 = t
+    y2 = -(l[:, 0] * x2 + l[:, 2]) / np.where(np.abs(l[:, 1]) < 1e-12,
+                                              1e-12, l[:, 1])
+    p2 = np.c_[x2, y2] + rng.normal(0, 0.3, (n, 2))
+    out = rng.random(n) < 0.3
+    p2[out] = rng.uniform(50, 750, (out.sum(), 2))
+
+    key = jax.random.key(5)
+    # 16 chunks of 512 -> divisible by the 8-device mesh: identical draws
+    kw = dict(n_iters=8192, threshold=5e-4, chunk=512)
+    single = ransac_fundamental(key, jnp.asarray(p1), jnp.asarray(p2), **kw)
+    mesh = make_mesh(dp=8, tp=1)
+    shard = ransac_fundamental_sharded(
+        key, jnp.asarray(p1), jnp.asarray(p2), mesh=mesh, **kw)
+    assert int(single.n_inliers) == int(shard.n_inliers)
+    assert int(single.best_iter) == int(shard.best_iter)
+    np.testing.assert_array_equal(np.asarray(single.inliers),
+                                  np.asarray(shard.inliers))
+    np.testing.assert_allclose(np.asarray(single.F), np.asarray(shard.F),
+                               rtol=1e-10, atol=1e-12)

@@ -108,3 +108,33 @@ def test_pipeline_global_init(tmp_path):
     # global init must be in the same regime
     assert stats["ba"]["final_err_px"]["mean"] < 0.5
     assert stats["ba"]["final_err_px"]["median"] < 0.35
+
+
+@requires_reference
+def test_refine_matches_sharded_equals_single(tmp_path):
+    """The driver's --ransac_devices branch: per-pair inlier sets on the
+    real data are identical between the 8-device sharded path and the
+    single-device bucketed path (same keys, chunk counts divisible by 8)."""
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.io.sfm_data import parse_matching_files
+    from sfm_nerf_tpu.sfm import SfMPipeline
+
+    # 16 chunks of 1024 -> divisible by 8 devices: identical draw sequence
+    base = dict(data_path=REF_DATA, ransac_iters=16 * 1024,
+                output_dir=str(tmp_path), seed=3)
+    matches, tracks, vis = parse_matching_files(REF_DATA, 5)
+
+    import copy
+    p_single = SfMPipeline(SfMConfig(**base))
+    r_single, _, _ = p_single.refine_all_matches(
+        copy.deepcopy(matches), copy.deepcopy(tracks), copy.deepcopy(vis))
+    p_shard = SfMPipeline(SfMConfig(**base, ransac_devices=8))
+    r_shard, _, _ = p_shard.refine_all_matches(
+        copy.deepcopy(matches), copy.deepcopy(tracks), copy.deepcopy(vis))
+
+    assert sorted(r_single) == sorted(r_shard)
+    for pair in r_single:
+        F1, m1 = r_single[pair]
+        F2, m2 = r_shard[pair]
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(F1, F2, rtol=1e-8, atol=1e-10)
