@@ -93,3 +93,48 @@ def test_hierarchical_training_end_to_end(tmp_path):
     # resume restores the nested pytree
     trainer2 = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
     assert trainer2.try_resume()
+
+
+def test_sample_pdf_matches_gather_oracle():
+    """The compare/masked-reduce formulation (TPU: no searchsorted or
+    gathers) selects bit-identical neighbors to the original
+    searchsorted + take_along_axis implementation."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_nerf_tpu.ops.render import sample_pdf
+
+    def gather_oracle(key, bins, weights, n_importance):
+        weights = weights + 1e-5
+        pdf = weights / jnp.sum(weights, -1, keepdims=True)
+        cdf = jnp.cumsum(pdf, -1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+        if key is not None:
+            u = jax.random.uniform(key, (cdf.shape[0], n_importance))
+        else:
+            u = jnp.linspace(0.0, 1.0 - 1e-5, n_importance)[None, :].repeat(
+                cdf.shape[0], axis=0)
+        idx = jax.vmap(
+            lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+        below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+        above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+        take = jnp.take_along_axis
+        cdf_b, cdf_a = take(cdf, below, -1), take(cdf, above, -1)
+        bins_b = take(bins, jnp.clip(below, 0, bins.shape[-1] - 1), -1)
+        bins_a = take(bins, jnp.clip(above, 0, bins.shape[-1] - 1), -1)
+        denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+        return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+
+    rng = np.random.default_rng(7)
+    for n, s, ni, keyed in [(32, 64, 48, True), (8, 16, 32, False),
+                            (16, 128, 128, True)]:
+        z = np.sort(rng.uniform(2, 6, (n, s)), axis=-1)
+        bins = jnp.asarray(0.5 * (z[:, 1:] + z[:, :-1]))
+        # include zero-weight bins (ties in the cdf after the 1e-5 floor)
+        w = rng.uniform(0, 1, (n, s - 2)) * (rng.random((n, s - 2)) > 0.2)
+        w = jnp.asarray(w)
+        key = jax.random.key(3) if keyed else None
+        got = sample_pdf(key, bins, w, ni)
+        want = gather_oracle(key, bins, w, ni)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
