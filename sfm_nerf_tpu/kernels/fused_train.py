@@ -27,9 +27,10 @@ sequential grid (constant index maps; program 0 zero-initializes) and
 expose custom_vjp wrappers so jax.grad flows through the (differentiable)
 packing to the parameter pytree.  Ray/z/target inputs get zero cotangents.
 
-Scope: active arch, 'train' compositor, no white background.  Interpret
-mode is the correctness reference (tested against jax.grad of the XLA
-path); on-chip compilation is subject to the toolchain limits recorded in
+Scope: active arch, 'train' compositor; white background (our
+standard-NeRF addition) supported in-kernel.  Interpret mode is the
+correctness reference (tested against jax.grad of the XLA path); on-chip
+compilation is subject to the toolchain limits recorded in
 PERFORMANCE.md.
 """
 
@@ -286,7 +287,7 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 if white:
                     wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
                 T_in = T_in * cum[:, -1:]
-            if white:  # reference train.py:268-270: rgb += (1 - acc_weights)
+            if white:  # ADDITION: standard NeRF white background
                 acc = acc + (1.0 - wsum)
             rgb_out[pl.ds(row0, ray_tile), :] = acc
             return 0
@@ -306,8 +307,9 @@ def _composite_backward_chunk(g, w, rgb3, T_i, one_m, alpha, dists,
 
     ``gsum`` (white background): out = sum w_i rgb_i + (1 - sum w_i), so
     dL/dw_i picks up a uniform -sum_c(g_c) term — q shifts by -gsum and the
-    rest of the chain is unchanged (reference train.py:268-270's white
-    compositor, differentiated).
+    rest of the chain is unchanged.  (White background is an ADDITION —
+    the standard NeRF --white_bkgd option; the reference's compositor,
+    train.py:248-271, has no background term.)
     """
     q = jnp.sum(rgb3 * g[:, None, :], axis=-1)           # (T, CH)
     if gsum is not None:
@@ -684,7 +686,7 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                     wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
                 saved.append((acts, alpha, one_m, T_i, w, rgb3, dists))
                 T_in = T_in * cum[:, -1:]
-            if white:  # reference train.py:268-270: rgb += (1 - acc_weights)
+            if white:  # ADDITION: standard NeRF white background
                 acc = acc + (1.0 - wsum)
             rgb_out[pl.ds(row0, ray_tile), :] = acc
 

@@ -55,9 +55,10 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     """Whether the fused Pallas training kernel's envelope covers this
     config; outside it make_loss_fn silently falls back to the XLA autodiff
     path.  Envelope: active arch, sample count a multiple of the kernel's
-    128-sample chunk, 'train' compositor (white background supported — the
-    kernels accumulate the weight sum and shift the compositing cotangent by
-    -sum(g), reference train.py:268-270), accelerator backend.  Hierarchical
+    128-sample chunk, 'train' compositor (white background — our standard-NeRF
+    ADDITION, absent in the reference compositor — supported: the kernels
+    accumulate the weight sum and shift the compositing cotangent by
+    -sum(g)), accelerator backend.  Hierarchical
     sampling (n_importance > 0) is covered by the MERGED step kernel when
     the fine pass's n_sample + n_importance is also a 128 multiple (coarse
     kernel emits the weight histogram, sample_pdf + sort run in XLA between
