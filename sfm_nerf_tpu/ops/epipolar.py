@@ -91,6 +91,31 @@ def eight_point(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
     return F / F[..., 2:3, 2:3]
 
 
+def eight_point_fast(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """``eight_point`` with both decompositions on the fixed-sweep Jacobi
+    path (ops/linalg.py:jacobi_eigh_small): the 9x9 null vector AND the
+    rank-2 enforcement, which becomes F - (F v3) v3^T with v3 the smallest
+    right-singular vector from eigh(F^T F) — no SVD call.  XLA's general
+    eigh/svd cost ~18.8 ms per 1024-hypothesis chunk on v5e (89% of the
+    F-RANSAC budget, PERFORMANCE.md); this path exists for the
+    hypothesis-scoring loops, the winner re-estimation keeps the
+    LAPACK-grade ``eight_point``."""
+    from sfm_nerf_tpu.ops.linalg import (
+        jacobi_eigh_small, smallest_eigvec_of_normal_fast,
+    )
+
+    A = _constraint_rows(pts1, pts2)
+    f = smallest_eigvec_of_normal_fast(A)
+    F = f.reshape(*f.shape[:-1], 3, 3)
+    FtF = jnp.einsum("...ji,...jk->...ik", F, F, precision=HI)
+    evals, V = jacobi_eigh_small(FtF, sweeps=6)
+    sel = jax.nn.one_hot(jnp.argmin(evals, -1), 3, dtype=V.dtype)
+    v3 = jnp.einsum("...ij,...j->...i", V, sel)
+    Fv3 = jnp.einsum("...ij,...j->...i", F, v3, precision=HI)
+    F = F - Fv3[..., :, None] * v3[..., None, :]
+    return F / F[..., 2:3, 2:3]
+
+
 def weighted_eight_point(
     pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray
 ) -> jnp.ndarray:
@@ -191,7 +216,7 @@ def ransac_fundamental(
     def score_chunk(idx_chunk):
         s1 = p1[idx_chunk]                 # (chunk, 8, 2)
         s2 = p2[idx_chunk]
-        F = eight_point(s1, s2)            # (chunk, 3, 3)
+        F = eight_point_fast(s1, s2)       # (chunk, 3, 3); Jacobi path
         d = gate(sampson_distance(F, h1, h2))    # (chunk, N)
         counts = jnp.sum(d < threshold, axis=-1)
         # mask degenerate hypotheses (repeated sample rows -> NaN/Inf F)

@@ -28,6 +28,103 @@ def smallest_eigvec_of_normal(A: jnp.ndarray) -> jnp.ndarray:
     return vecs[..., :, 0]
 
 
+def _round_robin_rounds(n: int):
+    """Tournament schedule: each round is a set of disjoint index pairs;
+    over the rounds every unordered pair appears exactly once.  Odd n gets
+    a bye slot (circle method on n+1 with a phantom)."""
+    m = n if n % 2 == 0 else n + 1
+    players = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        pairs = []
+        for k in range(m // 2):
+            a, b = players[k], players[m - 1 - k]
+            if a < n and b < n:
+                pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return rounds
+
+
+def jacobi_eigh_small(M: jnp.ndarray, sweeps: int = 10):
+    """Batched symmetric eigendecomposition for SMALL n (<= ~16) via
+    parallel-ordered cyclic Jacobi with a FIXED sweep count.
+
+    XLA's general ``eigh`` costs ~18 us per 9x9 matrix on v5e (measured:
+    89% of the F-RANSAC budget, PERFORMANCE.md) — it carries convergence
+    machinery sized for big matrices.  Here each tournament round applies
+    all disjoint (p,q) rotations at once as ONE batched n x n matmul pair
+    (A <- G^T A G, V <- V G), with G assembled from static masks — no
+    scatters, no branches, nothing batch-dependent but the angles.  Ten
+    sweeps take 9x9 to ~1e-7 relative off-diagonal mass (cyclic Jacobi is
+    quadratically convergent).
+
+    Returns ``(eigvals (..., n), V (..., n, n))`` with ``M ~ V diag V^T``;
+    eigenvalues are NOT sorted (use argmin/argmax or one-hot selection).
+    """
+    n = M.shape[-1]
+    rounds = _round_robin_rounds(n)
+    eye = jnp.eye(n, dtype=M.dtype)
+
+    A = M
+    # + 0*M: V must carry M's type exactly (inside shard_map a bare eye is
+    # replicated while the post-sweep V varies over the manual axes, which
+    # trips lax.scan's carry typing)
+    V = jnp.broadcast_to(eye, M.shape) + 0.0 * M
+
+    def rotate_rows(B, pairs, c, s):
+        # (G^T B)[p] = c B[p] - s B[q];  (G^T B)[q] = s B[p] + c B[q]
+        rows = [B[..., i, :] for i in range(n)]
+        for k, (p, q) in enumerate(pairs):
+            ck, sk = c[..., k:k + 1], s[..., k:k + 1]
+            rp, rq = rows[p], rows[q]
+            rows[p] = ck * rp - sk * rq
+            rows[q] = sk * rp + ck * rq
+        return jnp.stack(rows, -2)
+
+    def rotate_cols(B, pairs, c, s):
+        # (B G)[:, p] = c B[:, p] - s B[:, q];  (B G)[:, q] = s ... + c ...
+        cols = [B[..., :, i] for i in range(n)]
+        for k, (p, q) in enumerate(pairs):
+            ck, sk = c[..., k:k + 1], s[..., k:k + 1]
+            cp, cq = cols[p], cols[q]
+            cols[p] = ck * cp - sk * cq
+            cols[q] = sk * cp + ck * cq
+        return jnp.stack(cols, -1)
+
+    def sweep(carry, _):
+        A, V = carry
+        for pairs in rounds:
+            app = jnp.stack([A[..., p, p] for p, _ in pairs], -1)
+            aqq = jnp.stack([A[..., q, q] for _, q in pairs], -1)
+            apq = jnp.stack([A[..., p, q] for p, q in pairs], -1)
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            # all updates are static-index row ops with the BATCH in the
+            # vector lanes — n x n matmuls pad the MXU to death (measured
+            # 1.2x eigh via batched-G matmuls vs ~10x this way); every op
+            # here is an exact-f32 VPU FMA, so no bf16 demotion either.
+            A = rotate_cols(rotate_rows(A, pairs, c, s), pairs, c, s)
+            V = rotate_cols(V, pairs, c, s)
+        return (A, V), None
+
+    (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
+    evals = jnp.diagonal(A, axis1=-2, axis2=-1)
+    return evals, V
+
+
+def smallest_eigvec_of_normal_fast(A: jnp.ndarray,
+                                   sweeps: int = 10) -> jnp.ndarray:
+    """``smallest_eigvec_of_normal`` via ``jacobi_eigh_small`` — the
+    RANSAC-hypothesis hot path (~10x the throughput of XLA eigh at n=9;
+    the winner re-estimation keeps the LAPACK-grade ``eigh``)."""
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A, precision=HI)
+    evals, V = jacobi_eigh_small(AtA, sweeps=sweeps)
+    sel = jax.nn.one_hot(jnp.argmin(evals, -1), evals.shape[-1],
+                         dtype=V.dtype)
+    return jnp.einsum("...ij,...j->...i", V, sel)
+
+
 def skew(v: jnp.ndarray) -> jnp.ndarray:
     """Cross-product matrix [v]_x for ``v[..., 3]`` (Phase1/Utils.py:108-113)."""
     zero = jnp.zeros_like(v[..., 0])

@@ -59,6 +59,14 @@ def linear_pnp(
     A = jnp.concatenate([row1, row2], axis=-2)      # (..., 2N, 12)
     p = smallest_eigvec_of_normal(A)
     P = p.reshape(*p.shape[:-1], 3, 4)
+    # canonicalize the null vector's arbitrary sign by majority projective
+    # depth (the reference takes whatever sign LAPACK returns — a flipped
+    # p mirrors C through the scene; its R-only det flip quirk, kept
+    # below, is independent of this global sign)
+    depth = jnp.einsum(
+        "...j,...nj->...n", P[..., 2, :], homogenize(X3d), precision=HI)
+    flip = jnp.sum(jnp.sign(depth), -1) < 0
+    P = jnp.where(flip[..., None, None], -P, P)
     R_est = P[..., :, :3]
     U, D, Vt = jnp.linalg.svd(R_est)
     R = jnp.einsum("...ij,...jk->...ik", U, Vt, precision=HI)
@@ -66,6 +74,69 @@ def linear_pnp(
     R = jnp.where(neg[..., None, None], -R, R)      # reference flips R only
     T = P[..., :, 3] / D[..., 0:1]                  # scale recovery
     C = -jnp.einsum("...ji,...j->...i", R, T, precision=HI)  # -R^T T
+    return C, R
+
+
+def linear_pnp_fast(
+    X3d: jnp.ndarray, x2d: jnp.ndarray, K: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``linear_pnp`` on the fixed-sweep Jacobi path (hypothesis scoring
+    only; the RANSAC winner re-solves with the LAPACK-grade version).  The
+    12x12 null vector comes from jacobi_eigh_small and the R
+    orthogonalization becomes the polar factor R_est V diag(1/sigma) V^T
+    from eigh(R_est^T R_est) — no SVD call (XLA eigh/svd dominate the PnP
+    hypothesis budget the same way they did F-RANSAC's, PERFORMANCE.md)."""
+    from sfm_nerf_tpu.ops.linalg import (
+        jacobi_eigh_small, smallest_eigvec_of_normal_fast,
+    )
+
+    Kinv = jnp.linalg.inv(K)
+    xn = jnp.einsum("ij,...nj->...ni", Kinv, homogenize(x2d), precision=HI)
+    x, y = xn[..., 0], xn[..., 1]
+    X, Y, Z = X3d[..., 0], X3d[..., 1], X3d[..., 2]
+    one = jnp.ones_like(X)
+    zero = jnp.zeros_like(X)
+    row1 = jnp.stack(
+        [X, Y, Z, one, zero, zero, zero, zero, -x * X, -x * Y, -x * Z, -x], -1
+    )
+    row2 = jnp.stack(
+        [zero, zero, zero, zero, X, Y, Z, one, -y * X, -y * Y, -y * Z, -y], -1
+    )
+    A = jnp.concatenate([row1, row2], axis=-2)      # (..., 2N, 12)
+    p = smallest_eigvec_of_normal_fast(A)
+    P = p.reshape(*p.shape[:-1], 3, 4)
+    # the null vector's sign is arbitrary and C inherits it (the
+    # reference's R-only det flip keeps the quirk: a flipped p puts the
+    # hypothesis camera on the wrong side and it scores ~0 inliers).
+    # eigh/Jacobi pick different — sometimes systematically unlucky —
+    # signs, so canonicalize by majority projective depth of the sample
+    # points: every hypothesis becomes cheirality-consistent, doubling the
+    # effective iteration count.  Scoring-path only; the winner re-solve
+    # keeps the reference semantics.
+    depth = jnp.einsum(
+        "...j,...nj->...n", P[..., 2, :], homogenize(X3d), precision=HI)
+    flip = jnp.sum(jnp.sign(depth), -1) < 0
+    P = jnp.where(flip[..., None, None], -P, P)
+    R_est = P[..., :, :3]
+    RtR = jnp.einsum("...ji,...jk->...ik", R_est, R_est, precision=HI)
+    evals, V = jacobi_eigh_small(RtR, sweeps=6)     # 3x3
+    sigma = jnp.sqrt(jnp.maximum(evals, 0.0))
+    # R = R_est V diag(1/sigma) V^T == U V^T (polar factor); a singular
+    # hypothesis yields inf/nan here and is dropped by the finite mask
+    Vs = V / jnp.maximum(sigma[..., None, :], 1e-30)
+    Rp = jnp.einsum("...ij,...jk,...lk->...il", R_est, Vs, V, precision=HI)
+    det = (
+        Rp[..., 0, 0] * (Rp[..., 1, 1] * Rp[..., 2, 2]
+                         - Rp[..., 1, 2] * Rp[..., 2, 1])
+        - Rp[..., 0, 1] * (Rp[..., 1, 0] * Rp[..., 2, 2]
+                           - Rp[..., 1, 2] * Rp[..., 2, 0])
+        + Rp[..., 0, 2] * (Rp[..., 1, 0] * Rp[..., 2, 1]
+                           - Rp[..., 1, 1] * Rp[..., 2, 0])
+    )
+    R = jnp.where((det < 0)[..., None, None], -Rp, Rp)  # reference R-only flip
+    d0 = jnp.max(sigma, axis=-1)                    # largest singular value
+    T = P[..., :, 3] / d0[..., None]
+    C = -jnp.einsum("...ji,...j->...i", R, T, precision=HI)
     return C, R
 
 
@@ -103,7 +174,7 @@ def pnp_ransac(
     idx = jax.random.randint(key, (total, 6), 0, maxval)
 
     def score_chunk(idx_chunk):
-        C, R = linear_pnp(X3d[idx_chunk], x2d[idx_chunk], K)  # batched
+        C, R = linear_pnp_fast(X3d[idx_chunk], x2d[idx_chunk], K)  # Jacobi
         # per-point squared reprojection error under each hypothesis —
         # vmapped: one broadcasted (chunk, N) evaluation, not a sequential
         # per-hypothesis scan

@@ -27,6 +27,7 @@ from jax import shard_map
 from sfm_nerf_tpu.ops.epipolar import (
     RansacResult,
     eight_point,
+    eight_point_fast,
     normalization_matrix,
     sampson_distance,
     weighted_eight_point,
@@ -86,7 +87,7 @@ def ransac_fundamental_sharded(
     def score_shard(idx_shard, p1r, p2r, h1r, h2r, thr):
         # idx_shard: (n_chunks/n_dev, chunk, 8) — this device's hypotheses
         def score_chunk(ic):
-            F = eight_point(p1r[ic], p2r[ic])
+            F = eight_point_fast(p1r[ic], p2r[ic])  # match the single-device scorer
             d = gate(sampson_distance(F, h1r, h2r))
             counts = jnp.sum(d < thr, axis=-1)
             ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
