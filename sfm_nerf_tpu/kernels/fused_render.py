@@ -256,7 +256,6 @@ def _make_kernel(
                 dens = density.reshape(ray_tile, sample_chunk)
                 x = dens * dists
                 alpha = 1.0 - jnp.exp(-x)                       # (T, CH)
-                one_m = 1.0 - alpha + 1e-10
                 # exclusive cumprod within chunk, carried across chunks.
                 # Mosaic has no cumprod lowering -> log-space cumulative sum
                 # via a triangular-ones matmul (CHxCH, runs on the MXU).

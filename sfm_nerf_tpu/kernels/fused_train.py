@@ -214,18 +214,35 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
         cum = one_m
         excl = jnp.ones_like(one_m)
     elif COMPOSITE_IMPL == "scan":
-        alpha = 1.0 - jnp.exp(-dens * dists)
-        one_m = 1.0 - alpha + 1e-10
+        x = dens * dists
+        exp_neg = jnp.exp(-x)
+        alpha = 1.0 - exp_neg
+        one_m = exp_neg + 1e-10   # NOT 1-alpha+1e-10: see CAUTION below
         cum = _cumprod_lanes(one_m, sample_chunk)
         excl = cum / one_m
     else:
         x = dens * dists
-        alpha = 1.0 - jnp.exp(-x)
-        one_m = 1.0 - alpha + 1e-10
+        exp_neg = jnp.exp(-x)
+        alpha = 1.0 - exp_neg
+        # CAUTION: one_m MUST be exp(-x) + 1e-10, not 1 - alpha + 1e-10.
+        # The compiler reassociates the latter into (1 + 1e-10) - alpha,
+        # which rounds the epsilon away (ulp(1) = 1.2e-7): one_m becomes
+        # EXACTLY 0 at saturated samples and the backward's R/one_m term
+        # NaNs the entire density-chain gradient (reproduced in interpret
+        # mode; pinned by test_saturated_density_matches_xla).  The direct
+        # form has no cancellation structure for the optimizer to rewrite.
+        one_m = exp_neg + 1e-10
         # log(one_m) == log(exp(-x) + 1e-10) == -x up to 1e-10*e^x absolute
-        # (< 1e-6 for x < 9; for larger x the transmittance past the sample
-        # is ~0 and carries ~0 weight either way).  Using -x directly drops
-        # a log per sample AND unchains the tri-dot from the exp.
+        # (< 1e-6 for x < 9; for larger x the transmittance PAST the sample
+        # is ~0 either way).  Using -x directly drops a log per sample AND
+        # unchains the tri-dot from the exp.  CAUTION: with this form the
+        # exclusive transmittance must be exp(csum + x) — dividing cum by
+        # the FLOORED one_m instead mixes the clamped and unclamped scales
+        # and collapses a SATURATED (x > ~23) sample's own weight from ~T
+        # to ~T*e^-x/1e-10: the absorber renders ~black, the loss explodes
+        # once training drives densities into saturation (observed: loss
+        # 7e-4 -> 484 at step ~310 on an overfit 12-view scene; the XLA
+        # path was stable).
         log1m = -x
         if tri is None:  # host passes the triangular constant as an operand
             rows = jax.lax.broadcasted_iota(
@@ -238,7 +255,7 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
         csum = jnp.dot(log1m, tri_m, preferred_element_type=f32,
                        precision=TRI_PRECISION)
         cum = jnp.exp(csum)
-        excl = cum / one_m            # == exp(csum - log1m), one exp fewer
+        excl = jnp.exp(csum + x)      # exclusive sum directly (see CAUTION)
     if keep:
         acts.update(hs=hs, df=df, feat=feat, rgb_h=rgb_h, rgb=rgb,
                     density=density)

@@ -75,7 +75,12 @@ def triangulate_linear(
     A1 = jnp.einsum("nij,jk->nik", skew(homogenize(pts1)), P1, precision=HI)
     A2 = jnp.einsum("nij,jk->nik", skew(homogenize(pts2)), P2, precision=HI)
     A = jnp.concatenate([A1, A2], axis=-2)          # (N, 6, 4)
-    X = smallest_eigvec_of_normal(A)                # (N, 4)
+    # Jacobi path (ops/linalg.py): ~14x XLA eigh on TPU for tiny normal
+    # matrices; the homogeneous divide cancels the eigenvector's arbitrary
+    # sign, and the nonlinear LM refinement follows anyway
+    from sfm_nerf_tpu.ops.linalg import smallest_eigvec_of_normal_fast
+
+    X = smallest_eigvec_of_normal_fast(A)           # (N, 4)
     return X[..., :3] / X[..., 3:4]
 
 

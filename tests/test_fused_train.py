@@ -282,3 +282,27 @@ def test_fused_hierarchical_matches_xla():
             b, a, rtol=5e-3, atol=5e-4 * scale,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(pathx)}",
         )
+
+
+def test_saturated_density_matches_xla():
+    """Regression: a sample with x = sigma*dist > ~23 (saturated absorber)
+    must keep its ~T weight.  The log-drop compositor originally divided
+    the unclamped exp(csum) by the FLOORED one_m, collapsing the
+    absorber's weight to ~0 — rays rendered black past saturation and
+    training exploded once densities grew (loss 7e-4 -> 484 observed)."""
+    import jax.tree_util as jtu
+
+    mcfg, rcfg, params, o, d, z, target = setup()
+    # crank the density column so softplus(df) * dist saturates hard
+    dens_w = params["density"]["w"] * 0.0
+    dens_b = params["density"]["b"] + 500.0
+    params = dict(params)
+    params["density"] = {"w": dens_w, "b": dens_b}
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss(params, mcfg, rcfg, o, d, z, target))
+    lk = float(kernel_loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+    np.testing.assert_allclose(lk, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_close(gx, jax.grad(merged_loss)(
+        params, mcfg, rcfg, o, d, z, target))
