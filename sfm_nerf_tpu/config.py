@@ -149,7 +149,9 @@ class SfMConfig:
     ransac_threshold: float = 5e-4   # Sampson distance in normalized coords
     normalize: bool = True
     # >1: shard the hypothesis axis over that many devices
-    # (parallel/ransac.py; bit-equal to single-device for the same key)
+    # (parallel/ransac.py; bit-equal to single-device for the same key
+    # WHEN ceil(n_iters/chunk) divides the device count — otherwise the
+    # chunk count rounds up and extra hypotheses are drawn)
     ransac_devices: int = 1
     # PnP RANSAC (Phase1/PnP.py:160)
     pnp_iters: int = 10000

@@ -37,10 +37,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
     src = os.path.join(_NATIVE_DIR, "matching_parser.cpp")
     src_img = os.path.join(_NATIVE_DIR, "image_decode.cpp")
     try:
-        newest_src = max(
-            os.path.getmtime(s) for s in (src, src_img) if os.path.exists(s)
-        )
+        srcs = [s for s in (src, src_img) if os.path.exists(s)]
+        # a prebuilt .so without sources (packaged install) loads as-is
+        newest_src = max(os.path.getmtime(s) for s in srcs) if srcs else 0.0
         if not os.path.exists(so) or newest_src > os.path.getmtime(so):
+            if not srcs:
+                return None
             try:
                 # full build (needs libpng for the image decoder)
                 subprocess.run(

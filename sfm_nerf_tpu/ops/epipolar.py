@@ -23,6 +23,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from sfm_nerf_tpu.utils.buckets import pow2_bucket
+
 from sfm_nerf_tpu.ops.linalg import HI, homogenize, smallest_eigvec_of_normal
 
 
@@ -254,7 +256,7 @@ def ransac_fundamental_bucketed(
     import numpy as np
 
     n = len(pts1_np)
-    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    bucket = pow2_bucket(n)
     pad = bucket - n
     p1 = np.pad(np.asarray(pts1_np, np.float64), ((0, pad), (0, 0)))
     p2 = np.pad(np.asarray(pts2_np, np.float64), ((0, pad), (0, 0)))

@@ -23,6 +23,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from sfm_nerf_tpu.utils.buckets import pow2_bucket
+
 from sfm_nerf_tpu.ops.linalg import (
     HI,
     homogenize,
@@ -212,7 +214,7 @@ def pnp_ransac_bucketed(
     import numpy as np
 
     n = len(X3d_np)
-    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    bucket = pow2_bucket(n)
     pad = bucket - n
     X = np.pad(np.asarray(X3d_np), ((0, pad), (0, 0)), mode="edge")
     x = np.pad(np.asarray(x2d_np), ((0, pad), (0, 0)), mode="edge")
@@ -232,7 +234,7 @@ def nonlinear_pnp_bucketed(
     import numpy as np
 
     n = len(X3d_np)
-    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    bucket = pow2_bucket(n)
     pad = bucket - n
     X = np.pad(np.asarray(X3d_np), ((0, pad), (0, 0)), mode="edge")
     x = np.pad(np.asarray(x2d_np), ((0, pad), (0, 0)), mode="edge")

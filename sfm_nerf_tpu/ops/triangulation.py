@@ -25,6 +25,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from sfm_nerf_tpu.utils.buckets import pow2_bucket
+
 from sfm_nerf_tpu.ops.linalg import (
     HI,
     homogenize,
@@ -164,13 +166,13 @@ def triangulate_pair_bucketed(
     """Host wrapper: pad the point count to the next power of two, run the
     batched DLT + vmapped LM refinement, slice back — one accelerator
     compile per size bucket instead of one per (pair, count) shape
-    (mirrors ransac_fundamental_bucketed; padding duplicates the first row,
-    whose result is discarded).  C1/C2 are camera CENTERS.  Returns
+    (mirrors ransac_fundamental_bucketed; padding duplicates the LAST row
+    (np.pad mode='edge'), whose result is discarded).  C1/C2 are camera CENTERS.  Returns
     (X_linear (n,3), X_refined (n,3))."""
     import numpy as np
 
     n = len(pts1_np)
-    bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+    bucket = pow2_bucket(n)
     pad = bucket - n
     p1 = np.pad(np.asarray(pts1_np), ((0, pad), (0, 0)), mode="edge")
     p2 = np.pad(np.asarray(pts2_np), ((0, pad), (0, 0)), mode="edge")

@@ -29,6 +29,8 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from sfm_nerf_tpu.utils.buckets import pow2_bucket
 import numpy as np
 
 from sfm_nerf_tpu.config import SfMConfig
@@ -110,7 +112,7 @@ class SfMPipeline:
                 )
 
                 n = len(arr)
-                bucket = 1 << max(int(np.ceil(np.log2(max(n, 64)))), 6)
+                bucket = pow2_bucket(n)
                 p1 = np.pad(np.asarray(arr[:, 0:2], np.float64),
                             ((0, bucket - n), (0, 0)))
                 p2 = np.pad(np.asarray(arr[:, 2:4], np.float64),
@@ -208,11 +210,14 @@ class SfMPipeline:
             # map back from the gauge-fixed frame (== original camera-1
             # camera frame, x' = R1 X_world + t1) to world coordinates:
             # X_w = R1^T (X' - t1);  R2_w = R2' R1;  C2_w = R1^T C2' + C1
-            t1 = -R1j @ C1j
+            # HI: plain matmuls demote to bf16 on TPU (~0.2% on poses —
+            # the exact leak the geometry-op HI sweep closed; review catch)
+            HI = jax.lax.Precision.HIGHEST
+            t1 = -jnp.matmul(R1j, C1j, precision=HI)
             Rs_fx, Cs_fx = RC_from_camera_params(cams_fx)
-            R2_ba = Rs_fx[1] @ R1j
-            C2_ba = jnp.einsum("ji,j->i", R1j, Cs_fx[1]) + C1j
-            X_ba = (pts_fx - t1) @ R1j
+            R2_ba = jnp.matmul(Rs_fx[1], R1j, precision=HI)
+            C2_ba = jnp.einsum("ji,j->i", R1j, Cs_fx[1], precision=HI) + C1j
+            X_ba = jnp.matmul(pts_fx - t1, R1j, precision=HI)
 
             # bundle_adjust freezes its cheirality mask at the INITIAL
             # geometry (ops/ba.py:82-92): a two-view point behind either
@@ -305,9 +310,19 @@ class SfMPipeline:
             if cfg.essential_cleanup:
                 E = cleanup_essential(E)
             Cs, Rs = decompose_essential(E, cfg.center_convention)
+            # bucket the match count (cyclic-repeat pad, slice the outputs)
+            # so the 5 candidate pairs share a compile instead of paying one
+            # multi-minute remote compile per distinct shape (the same
+            # policy every other per-pair dispatch uses).  Cyclic repeat —
+            # not edge pad — keeps the pose-disambiguation cheirality vote
+            # proportional to the real match distribution.
+            n = len(m)
+            bucket = pow2_bucket(n)
+            p1 = np.resize(np.asarray(m[:, 0:2]), (bucket, 2))
+            p2 = np.resize(np.asarray(m[:, 2:4]), (bucket, 2))
             X, C2, R2, _, _ = disambiguate_pose(
-                Kj, Cs, Rs, jnp.asarray(m[:, 0:2]), jnp.asarray(m[:, 2:4]))
-            X = np.asarray(X)
+                Kj, Cs, Rs, jnp.asarray(p1), jnp.asarray(p2))
+            X = np.asarray(X)[:n]
             C2 = np.asarray(C2).reshape(3)
             R2n = np.asarray(R2)
             # cheirality-valid points only (camera i at the origin here)

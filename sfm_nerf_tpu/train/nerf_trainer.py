@@ -65,16 +65,22 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     the two kernel launches)."""
     mcfg, rcfg = cfg.model, cfg.render
     chunk = rcfg.fused_sample_chunk
+    # the kernels unroll the chunk loop statically (fused_train.py asserts
+    # n_chunks <= 8) — configs beyond that must fall back, not crash
+    chunks_ok = (
+        rcfg.n_sample % chunk == 0 and rcfg.n_sample // chunk <= 8
+    )
     hier_ok = rcfg.n_importance == 0 or (
         rcfg.fused_merged_step
         and (rcfg.n_sample + rcfg.n_importance) % chunk == 0
+        and (rcfg.n_sample + rcfg.n_importance) // chunk <= 8
     )
     return (
         rcfg.use_fused_kernel
         and mcfg.arch == "active"
         and hier_ok
         and chunk % 128 == 0
-        and rcfg.n_sample % chunk == 0
+        and chunks_ok
         and rcfg.variant == "train"
         and jax.default_backend() != "cpu"
     )

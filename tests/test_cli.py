@@ -205,3 +205,30 @@ def test_fused_default_on_with_opt_out():
         mod.configParser().parse_args([])).render.use_fused_kernel
     assert not mod.build_config(
         mod.configParser().parse_args(["--no_fused"])).render.use_fused_kernel
+
+
+def test_fused_envelope_rejects_deep_chunk_counts():
+    """n_sample beyond the kernels' 8-chunk static unroll must FALL BACK to
+    XLA, not crash at trace time (review finding: the CLI defaults to
+    fused and 1152 = 9 x 128 passed every other envelope check)."""
+    import dataclasses
+
+    import jax
+
+    from sfm_nerf_tpu.train import nerf_trainer as nt
+
+    mod = load_module("Phase2/train.py")
+    cfg = mod.build_config(mod.configParser().parse_args([]))
+    orig = jax.default_backend
+    jax.default_backend = lambda: "tpu"
+    try:
+        ok = nt.fused_train_supported
+        assert ok(dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, n_sample=1024)))
+        assert not ok(dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, n_sample=1152)))
+        assert not ok(dataclasses.replace(
+            cfg, render=dataclasses.replace(
+                cfg.render, n_sample=1024, n_importance=128)))
+    finally:
+        jax.default_backend = orig
