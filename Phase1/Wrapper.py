@@ -25,6 +25,11 @@ def main():
     parser.add_argument("--output_dir", default=".")
     parser.add_argument("--ransac_iters", type=int, default=50000)
     parser.add_argument("--ransac_threshold", type=float, default=5e-4)
+    parser.add_argument("--ransac_scoring", default="msac",
+                        choices=["msac", "count"],
+                        help="hypothesis ranking: truncated-loss sum "
+                        "(platform-stable winner) or the reference's raw "
+                        "inlier count (Fundamental.py:125-129)")
     parser.add_argument("--ransac_devices", type=int, default=1,
                         help="shard RANSAC hypotheses over this many "
                              "devices (bit-equal to single-device when "
@@ -103,6 +108,7 @@ def main():
         num_images=args.num_images,
         ransac_iters=args.ransac_iters,
         ransac_threshold=args.ransac_threshold,
+        ransac_scoring=args.ransac_scoring,
         ransac_devices=args.ransac_devices,
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,

@@ -148,6 +148,11 @@ class SfMConfig:
     ransac_iters: int = 50000
     ransac_threshold: float = 5e-4   # Sampson distance in normalized coords
     normalize: bool = True
+    # hypothesis ranking: 'msac' (truncated-loss sum; platform-stable
+    # winner) or 'count' (the reference's raw inlier count — near-tied
+    # hypotheses make the winner flip under one ulp of rounding; see
+    # ops/epipolar.py:_ransac_score).  Applies to F-RANSAC and PnP RANSAC.
+    ransac_scoring: str = "msac"
     # >1: shard the hypothesis axis over that many devices
     # (parallel/ransac.py; bit-equal to single-device for the same key
     # WHEN ceil(n_iters/chunk) divides the device count — otherwise the

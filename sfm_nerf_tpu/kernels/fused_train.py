@@ -68,6 +68,11 @@ _sin = jnp.sin if "slowsin" in ABLATE else fast_sin
 # HIGHEST-precision triangular MXU dots (6 bf16 passes each).  "tridot"
 # keeps the round-1 log-cumsum-via-dot formulation.
 COMPOSITE_IMPL = os.environ.get("FUSED_COMPOSITE", "tridot")
+# Subtile interleave A/B: 2 runs two subtiles' fwd+bwd chains per loop
+# iteration in one straight-line block, giving the Mosaic scheduler two
+# INDEPENDENT dot chains to fill inter-dot MXU bubbles with (the ~20%
+# occupancy gap measured via FUSED_ABLATE).  Costs 2x activation VMEM.
+INTERLEAVE = int(os.environ.get("FUSED_INTERLEAVE", "1"))
 # MXU precision, by dot class.  Mosaic demotes plain f32 dots to single-pass
 # bf16 (and does not lower Precision.HIGH or DotAlgorithmPreset at all).
 # Quality-demo ablation (PERFORMANCE.md): the leak is NOT in the bulk MLP /
@@ -731,7 +736,15 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                     precision=BWD_PRECISION)
             return 0
 
-        jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
+        if INTERLEAVE == 2 and tiles_per_program % 2 == 0:
+            def pair(i, _):
+                subtile(2 * i, None)
+                subtile(2 * i + 1, None)
+                return 0
+
+            jax.lax.fori_loop(0, tiles_per_program // 2, pair, 0)
+        else:
+            jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
 
     return kernel
 

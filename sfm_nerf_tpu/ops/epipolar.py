@@ -112,7 +112,7 @@ def eight_point_fast(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
     FtF = jnp.einsum("...ji,...jk->...ik", F, F, precision=HI)
     evals, V = jacobi_eigh_small(FtF, sweeps=6)
     sel = jax.nn.one_hot(jnp.argmin(evals, -1), 3, dtype=V.dtype)
-    v3 = jnp.einsum("...ij,...j->...i", V, sel)
+    v3 = jnp.einsum("...ij,...j->...i", V, sel, precision=HI)  # no bf16
     Fv3 = jnp.einsum("...ij,...j->...i", F, v3, precision=HI)
     F = F - Fv3[..., :, None] * v3[..., None, :]
     return F / F[..., 2:3, 2:3]
@@ -158,6 +158,22 @@ def sampson_distance(
     return num / den
 
 
+def _ransac_score(d: jnp.ndarray, threshold: float, scoring: str) -> jnp.ndarray:
+    """Per-hypothesis score (HIGHER is better) from gated residuals
+    ``d[..., N]``.  'msac': negative sum of threshold-truncated residuals
+    (padded rows carry gate(d)=inf -> truncated to the constant
+    ``threshold``, a hypothesis-independent offset).  'count': the
+    reference's raw inlier count (Fundamental.py:125-129)."""
+    if scoring == "msac":
+        # NaN residuals (0/0 Sampson on degenerate rows) count as outliers
+        # rather than poisoning the hypothesis sum
+        d = jnp.where(jnp.isnan(d), jnp.inf, d)
+        return -jnp.sum(jnp.minimum(d, threshold), axis=-1)
+    if scoring == "count":
+        return jnp.sum(d < threshold, axis=-1).astype(d.dtype)
+    raise ValueError(f"unknown RANSAC scoring '{scoring}'")
+
+
 class RansacResult(NamedTuple):
     F: jnp.ndarray            # (3,3) denormalized fundamental matrix
     inliers: jnp.ndarray      # (N,) bool mask
@@ -166,7 +182,7 @@ class RansacResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "normalize", "chunk")
+    jax.jit, static_argnames=("n_iters", "normalize", "chunk", "scoring")
 )
 def ransac_fundamental(
     key: jax.Array,
@@ -177,6 +193,7 @@ def ransac_fundamental(
     normalize: bool = True,
     chunk: int = 1024,
     n_valid: Optional[jnp.ndarray] = None,
+    scoring: str = "msac",
 ) -> RansacResult:
     """RANSAC F-estimation (Fundamental.py:60-139), one jitted call.
 
@@ -189,6 +206,18 @@ def ransac_fundamental(
     pass pts padded to a bucket size and the true count — minimal samples
     draw only from valid rows, padded rows can't score as inliers, and the
     compiled program is reused across pairs of different sizes.
+
+    ``scoring='msac'`` (default) ranks hypotheses by the sum of
+    THRESHOLD-TRUNCATED Sampson distances (Torr & Zisserman's MSAC)
+    instead of the reference's raw inlier count (Fundamental.py:125-129,
+    ``scoring='count'``).  Raw counts leave dozens of near-tied hypotheses
+    at the top, so one ulp of cross-platform rounding flips the argmax
+    winner — measured swings of 506-574 final inliers on the SAME pair /
+    key between TPU and CPU runs of the bundled data.  The truncated-loss
+    sum is continuous in the residuals, so near-tied counts are broken by
+    inlier quality and the winner is platform-stable (and strictly better
+    ranked).  Reporting is unchanged: ``inliers``/``n_inliers`` remain
+    simple threshold counts of the re-estimated winner.
     """
     n_pts = pts1.shape[0]
     if n_valid is None:
@@ -220,15 +249,15 @@ def ransac_fundamental(
         s2 = p2[idx_chunk]
         F = eight_point_fast(s1, s2)       # (chunk, 3, 3); Jacobi path
         d = gate(sampson_distance(F, h1, h2))    # (chunk, N)
-        counts = jnp.sum(d < threshold, axis=-1)
+        score = _ransac_score(d, threshold, scoring)
         # mask degenerate hypotheses (repeated sample rows -> NaN/Inf F)
         ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
-        return jnp.where(ok, counts, -1)
+        return jnp.where(ok, score, -jnp.inf)
 
-    counts = jax.lax.map(
+    scores = jax.lax.map(
         score_chunk, idx.reshape(n_chunks, chunk, 8)
     ).reshape(total)
-    best = jnp.argmax(counts)
+    best = jnp.argmax(scores)
 
     # recompute the winning hypothesis' F and inlier set
     Fb = eight_point(p1[idx[best]], p2[idx[best]])
@@ -248,6 +277,7 @@ def ransac_fundamental_bucketed(
     threshold: float = 5e-4,
     normalize: bool = True,
     chunk: int = 1024,
+    scoring: str = "msac",
 ) -> RansacResult:
     """Host wrapper: pad the match count to the next power of two and call
     the jitted core with the true count — one compile per bucket instead of
@@ -263,7 +293,7 @@ def ransac_fundamental_bucketed(
     res = ransac_fundamental(
         key, jnp.asarray(p1), jnp.asarray(p2),
         n_iters=n_iters, threshold=threshold, normalize=normalize,
-        chunk=chunk, n_valid=jnp.asarray(n),
+        chunk=chunk, n_valid=jnp.asarray(n), scoring=scoring,
     )
     return RansacResult(
         res.F, res.inliers[:n], res.n_inliers, res.best_iter

@@ -122,7 +122,9 @@ def smallest_eigvec_of_normal_fast(A: jnp.ndarray,
     evals, V = jacobi_eigh_small(AtA, sweeps=sweeps)
     sel = jax.nn.one_hot(jnp.argmin(evals, -1), evals.shape[-1],
                          dtype=V.dtype)
-    return jnp.einsum("...ij,...j->...i", V, sel)
+    # HI: a plain einsum bf16-demotes V on TPU — 0.4% error on the null
+    # vector broke downstream RANSAC inlier counts (506 vs 574 measured)
+    return jnp.einsum("...ij,...j->...i", V, sel, precision=HI)
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:

@@ -49,7 +49,18 @@ def linear_pnp(
     Kinv = jnp.linalg.inv(K)
     xn = jnp.einsum("ij,...nj->...ni", Kinv, homogenize(x2d), precision=HI)
     x, y = xn[..., 0], xn[..., 1]
-    X, Y, Z = X3d[..., 0], X3d[..., 1], X3d[..., 2]
+    # Hartley-style conditioning of the 3D side (centroid -> origin, RMS
+    # radius -> 1): the raw DLT normal matrix reaches condition ~1e10 and
+    # in f32 BOTH eigensolvers return ~35 px poses (0.2%% of minimal
+    # samples usable — measured; the round-1 "f32 PnP initialization"
+    # accuracy gap).  P is denormalized below, so callers see the same
+    # camera, just solved in a well-scaled basis.
+    cen = jnp.mean(X3d, axis=-2, keepdims=True)
+    scale = jnp.sqrt(jnp.mean(
+        jnp.sum((X3d - cen) ** 2, -1), -1, keepdims=True))
+    scale = jnp.maximum(scale, 1e-12)
+    Xn = (X3d - cen) / scale[..., None]
+    X, Y, Z = Xn[..., 0], Xn[..., 1], Xn[..., 2]
     one = jnp.ones_like(X)
     zero = jnp.zeros_like(X)
     row1 = jnp.stack(
@@ -61,6 +72,12 @@ def linear_pnp(
     A = jnp.concatenate([row1, row2], axis=-2)      # (..., 2N, 12)
     p = smallest_eigvec_of_normal(A)
     P = p.reshape(*p.shape[:-1], 3, 4)
+    # denormalize: X_norm_h = M X_h with M = [[I/s, -c/s], [0, 1]] -> P @ M
+    Pl = P[..., :, :3] / scale[..., None, :]
+    P = jnp.concatenate(
+        [Pl, (P[..., :, 3] - jnp.einsum(
+            "...ij,...j->...i", Pl, cen[..., 0, :], precision=HI))[..., None]],
+        axis=-1)
     # canonicalize the null vector's arbitrary sign by majority projective
     # depth (the reference takes whatever sign LAPACK returns — a flipped
     # p mirrors C through the scene; its R-only det flip quirk, kept
@@ -95,7 +112,18 @@ def linear_pnp_fast(
     Kinv = jnp.linalg.inv(K)
     xn = jnp.einsum("ij,...nj->...ni", Kinv, homogenize(x2d), precision=HI)
     x, y = xn[..., 0], xn[..., 1]
-    X, Y, Z = X3d[..., 0], X3d[..., 1], X3d[..., 2]
+    # Hartley-style conditioning of the 3D side (centroid -> origin, RMS
+    # radius -> 1): the raw DLT normal matrix reaches condition ~1e10 and
+    # in f32 BOTH eigensolvers return ~35 px poses (0.2%% of minimal
+    # samples usable — measured; the round-1 "f32 PnP initialization"
+    # accuracy gap).  P is denormalized below, so callers see the same
+    # camera, just solved in a well-scaled basis.
+    cen = jnp.mean(X3d, axis=-2, keepdims=True)
+    scale = jnp.sqrt(jnp.mean(
+        jnp.sum((X3d - cen) ** 2, -1), -1, keepdims=True))
+    scale = jnp.maximum(scale, 1e-12)
+    Xn = (X3d - cen) / scale[..., None]
+    X, Y, Z = Xn[..., 0], Xn[..., 1], Xn[..., 2]
     one = jnp.ones_like(X)
     zero = jnp.zeros_like(X)
     row1 = jnp.stack(
@@ -107,6 +135,12 @@ def linear_pnp_fast(
     A = jnp.concatenate([row1, row2], axis=-2)      # (..., 2N, 12)
     p = smallest_eigvec_of_normal_fast(A)
     P = p.reshape(*p.shape[:-1], 3, 4)
+    # denormalize: X_norm_h = M X_h with M = [[I/s, -c/s], [0, 1]] -> P @ M
+    Pl = P[..., :, :3] / scale[..., None, :]
+    P = jnp.concatenate(
+        [Pl, (P[..., :, 3] - jnp.einsum(
+            "...ij,...j->...i", Pl, cen[..., 0, :], precision=HI))[..., None]],
+        axis=-1)
     # the null vector's sign is arbitrary and C inherits it (the
     # reference's R-only det flip keeps the quirk: a flipped p puts the
     # hypothesis camera on the wrong side and it scores ~0 inliers).
@@ -149,7 +183,7 @@ class PnPRansacResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "chunk"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "chunk", "scoring"))
 def pnp_ransac(
     key: jax.Array,
     X3d: jnp.ndarray,     # (N, 3)
@@ -159,12 +193,18 @@ def pnp_ransac(
     threshold: float = 10.0,
     chunk: int = 512,
     n_valid=None,         # dynamic true row count (rows >= n_valid = padding)
+    scoring: str = "msac",
 ) -> PnPRansacResult:
     """Batched-hypothesis PnP RANSAC in one jitted call.
 
     ``n_valid`` supports shape bucketing (pnp_ransac_bucketed): with padded
     inputs, sampling draws only from the first ``n_valid`` rows and padded
-    rows never count as inliers — bit-identical to the unpadded call."""
+    rows never count as inliers — bit-identical to the unpadded call.
+
+    ``scoring='msac'`` ranks hypotheses by truncated-loss sum instead of
+    the reference's raw count (PnP.py:160-180, ``'count'``) — raw counts
+    leave near-ties that platform rounding flips; see
+    ops/epipolar.py:_ransac_score."""
     n_pts = X3d.shape[0]
     maxval = n_pts if n_valid is None else n_valid
     valid = (
@@ -183,17 +223,20 @@ def pnp_ransac(
         e = jax.vmap(
             lambda Ci, Ri: reprojection_errors(K, Ri, Ci, X3d, x2d)
         )(C, R)                                       # (chunk, N)
-        counts = jnp.sum((e < threshold) & valid, axis=-1)
+        from sfm_nerf_tpu.ops.epipolar import _ransac_score
+
+        score = _ransac_score(
+            jnp.where(valid, e, jnp.inf), threshold, scoring)
         ok = (
             jnp.all(jnp.isfinite(C), axis=-1)
             & jnp.all(jnp.isfinite(R.reshape(R.shape[0], -1)), axis=-1)
         )
-        return jnp.where(ok, counts, -1)
+        return jnp.where(ok, score, -jnp.inf)
 
-    counts = jax.lax.map(
+    scores = jax.lax.map(
         score_chunk, idx.reshape(n_chunks, chunk, 6)
     ).reshape(total)
-    best = jnp.argmax(counts)
+    best = jnp.argmax(scores)
     C, R = linear_pnp(X3d[idx[best]], x2d[idx[best]], K)
     e = reprojection_errors(K, R, C, X3d, x2d)
     inliers = (e < threshold) & valid
@@ -206,6 +249,7 @@ def pnp_ransac_bucketed(
     n_iters: int = 10000,
     threshold: float = 10.0,
     chunk: int = 512,
+    scoring: str = "msac",
 ) -> PnPRansacResult:
     """Host wrapper: pad the correspondence count to the next power of two
     and call the jitted core with the true count — one accelerator compile
@@ -221,7 +265,7 @@ def pnp_ransac_bucketed(
     res = pnp_ransac(
         key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
         n_iters=n_iters, threshold=threshold, chunk=chunk,
-        n_valid=jnp.asarray(n),
+        n_valid=jnp.asarray(n), scoring=scoring,
     )
     return PnPRansacResult(res.R, res.C, res.inliers[:n], res.n_inliers)
 

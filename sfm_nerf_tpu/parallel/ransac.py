@@ -2,8 +2,8 @@
 
 RANSAC is embarrassingly parallel over hypotheses: each device scores an
 equal slice of the minimal-sample draws against the (replicated) match
-set, and only the per-hypothesis inlier COUNTS are exchanged (one
-all-gather of ``total_iters`` int32 — bytes, not megabytes).  This is the
+set, and only the per-hypothesis SCORES are exchanged (one all-gather of
+``total_iters`` f32 — bytes, not megabytes).  This is the
 SPMD shape of the reference's 50,000-iteration Python loop
 (Phase1/Fundamental.py:95-129) at multi-chip scale: hypothesis draws,
 scoring math, and the winning-hypothesis re-estimation are IDENTICAL to
@@ -26,6 +26,7 @@ from jax import shard_map
 
 from sfm_nerf_tpu.ops.epipolar import (
     RansacResult,
+    _ransac_score,
     eight_point,
     eight_point_fast,
     normalization_matrix,
@@ -37,7 +38,8 @@ from sfm_nerf_tpu.ops.linalg import HI, homogenize
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "n_iters", "normalize", "chunk"),
+    static_argnames=("mesh", "axis", "n_iters", "normalize", "chunk",
+                     "scoring"),
 )
 def ransac_fundamental_sharded(
     key: jax.Array,
@@ -51,6 +53,7 @@ def ransac_fundamental_sharded(
     threshold: float = 5e-4,
     normalize: bool = True,
     chunk: int = 1024,
+    scoring: str = "msac",
 ) -> RansacResult:
     """``ransac_fundamental`` with the hypothesis axis sharded over
     ``mesh[axis]``.  The chunk count is rounded up to a device multiple, so
@@ -89,21 +92,21 @@ def ransac_fundamental_sharded(
         def score_chunk(ic):
             F = eight_point_fast(p1r[ic], p2r[ic])  # match the single-device scorer
             d = gate(sampson_distance(F, h1r, h2r))
-            counts = jnp.sum(d < thr, axis=-1)
+            score = _ransac_score(d, thr, scoring)
             ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
-            return jnp.where(ok, counts, -1)
+            return jnp.where(ok, score, -jnp.inf)
 
         return jax.lax.map(score_chunk, idx_shard).reshape(-1)
 
     rep = P(*([None] * 2))
-    counts = shard_map(
+    scores = shard_map(
         score_shard,
         mesh=mesh,
         in_specs=(P(axis, None, None), rep, rep, rep, rep, P()),
         out_specs=P(axis),
     )(idx.reshape(n_chunks, chunk, 8), p1, p2, h1, h2,
       jnp.asarray(threshold, p1.dtype))
-    best = jnp.argmax(counts)
+    best = jnp.argmax(scores)
 
     # winning hypothesis re-scored + re-estimated on its inliers, exactly
     # as the single-device path (ops/epipolar.py:208-214)

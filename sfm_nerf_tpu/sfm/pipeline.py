@@ -123,13 +123,14 @@ class SfMPipeline:
                     n_iters=cfg.ransac_iters,
                     threshold=cfg.ransac_threshold,
                     normalize=cfg.normalize,
+                    scoring=cfg.ransac_scoring,
                 )
                 res = res._replace(inliers=res.inliers[:n])
             else:
                 res = ransac_fundamental_bucketed(
                     self._next_key(), arr[:, 0:2], arr[:, 2:4],
                     n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
-                    normalize=cfg.normalize,
+                    normalize=cfg.normalize, scoring=cfg.ransac_scoring,
                 )
             inliers = np.asarray(res.inliers)
             print(
@@ -365,6 +366,7 @@ class SfMPipeline:
         res = pnp_ransac_bucketed(
             self._next_key(), obj_points, img_points, K,
             n_iters=cfg.pnp_iters, threshold=cfg.pnp_threshold,
+            scoring=cfg.ransac_scoring,
         )
         if int(res.n_inliers) < 6:
             print(f"Not enough inliers for reliable PnP with image {i}")

@@ -177,6 +177,50 @@ def test_full_two_view_chain_reprojection_error():
     assert e2.mean() < 10.0, e2.mean()
 
 
+def test_ransac_score_msac_breaks_count_ties():
+    """Two hypotheses with IDENTICAL inlier counts but different residual
+    quality: 'count' ties them (the platform-dependent-argmax hazard that
+    swung 506 vs 574 final inliers on the bundled data), 'msac' ranks the
+    tighter one strictly higher.  Padded rows (gated to inf) must shift
+    every hypothesis by the same constant."""
+    from sfm_nerf_tpu.ops.epipolar import _ransac_score
+
+    thr = 1.0
+    d_tight = jnp.asarray([[0.1, 0.2, 0.1, 5.0, 9.0]])
+    d_loose = jnp.asarray([[0.9, 0.8, 0.9, 5.0, 9.0]])
+    for scoring, tie in (("msac", False), ("count", True)):
+        s_t = float(_ransac_score(d_tight, thr, scoring)[0])
+        s_l = float(_ransac_score(d_loose, thr, scoring)[0])
+        assert (s_t == s_l) == tie, (scoring, s_t, s_l)
+        if not tie:
+            assert s_t > s_l
+    # inf-gated padding adds a hypothesis-independent constant
+    pad = jnp.full((1, 3), jnp.inf)
+    s_pad = _ransac_score(jnp.concatenate([d_tight, pad], -1), thr, "msac")
+    s_raw = _ransac_score(d_tight, thr, "msac")
+    np.testing.assert_allclose(
+        float(s_pad[0] - s_raw[0]), -3.0 * thr, rtol=1e-6)
+    # NaN residuals are outliers, not poison
+    d_nan = d_tight.at[0, 0].set(jnp.nan)
+    assert np.isfinite(float(_ransac_score(d_nan, thr, "msac")[0]))
+
+
+def test_ransac_count_scoring_still_supported():
+    """scoring='count' (reference parity mode) must still find the model."""
+    _, pts1, pts2, inlier_mask = two_view_correspondences(
+        noise=0.3, outlier_frac=0.3
+    )
+    res = ransac_fundamental(
+        jax.random.key(0),
+        jnp.asarray(pts1, jnp.float32), jnp.asarray(pts2, jnp.float32),
+        n_iters=2000, threshold=5e-4, chunk=256, scoring="count",
+    )
+    found = np.asarray(res.inliers)
+    recall = (found & inlier_mask).sum() / inlier_mask.sum()
+    precision = (found & inlier_mask).sum() / max(found.sum(), 1)
+    assert recall > 0.85 and precision > 0.9, (recall, precision)
+
+
 def test_ransac_bucketed_matches_unpadded():
     """Padded-bucket RANSAC must find an equivalent model: same inlier
     support (identical sampling given identical draw range is not expected —
