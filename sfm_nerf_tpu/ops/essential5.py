@@ -214,7 +214,8 @@ def ransac_essential_5pt(
     p1 = np.concatenate([pts1, np.ones((n, 1))], 1)
     p2 = np.concatenate([pts2, np.ones((n, 1))], 1)
     chunk = max(1, int(2**22 // max(n, 1)))      # ~100 MB of f64 temporaries
-    best_count, best_E, best_inl = -1, None, None
+    thr2 = threshold_px ** 2
+    best_score, best_count, best_E, best_inl = -np.inf, -1, None, None
     for s in range(0, cands.shape[0], chunk):
         Ec = cands[s:s + chunk]
         F = np.einsum("ij,bjk,kl->bil", Kinv.T, Ec, Kinv)
@@ -224,11 +225,15 @@ def ransac_essential_5pt(
         den = (Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2
                + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2)
         d = num / np.maximum(den, 1e-18)
-        inl = d < threshold_px ** 2
-        counts = inl.sum(1)
-        b = int(np.argmax(counts))
-        if counts[b] > best_count:
-            best_count = int(counts[b])
+        inl = d < thr2
+        # MSAC ranking (mirrors ops/epipolar.py:_ransac_score): raw counts
+        # tie dozens of hypotheses; the truncated-loss sum breaks ties by
+        # inlier quality
+        scores = -np.minimum(d, thr2).sum(1)
+        b = int(np.argmax(scores))
+        if scores[b] > best_score:
+            best_score = float(scores[b])
+            best_count = int(inl[b].sum())
             best_E, best_inl = Ec[b], inl[b]
 
     # Re-estimate the winner on its full inlier set (mirrors the 8-point
