@@ -114,7 +114,12 @@ def sample_pdf(
     config names it; the code has only the uniform stratified sampler) —
     this is the standard NeRF fine-sampling op, fully batched and
     gather-free (see the in-body note — TPU gathers serialize).
-    Returns (N, n_importance) z values, unsorted.
+    Returns (N, n_importance) z values, sorted ascending per ray: the
+    random ``u`` draw is STRATIFIED per slot (u_i in [i/NI, (i+1)/NI)),
+    so the inverse-CDF outputs are non-decreasing by construction —
+    lower-variance than iid draws AND it lets the coarse+fine union be a
+    :func:`merge_sorted` (9 roll/min/max stages) instead of a full
+    jnp.sort over S+I lanes.
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, -1, keepdims=True)
@@ -122,7 +127,11 @@ def sample_pdf(
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # (N, S-1)
 
     if key is not None:
-        u = jax.random.uniform(key, (cdf.shape[0], n_importance))
+        u = (
+            jnp.arange(n_importance, dtype=cdf.dtype)
+            + jax.random.uniform(key, (cdf.shape[0], n_importance),
+                                 dtype=cdf.dtype)
+        ) / n_importance
     else:
         u = jnp.linspace(0.0, 1.0 - 1e-5, n_importance)[None, :].repeat(
             cdf.shape[0], axis=0
@@ -154,6 +163,37 @@ def sample_pdf(
     denom = jnp.where(cdf_above - cdf_below < 1e-5, 1.0, cdf_above - cdf_below)
     t = (u - cdf_below) / denom
     return bins_b + t * (bins_a - bins_b)
+
+
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row ASCENDING arrays along the last dim: (N,A),(N,B)
+    -> (N,A+B) ascending, elementwise equal to
+    ``jnp.sort(concatenate([a, b], -1), -1)``.
+
+    concat(a, reverse(b padded with +inf)) is a bitonic sequence, so a
+    bitonic MERGE — log2(P) compare-exchange stages of jnp.roll +
+    min/max/where, no gathers — sorts it.  jnp.sort's general bitonic
+    network is ~log^2(P)/2 such stages: at the hierarchical union size
+    (256+128 -> P=512, 9 stages vs ~45) this replaces the measured
+    ~4.6 ms (4096, 384) sort in the coarse->fine middle.
+    """
+    n = a.shape[-1] + b.shape[-1]
+    P = 1 << max(1, (n - 1).bit_length())     # next power of two
+    big = jnp.asarray(jnp.inf, a.dtype)
+    bp = jnp.concatenate(
+        [b.astype(a.dtype),
+         jnp.full((*b.shape[:-1], P - n), big, a.dtype)], -1)
+    x = jnp.concatenate([a, bp[..., ::-1]], -1)          # bitonic (N, P)
+    col = jnp.arange(P)
+    s = P // 2
+    while s >= 1:
+        # partner of i is i XOR s; pairs stay inside aligned 2s blocks, so
+        # the circular rolls never wrap a used position
+        upper = (col & s) != 0
+        partner = jnp.where(upper, jnp.roll(x, s, -1), jnp.roll(x, -s, -1))
+        x = jnp.where(upper, jnp.maximum(x, partner), jnp.minimum(x, partner))
+        s //= 2
+    return x[..., :n]
 
 
 def render_rays_hierarchical(
@@ -188,7 +228,7 @@ def render_rays_hierarchical(
     # kernel, whose weights output has no backward)
     z_fine = sample_pdf(
         k2, mids, jax.lax.stop_gradient(weights[..., 1:-1]), n_importance)
-    z_all = jnp.sort(jnp.concatenate([z_coarse, z_fine], -1), -1)   # (N, S+I)
+    z_all = merge_sorted(z_coarse, z_fine)                          # (N, S+I)
     pts = origins[:, None, :] + directions[:, None, :] * z_all[..., None]
     dirs = jnp.broadcast_to(directions[:, None, :], pts.shape)
     density_f, rgb_f = fine_fn(pts, dirs)

@@ -109,7 +109,9 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
             from sfm_nerf_tpu.kernels.fused_train import (
                 fused_mse_loss, fused_mse_loss_weights, fused_render_train,
             )
-            from sfm_nerf_tpu.ops.render import sample_pdf, stratified_samples
+            from sfm_nerf_tpu.ops.render import (
+                merge_sorted, sample_pdf, stratified_samples,
+            )
 
             kz, kpdf = jax.random.split(key_render)
             z = stratified_samples(kz, n_rays, rcfg).astype(jnp.float32)
@@ -131,8 +133,9 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
                 mids = 0.5 * (z[..., 1:] + z[..., :-1])
                 z_fine = sample_pdf(
                     kpdf, mids, weights[..., 1:-1], rcfg.n_importance)
-                z_all = jnp.sort(
-                    jnp.concatenate([z, z_fine], -1), -1).astype(jnp.float32)
+                # z and z_fine are each sorted per ray, so the union is a
+                # bitonic merge (9 roll/minmax stages), not a 384-lane sort
+                z_all = merge_sorted(z, z_fine).astype(jnp.float32)
                 loss_f = fused_mse_loss(
                     packed_f, o, d, z_all, target, mcfg, rcfg, **kw)
                 return loss_f + loss_c

@@ -95,6 +95,33 @@ def test_hierarchical_training_end_to_end(tmp_path):
     assert trainer2.try_resume()
 
 
+def test_sample_pdf_output_sorted():
+    """Stratified u means inverse-CDF output is non-decreasing per ray —
+    the property the hierarchical merge_sorted union relies on."""
+    rng = np.random.default_rng(3)
+    z = np.sort(rng.uniform(2, 6, (16, 64)), axis=-1)
+    bins = jnp.asarray(0.5 * (z[:, 1:] + z[:, :-1]))
+    w = jnp.asarray(rng.uniform(0, 1, (16, 62))
+                    * (rng.random((16, 62)) > 0.3))
+    out = np.asarray(sample_pdf(jax.random.key(5), bins, w, 96))
+    assert (np.diff(out, axis=-1) >= 0).all()
+
+
+def test_merge_sorted_matches_sort():
+    """Bitonic merge == jnp.sort of the concatenation, elementwise, across
+    shapes incl. non-power-of-two unions and duplicate values."""
+    from sfm_nerf_tpu.ops.render import merge_sorted
+
+    rng = np.random.default_rng(11)
+    for n, a_w, b_w in [(8, 256, 128), (4, 64, 64), (3, 16, 5), (2, 1, 1),
+                        (5, 31, 97)]:
+        a = np.sort(rng.uniform(0, 10, (n, a_w)), -1)
+        b = np.sort(np.round(rng.uniform(0, 10, (n, b_w)), 1), -1)  # ties
+        got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+        want = np.sort(np.concatenate([a, b], -1), -1)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_sample_pdf_matches_gather_oracle():
     """The compare/masked-reduce formulation (TPU: no searchsorted or
     gathers) selects bit-identical neighbors to the original
@@ -111,7 +138,11 @@ def test_sample_pdf_matches_gather_oracle():
         cdf = jnp.cumsum(pdf, -1)
         cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
         if key is not None:
-            u = jax.random.uniform(key, (cdf.shape[0], n_importance))
+            u = (
+                jnp.arange(n_importance, dtype=cdf.dtype)
+                + jax.random.uniform(key, (cdf.shape[0], n_importance),
+                                     dtype=cdf.dtype)
+            ) / n_importance
         else:
             u = jnp.linspace(0.0, 1.0 - 1e-5, n_importance)[None, :].repeat(
                 cdf.shape[0], axis=0)
