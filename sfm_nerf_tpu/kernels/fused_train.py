@@ -68,11 +68,18 @@ _sin = jnp.sin if "slowsin" in ABLATE else fast_sin
 # HIGHEST-precision triangular MXU dots (6 bf16 passes each).  "tridot"
 # keeps the round-1 log-cumsum-via-dot formulation.
 COMPOSITE_IMPL = os.environ.get("FUSED_COMPOSITE", "tridot")
-# Subtile interleave A/B: 2 runs two subtiles' fwd+bwd chains per loop
+# Subtile interleave A/B: "2" runs two subtiles' fwd+bwd chains per loop
 # iteration in one straight-line block, giving the Mosaic scheduler two
 # INDEPENDENT dot chains to fill inter-dot MXU bubbles with (the ~20%
 # occupancy gap measured via FUSED_ABLATE).  Costs 2x activation VMEM.
-INTERLEAVE = int(os.environ.get("FUSED_INTERLEAVE", "1"))
+# Measured SLOWER (142.6k vs 146.5k; 126.9k at halved ray_tile).  "2s"
+# additionally gives the second stream its OWN scratch accumulator set —
+# testing whether the `gW += dW` read-modify-writes on shared VMEM refs
+# were what chained the streams.  REFUTED: "2s" measures 142.5k,
+# identical to "2" — the scheduler simply doesn't interleave across the
+# program-order block boundary, and the 2x activation VMEM costs ~3%.
+# Both modes kept as the documented apparatus of the occupancy study.
+INTERLEAVE = os.environ.get("FUSED_INTERLEAVE", "1")
 # MXU precision, by dot class.  Mosaic demotes plain f32 dots to single-pass
 # bf16 (and does not lower Precision.HIGH or DotAlgorithmPreset at all).
 # Quality-demo ablation (PERFORMANCE.md): the leak is NOT in the bulk MLP /
@@ -649,7 +656,7 @@ fused_render_train.defvjp(_frt_fwd, _frt_bwd)
 
 
 def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
-                      tiles_per_program, emit_weights=False):
+                      tiles_per_program, emit_weights=False, n_progs=1):
     n_chunks = n_sample // sample_chunk
     n_pe = 6 * mcfg.n_pos_freq
     n_de = 6 * mcfg.n_dir_freq
@@ -660,12 +667,14 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                *wb_and_out):
         n_w = 2 * len(_ACTIVE_LAYERS)
         wb = wb_and_out[:n_w]
-        rgb_out = wb_and_out[n_w]
+        idx = n_w
+        rgb_out = wb_and_out[idx]
+        idx += 1
         if emit_weights:
-            w_out = wb_and_out[n_w + 1]
-            grads = wb_and_out[n_w + 2:]
-        else:
-            grads = wb_and_out[n_w + 1:]
+            w_out = wb_and_out[idx]
+            idx += 1
+        grads = wb_and_out[idx:idx + n_w]
+        scratch = wb_and_out[idx + n_w:]   # "2s" second-stream accumulators
         W, B = _wb_maps(wb)
         gW = {name: grads[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
         gB = {name: grads[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
@@ -674,8 +683,10 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
         def _():
             for gref in grads:
                 gref[...] = jnp.zeros_like(gref)
+            for gref in scratch:
+                gref[...] = jnp.zeros_like(gref)
 
-        def subtile(s, _):
+        def subtile(s, gW, gB):
             row0 = pl.multiple_of(s * ray_tile, 8)
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
@@ -736,15 +747,30 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                     precision=BWD_PRECISION)
             return 0
 
-        if INTERLEAVE == 2 and tiles_per_program % 2 == 0:
+        if INTERLEAVE in ("2", "2s") and tiles_per_program % 2 == 0:
+            if scratch:
+                gW2 = {n: scratch[2 * i]
+                       for i, n in enumerate(_ACTIVE_LAYERS)}
+                gB2 = {n: scratch[2 * i + 1]
+                       for i, n in enumerate(_ACTIVE_LAYERS)}
+            else:
+                gW2, gB2 = gW, gB
+
             def pair(i, _):
-                subtile(2 * i, None)
-                subtile(2 * i + 1, None)
+                subtile(2 * i, gW, gB)
+                subtile(2 * i + 1, gW2, gB2)
                 return 0
 
             jax.lax.fori_loop(0, tiles_per_program // 2, pair, 0)
         else:
-            jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
+            jax.lax.fori_loop(
+                0, tiles_per_program, lambda s, _: subtile(s, gW, gB), 0)
+
+        if scratch:  # fold the second stream's accumulators into the outputs
+            @pl.when(pl.program_id(0) == n_progs - 1)
+            def _():
+                for gref, sref in zip(grads, scratch):
+                    gref[...] += sref[...]
 
     return kernel
 
@@ -777,7 +803,7 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
     tri_h = np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
     kernel = _make_step_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program,
-        emit_weights=emit_weights)
+        emit_weights=emit_weights, n_progs=n_progs)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -796,6 +822,8 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    if INTERLEAVE == "2s" and tiles_per_program % 2 == 0:
+        kwargs["scratch_shapes"] = [pltpu.VMEM(p.shape, f32) for p in packed]
     rgb, *rest = pl.pallas_call(
         kernel,
         grid=(n_progs,),
