@@ -215,7 +215,7 @@ def ransac_essential_5pt(
     p2 = np.concatenate([pts2, np.ones((n, 1))], 1)
     chunk = max(1, int(2**22 // max(n, 1)))      # ~100 MB of f64 temporaries
     thr2 = threshold_px ** 2
-    best_score, best_count, best_E, best_inl = -np.inf, -1, None, None
+    best_score, best_E, best_inl = -np.inf, None, None
     for s in range(0, cands.shape[0], chunk):
         Ec = cands[s:s + chunk]
         F = np.einsum("ij,bjk,kl->bil", Kinv.T, Ec, Kinv)
@@ -233,7 +233,6 @@ def ransac_essential_5pt(
         b = int(np.argmax(scores))
         if scores[b] > best_score:
             best_score = float(scores[b])
-            best_count = int(inl[b].sum())
             best_E, best_inl = Ec[b], inl[b]
 
     # Re-estimate the winner on its full inlier set (mirrors the 8-point
@@ -268,11 +267,17 @@ def ransac_essential_5pt(
         sm = (s[0] + s[1]) / 2.0
         E_new = U @ np.diag([sm, sm, 0.0]) @ Vt
         E_new /= np.linalg.norm(E_new)
-        inl_new = _sampson_px(E_new) < threshold_px ** 2
-        if inl_new.sum() < best_count:
+        d_new = _sampson_px(E_new)
+        inl_new = d_new < thr2
+        # accept/reject by the SAME objective that ranked the hypotheses
+        # (MSAC truncated-loss sum) — judging refits by raw count would
+        # re-admit the near-tie sensitivity the MSAC ranking removed
+        score_new = -float(np.minimum(d_new, thr2).sum())
+        if score_new < best_score:
             break                                # refit lost support; keep prior
-        if inl_new.sum() == best_count and np.array_equal(inl_new, best_inl):
+        if score_new == best_score and np.array_equal(inl_new, best_inl):
             best_E = E_new
             break
-        best_E, best_inl, best_count = E_new, inl_new, int(inl_new.sum())
+        best_E, best_inl = E_new, inl_new
+        best_score = score_new
     return best_E, best_inl

@@ -40,21 +40,34 @@ from sfm_nerf_tpu.ops.triangulation import (
 )
 
 
-def linear_pnp(
-    X3d: jnp.ndarray,    # (..., N, 3)
-    x2d: jnp.ndarray,    # (..., N, 2) pixel coords
-    K: jnp.ndarray,      # (3, 3)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """DLT pose -> (C (...,3), R (...,3,3)).  Batched over leading dims."""
+def _dlt_projection(X3d, x2d, K, null_vec_fn):
+    """Shared DLT body of both linear-PnP paths: K^-1 normalization of the
+    2D side, Hartley conditioning of the 3D side, 2Nx12 row assembly, null
+    vector via ``null_vec_fn``, denormalization, and majority-depth sign
+    canonicalization.  Returns the projective (..., 3, 4) P; callers
+    differ only in how they orthogonalize P[:, :3] into R.
+
+    Conditioning (centroid -> origin, RMS radius -> 1): the raw DLT
+    normal matrix reaches condition ~1e10 and in f32 BOTH eigensolvers
+    return ~35 px poses (0.2% of minimal samples usable — measured; the
+    round-1 "f32 PnP initialization" accuracy gap).  P is denormalized
+    below, so callers see the same camera, just solved in a well-scaled
+    basis.
+
+    Sign: the null vector's global sign is arbitrary and C inherits it —
+    the reference (Phase1/PnP.py:6-66) takes whatever sign LAPACK
+    returns, and its R-only det-flip quirk (kept by both callers) is
+    independent of this global sign.  DEVIATION, both paths, no switch:
+    canonicalize by majority projective depth of the sample points, so
+    every hypothesis (and the winner re-solve) is cheirality-consistent.
+    eigh/Jacobi pick different — sometimes systematically unlucky —
+    signs; a mirrored hypothesis scores ~0 inliers, and a mirrored
+    winner re-solve poisons nonlinear PnP and the downstream BA rounds
+    (the round-2 "BA mirror-flip divergence" fix).
+    """
     Kinv = jnp.linalg.inv(K)
     xn = jnp.einsum("ij,...nj->...ni", Kinv, homogenize(x2d), precision=HI)
     x, y = xn[..., 0], xn[..., 1]
-    # Hartley-style conditioning of the 3D side (centroid -> origin, RMS
-    # radius -> 1): the raw DLT normal matrix reaches condition ~1e10 and
-    # in f32 BOTH eigensolvers return ~35 px poses (0.2%% of minimal
-    # samples usable — measured; the round-1 "f32 PnP initialization"
-    # accuracy gap).  P is denormalized below, so callers see the same
-    # camera, just solved in a well-scaled basis.
     cen = jnp.mean(X3d, axis=-2, keepdims=True)
     scale = jnp.sqrt(jnp.mean(
         jnp.sum((X3d - cen) ** 2, -1), -1, keepdims=True))
@@ -70,7 +83,7 @@ def linear_pnp(
         [zero, zero, zero, zero, X, Y, Z, one, -y * X, -y * Y, -y * Z, -y], -1
     )
     A = jnp.concatenate([row1, row2], axis=-2)      # (..., 2N, 12)
-    p = smallest_eigvec_of_normal(A)
+    p = null_vec_fn(A)
     P = p.reshape(*p.shape[:-1], 3, 4)
     # denormalize: X_norm_h = M X_h with M = [[I/s, -c/s], [0, 1]] -> P @ M
     Pl = P[..., :, :3] / scale[..., None, :]
@@ -78,14 +91,19 @@ def linear_pnp(
         [Pl, (P[..., :, 3] - jnp.einsum(
             "...ij,...j->...i", Pl, cen[..., 0, :], precision=HI))[..., None]],
         axis=-1)
-    # canonicalize the null vector's arbitrary sign by majority projective
-    # depth (the reference takes whatever sign LAPACK returns — a flipped
-    # p mirrors C through the scene; its R-only det flip quirk, kept
-    # below, is independent of this global sign)
     depth = jnp.einsum(
         "...j,...nj->...n", P[..., 2, :], homogenize(X3d), precision=HI)
     flip = jnp.sum(jnp.sign(depth), -1) < 0
-    P = jnp.where(flip[..., None, None], -P, P)
+    return jnp.where(flip[..., None, None], -P, P)
+
+
+def linear_pnp(
+    X3d: jnp.ndarray,    # (..., N, 3)
+    x2d: jnp.ndarray,    # (..., N, 2) pixel coords
+    K: jnp.ndarray,      # (3, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DLT pose -> (C (...,3), R (...,3,3)).  Batched over leading dims."""
+    P = _dlt_projection(X3d, x2d, K, smallest_eigvec_of_normal)
     R_est = P[..., :, :3]
     U, D, Vt = jnp.linalg.svd(R_est)
     R = jnp.einsum("...ij,...jk->...ik", U, Vt, precision=HI)
@@ -109,50 +127,7 @@ def linear_pnp_fast(
         jacobi_eigh_small, smallest_eigvec_of_normal_fast,
     )
 
-    Kinv = jnp.linalg.inv(K)
-    xn = jnp.einsum("ij,...nj->...ni", Kinv, homogenize(x2d), precision=HI)
-    x, y = xn[..., 0], xn[..., 1]
-    # Hartley-style conditioning of the 3D side (centroid -> origin, RMS
-    # radius -> 1): the raw DLT normal matrix reaches condition ~1e10 and
-    # in f32 BOTH eigensolvers return ~35 px poses (0.2%% of minimal
-    # samples usable — measured; the round-1 "f32 PnP initialization"
-    # accuracy gap).  P is denormalized below, so callers see the same
-    # camera, just solved in a well-scaled basis.
-    cen = jnp.mean(X3d, axis=-2, keepdims=True)
-    scale = jnp.sqrt(jnp.mean(
-        jnp.sum((X3d - cen) ** 2, -1), -1, keepdims=True))
-    scale = jnp.maximum(scale, 1e-12)
-    Xn = (X3d - cen) / scale[..., None]
-    X, Y, Z = Xn[..., 0], Xn[..., 1], Xn[..., 2]
-    one = jnp.ones_like(X)
-    zero = jnp.zeros_like(X)
-    row1 = jnp.stack(
-        [X, Y, Z, one, zero, zero, zero, zero, -x * X, -x * Y, -x * Z, -x], -1
-    )
-    row2 = jnp.stack(
-        [zero, zero, zero, zero, X, Y, Z, one, -y * X, -y * Y, -y * Z, -y], -1
-    )
-    A = jnp.concatenate([row1, row2], axis=-2)      # (..., 2N, 12)
-    p = smallest_eigvec_of_normal_fast(A)
-    P = p.reshape(*p.shape[:-1], 3, 4)
-    # denormalize: X_norm_h = M X_h with M = [[I/s, -c/s], [0, 1]] -> P @ M
-    Pl = P[..., :, :3] / scale[..., None, :]
-    P = jnp.concatenate(
-        [Pl, (P[..., :, 3] - jnp.einsum(
-            "...ij,...j->...i", Pl, cen[..., 0, :], precision=HI))[..., None]],
-        axis=-1)
-    # the null vector's sign is arbitrary and C inherits it (the
-    # reference's R-only det flip keeps the quirk: a flipped p puts the
-    # hypothesis camera on the wrong side and it scores ~0 inliers).
-    # eigh/Jacobi pick different — sometimes systematically unlucky —
-    # signs, so canonicalize by majority projective depth of the sample
-    # points: every hypothesis becomes cheirality-consistent, doubling the
-    # effective iteration count.  Scoring-path only; the winner re-solve
-    # keeps the reference semantics.
-    depth = jnp.einsum(
-        "...j,...nj->...n", P[..., 2, :], homogenize(X3d), precision=HI)
-    flip = jnp.sum(jnp.sign(depth), -1) < 0
-    P = jnp.where(flip[..., None, None], -P, P)
+    P = _dlt_projection(X3d, x2d, K, smallest_eigvec_of_normal_fast)
     R_est = P[..., :, :3]
     RtR = jnp.einsum("...ji,...jk->...ik", R_est, R_est, precision=HI)
     evals, V = jacobi_eigh_small(RtR, sweeps=6)     # 3x3

@@ -8,7 +8,12 @@ SPMD shape of the reference's 50,000-iteration Python loop
 (Phase1/Fundamental.py:95-129) at multi-chip scale: hypothesis draws,
 scoring math, and the winning-hypothesis re-estimation are IDENTICAL to
 ``ops.epipolar.ransac_fundamental`` — same key -> same draws -> bit-equal
-winner — so the sharded path is a pure wall-clock lever.
+winner — so the sharded path is a pure wall-clock lever.  Caveat: the
+per-device iteration count is padded to whole chunks, so bit-equality
+with the single-device path holds exactly when ceil(n_iters/chunk)
+divides the device count (e.g. 50k iters / 1024-chunk = 49 chunks: equal
+on 1 or 7 devices; on 4 devices the padded draw count differs and the
+winner may differ by a near-tie).  The config.py field documents this.
 
 Single-chip callers should keep using ``ransac_fundamental``; the driver
 switches here when ``--ransac_devices > 1``.

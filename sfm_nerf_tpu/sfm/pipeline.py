@@ -100,7 +100,10 @@ class SfMPipeline:
         mesh = None
         if cfg.ransac_devices > 1:
             # hypothesis-parallel RANSAC over a device mesh
-            # (parallel/ransac.py; bit-equal to the single-device path)
+            # (parallel/ransac.py; bit-equal to the single-device path
+            # when ceil(n_iters/chunk) divides the device count — else
+            # the chunk count rounds up and the draw sequence differs;
+            # see config.ransac_devices)
             from sfm_nerf_tpu.parallel import make_mesh
 
             mesh = make_mesh(dp=cfg.ransac_devices, tp=1)
