@@ -50,6 +50,12 @@ def configParser():
                         help="deterministic mid-bin sampling for gif frames "
                              "(the reference's legacy renderer always "
                              "jitters, Wrapper.py:148-149)")
+    parser.add_argument('--plot_rays', action='store_true',
+                        help="write a 3-D ray-fan debug plot per gif frame "
+                             "(ray_plot_{count}.png; the reference's "
+                             "plot_rays, Wrapper.py:428-442,494, calls "
+                             "plt.show() which blocks headless runs — same "
+                             "fix as display_matches: save, don't show)")
     parser.add_argument('--modern_schedule', action='store_true',
                         help="use train.py's StepLR(50000, 0.1) instead of "
                              "this legacy loop's StepLR(1000, 0.1) "
@@ -154,6 +160,31 @@ def run_gif(args):
         k = None if args.no_perturb else key
         return render_image(params, K, pose, height, width, k)
 
+    def save_ray_plot(c2w, count):
+        """Reference plot_rays parity (Wrapper.py:428-442, called at :494):
+        every 50th ray drawn as the segment origin -> origin + 6*dir.  The
+        reference plt.show()s (blocking); we save to images_path instead."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from sfm_nerf_tpu.ops.rays import image_rays
+
+        o, d = image_rays(K, c2w, height, width)
+        o = np.asarray(o)[::50]
+        p2 = o + 6.0 * np.asarray(d)[::50]
+        fig = plt.figure(figsize=(12, 12))
+        ax = plt.axes(projection="3d")
+        ax.set_xlabel("X")
+        ax.set_ylabel("Y")
+        ax.set_zlabel("Z")
+        for p1, p2i in zip(o, p2):
+            ax.plot([p1[0], p2i[0]], [p1[1], p2i[1]], [p1[2], p2i[2]])
+        out = os.path.join(args.images_path, f"ray_plot_{count}.png")
+        fig.savefig(out)
+        plt.close(fig)
+        print(f"wrote {out}")
+
     os.makedirs(args.images_path, exist_ok=True)
     key = jax.random.key(0)
     import time
@@ -163,6 +194,8 @@ def run_gif(args):
         np.linspace(0.0, 360.0, int(args.n_frames), endpoint=False), start=1
     ):
         c2w = jnp.asarray(pose_spherical(float(th), -30.0, 4.0))
+        if args.plot_rays:
+            save_ray_plot(c2w, count)
         key, sub = jax.random.split(key)
         img = np.asarray(render_frame(c2w, sub)) * 255.0
         out = os.path.join(args.images_path, f"image_{count}.png")

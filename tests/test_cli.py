@@ -232,3 +232,35 @@ def test_fused_envelope_rejects_deep_chunk_counts():
                 cfg.render, n_sample=1024, n_importance=128)))
     finally:
         jax.default_backend = orig
+
+
+def test_gif_mode_emits_frames_and_ray_plots(tmp_path):
+    """Drive the gif path (Wrapper.py run_gif) headless on a tiny
+    checkpoint: reference frame filenames image_{count}.png plus the
+    --plot_rays debug figures (reference plot_rays, Wrapper.py:428-442,
+    calls plt.show() per frame — we save ray_plot_{count}.png instead)."""
+    import jax
+    from sfm_nerf_tpu.config import NeRFModelConfig
+    from sfm_nerf_tpu.models import init_nerf_params
+    from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+    from util_synthetic import make_blender_dataset
+
+    root = make_blender_dataset(str(tmp_path / "lego"), n_frames=2,
+                                height=16, width=16)
+    mcfg = NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1)
+    params = init_nerf_params(jax.random.key(0), mcfg)
+    # gif mode appends the dataset dir name to checkpoint_path
+    # (reference Wrapper.py:521-522)
+    ckpt_lib.save_checkpoint(str(tmp_path / "ckpt" / "lego"), 1, params)
+
+    mod = load_module("Phase2/Wrapper.py")
+    args = mod.configParser().parse_args(
+        ["--mode", "gif", "--data_path", root,
+         "--checkpoint_path", str(tmp_path / "ckpt"),
+         "--images_path", str(tmp_path / "image"),
+         "--n_sample", "8", "--n_frames", "2", "--plot_rays"]
+    )
+    mod.run_gif(args)
+    for name in ("image_1.png", "image_2.png",
+                 "ray_plot_1.png", "ray_plot_2.png"):
+        assert os.path.exists(os.path.join(str(tmp_path / "image"), name)), name
