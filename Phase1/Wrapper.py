@@ -38,6 +38,10 @@ def main():
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
     parser.add_argument("--ba_max_iters", type=int, default=50)
+    parser.add_argument("--ba_devices", type=int, default=1,
+                        help="shard global BA's point axis over this many "
+                             "devices (parallel/ba.py; single-device "
+                             "results up to reduction-order rounding)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float64", default=True,
                         type=lambda s: s.lower() not in ("0", "false", "no"),
@@ -113,6 +117,7 @@ def main():
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,
+        ba_devices=args.ba_devices,
         essential_method=args.essential_method,
         global_rotation_init=args.global_rotation_init,
         global_init=args.global_init,

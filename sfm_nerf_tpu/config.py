@@ -178,6 +178,10 @@ class SfMConfig:
     ba_prune_px: float = 3.0         # drop observations above this reproj err
     ba_loss: str = "linear"          # 'linear' (reference parity) | 'huber'
     ba_huber_delta: float = 3.0      # px; robust-loss transition
+    # >1: shard the POINT axis of global BA over that many devices
+    # (parallel/ba.py: point blocks device-local, camera system psummed;
+    # matches single-device results to reduction-order rounding)
+    ba_devices: int = 1
     # global rotation averaging before BA (ADDITION: re-initializes all
     # camera rotations jointly from pairwise essentials; the reference's
     # incremental chaining compounds error camera-by-camera)

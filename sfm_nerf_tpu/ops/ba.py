@@ -73,7 +73,7 @@ class BAResult(NamedTuple):
     n_residuals: jnp.ndarray     # observations active in the cost (mask0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "loss"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "loss", "axis_name"))
 def bundle_adjust(
     K: jnp.ndarray,              # (3,3)
     camera_params: jnp.ndarray,  # (N,6) [rvec, tvec] world->cam
@@ -84,10 +84,20 @@ def bundle_adjust(
     lambda0: float = 1e-3,
     loss: str = "linear",        # 'linear' (reference parity) | 'huber'
     huber_delta: float = 3.0,    # px; transition of the robust loss
+    axis_name: str | None = None,
 ) -> BAResult:
+    """``axis_name``: when called inside shard_map with the POINT axis (M)
+    sharded over that mesh axis, every reduction over points becomes a
+    psum, the (small) camera system solves replicated on all devices, and
+    the point back-substitution stays device-local — the Schur structure
+    IS the sharding structure (parallel/ba.py wraps this)."""
     n_cam = camera_params.shape[0]
     n_pts = points.shape[0]
     vis = visibility.astype(K.dtype)
+
+    def preduce(x):
+        """Complete a point-axis reduction across devices."""
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     # Cheirality mask FROZEN at the initial geometry.  The reference
     # re-evaluates its z<=1e-8 residual drop every evaluation
@@ -123,11 +133,11 @@ def bundle_adjust(
     def cost_of(cams, pts):
         r, _ = residual_mask(cams, pts)
         if loss == "linear":
-            return 0.5 * jnp.sum(r * r)
+            return preduce(0.5 * jnp.sum(r * r))
         norm = jnp.linalg.norm(r, axis=-1) * (mask0 > 0)
         quad = 0.5 * norm**2
         lin = huber_delta * (norm - 0.5 * huber_delta)
-        return jnp.sum(jnp.where(norm <= huber_delta, quad, lin))
+        return preduce(jnp.sum(jnp.where(norm <= huber_delta, quad, lin)))
 
     # jacobians of one (cam, point) observation wrt cam (2x6) and point (2x3)
     jac_cam = jax.jacfwd(_observe, argnums=0)
@@ -147,11 +157,14 @@ def bundle_adjust(
             cams, pts, K
         ) * wmask[..., None, None]                       # (N,M,2,3)
 
-        # normal-equation blocks
-        U = jnp.einsum("nmri,nmrj->nij", A, A, precision=HI)    # (N,6,6)
+        # normal-equation blocks (U and g_cam reduce over the point axis —
+        # cross-device under sharding; W/Y/g_pt are per-point, i.e. local)
+        U = preduce(jnp.einsum("nmri,nmrj->nij", A, A, precision=HI))  # (N,6,6)
         W = jnp.einsum("nmri,nmrj->mij", B, B, precision=HI)    # (M,3,3)
         Y = jnp.einsum("nmri,nmrj->nmij", A, B, precision=HI)   # (N,M,6,3)
-        g_cam = jnp.einsum("nmri,nmr->ni", A, r, precision=HI)  # (N,6)
+        g_cam = preduce(
+            jnp.einsum("nmri,nmr->ni", A, r, precision=HI)
+        )                                                       # (N,6)
         g_pt = jnp.einsum("nmri,nmr->mi", B, r, precision=HI)   # (M,3)
 
         I6 = jnp.eye(6, dtype=K.dtype)
@@ -160,12 +173,18 @@ def bundle_adjust(
         W_d = W + lam * I3
         W_inv = jnp.linalg.inv(W_d)                              # (M,3,3)
 
-        # Schur complement on cameras: S (N,6,N,6)
+        # Schur complement on cameras: S (N,6,N,6); the m-contractions are
+        # cross-device reductions under sharding, after which S and rhs are
+        # replicated and the (small) camera solve runs on every device
         YWi = jnp.einsum("nmij,mjk->nmik", Y, W_inv, precision=HI)
-        S_off = jnp.einsum("nmik,pmlk->npil", YWi, Y, precision=HI)  # (N,N,6,6)
+        S_off = preduce(
+            jnp.einsum("nmik,pmlk->npil", YWi, Y, precision=HI)
+        )                                                            # (N,N,6,6)
         S = -S_off
         S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(U_d)
-        rhs = g_cam - jnp.einsum("nmik,mk->ni", YWi, g_pt, precision=HI)
+        rhs = g_cam - preduce(
+            jnp.einsum("nmik,mk->ni", YWi, g_pt, precision=HI)
+        )
 
         S_flat = S.transpose(0, 2, 1, 3).reshape(6 * n_cam, 6 * n_cam)
         d_cam = -jnp.linalg.solve(S_flat, rhs.reshape(-1)).reshape(n_cam, 6)
@@ -190,7 +209,9 @@ def bundle_adjust(
         None,
         length=n_iters,
     )
-    return BAResult(cams, pts, cost, c0, jnp.sum(accepted), jnp.sum(mask0))
+    return BAResult(
+        cams, pts, cost, c0, jnp.sum(accepted), preduce(jnp.sum(mask0))
+    )
 
 
 def fix_gauge_to_first_camera(

@@ -846,8 +846,23 @@ class SfMPipeline:
             )
             vis_work = vis_work * (~drop0)
         rms_before = None
+        if cfg.ba_devices > 1:
+            # point-sharded BA over a device mesh (parallel/ba.py): point
+            # blocks stay device-local, the small camera system is psummed
+            # and solved replicated — results match single-device up to
+            # reduction-order rounding
+            import functools as _ft
+
+            from sfm_nerf_tpu.parallel import make_mesh
+            from sfm_nerf_tpu.parallel.ba import bundle_adjust_sharded
+
+            ba_fn = _ft.partial(
+                bundle_adjust_sharded, mesh=make_mesh(dp=cfg.ba_devices, tp=1)
+            )
+        else:
+            ba_fn = bundle_adjust
         for ba_round in range(max(1, cfg.ba_rounds)):
-            res = bundle_adjust(
+            res = ba_fn(
                 Kj, jnp.asarray(cams0), jnp.asarray(pts0),
                 jnp.asarray(obs), jnp.asarray(vis_work),
                 n_iters=cfg.ba_max_iters,

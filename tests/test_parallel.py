@@ -338,3 +338,45 @@ def test_sharded_ransac_matches_single_device():
                                   np.asarray(shard.inliers))
     np.testing.assert_allclose(np.asarray(single.F), np.asarray(shard.F),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_ba_matches_single_device():
+    """Point-sharded BA (8-device mesh, parallel/ba.py): same converged
+    geometry and cost as the single-device Schur solver.  The point count
+    (123) is NOT a device multiple, so the zero-visibility padding path is
+    exercised.  Exact bit-equality is not expected — per-shard partial
+    sums reassociate the point-axis reductions, and near-flat LM steps may
+    flip accept/reject — but the optimum must agree tightly."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_ba import build_problem
+
+    from sfm_nerf_tpu.ops.ba import bundle_adjust
+    from sfm_nerf_tpu.parallel.ba import bundle_adjust_sharded
+
+    scene, cams = build_problem(noise_px=0.5, n_cams=4, n_pts=123)
+    K = jnp.asarray(scene["K"])
+    rng = np.random.default_rng(1)
+    cams_n = jnp.asarray(cams + rng.normal(scale=0.01, size=cams.shape))
+    pts_n = jnp.asarray(
+        scene["points"] + rng.normal(scale=0.05, size=scene["points"].shape)
+    )
+    obs = jnp.asarray(scene["obs"])
+    vis = jnp.asarray(scene["vis"])
+    mesh = make_mesh(dp=8, tp=1)
+
+    for loss in ("linear", "huber"):
+        ref = bundle_adjust(K, cams_n, pts_n, obs, vis, n_iters=15, loss=loss)
+        sh = bundle_adjust_sharded(
+            K, cams_n, pts_n, obs, vis, mesh=mesh, n_iters=15, loss=loss
+        )
+        assert sh.points.shape == ref.points.shape       # padding trimmed
+        assert int(sh.n_residuals) == int(ref.n_residuals)
+        np.testing.assert_allclose(
+            float(sh.cost), float(ref.cost), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(sh.camera_params), np.asarray(ref.camera_params),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sh.points), np.asarray(ref.points), atol=1e-5)
