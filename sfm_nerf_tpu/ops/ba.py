@@ -157,34 +157,33 @@ def bundle_adjust(
             cams, pts, K
         ) * wmask[..., None, None]                       # (N,M,2,3)
 
-        # normal-equation blocks (U and g_cam reduce over the point axis —
-        # cross-device under sharding; W/Y/g_pt are per-point, i.e. local)
-        U = preduce(jnp.einsum("nmri,nmrj->nij", A, A, precision=HI))  # (N,6,6)
+        # normal-equation blocks.  U/g_cam/S_off/rhs reduce over the point
+        # axis — cross-device under sharding; W/Y/g_pt are per-point, i.e.
+        # local.  The four point-axis reductions are bundled into ONE psum
+        # (pytree collective) so a multi-host mesh pays one small-payload
+        # all-reduce latency per LM iteration, not four.
+        U_p = jnp.einsum("nmri,nmrj->nij", A, A, precision=HI)  # (N,6,6)
         W = jnp.einsum("nmri,nmrj->mij", B, B, precision=HI)    # (M,3,3)
         Y = jnp.einsum("nmri,nmrj->nmij", A, B, precision=HI)   # (N,M,6,3)
-        g_cam = preduce(
-            jnp.einsum("nmri,nmr->ni", A, r, precision=HI)
-        )                                                       # (N,6)
+        g_cam_p = jnp.einsum("nmri,nmr->ni", A, r, precision=HI)  # (N,6)
         g_pt = jnp.einsum("nmri,nmr->mi", B, r, precision=HI)   # (M,3)
 
         I6 = jnp.eye(6, dtype=K.dtype)
         I3 = jnp.eye(3, dtype=K.dtype)
-        U_d = U + lam * I6
         W_d = W + lam * I3
         W_inv = jnp.linalg.inv(W_d)                              # (M,3,3)
 
-        # Schur complement on cameras: S (N,6,N,6); the m-contractions are
-        # cross-device reductions under sharding, after which S and rhs are
-        # replicated and the (small) camera solve runs on every device
+        # Schur complement on cameras: S (N,6,N,6); after the bundled
+        # reduction S and rhs are replicated and the (small) camera solve
+        # runs redundantly on every device
         YWi = jnp.einsum("nmij,mjk->nmik", Y, W_inv, precision=HI)
-        S_off = preduce(
-            jnp.einsum("nmik,pmlk->npil", YWi, Y, precision=HI)
-        )                                                            # (N,N,6,6)
+        S_off_p = jnp.einsum("nmik,pmlk->npil", YWi, Y, precision=HI)
+        rhs2_p = jnp.einsum("nmik,mk->ni", YWi, g_pt, precision=HI)
+        U, g_cam, S_off, rhs2 = preduce((U_p, g_cam_p, S_off_p, rhs2_p))
+        U_d = U + lam * I6
         S = -S_off
         S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(U_d)
-        rhs = g_cam - preduce(
-            jnp.einsum("nmik,mk->ni", YWi, g_pt, precision=HI)
-        )
+        rhs = g_cam - rhs2
 
         S_flat = S.transpose(0, 2, 1, 3).reshape(6 * n_cam, 6 * n_cam)
         d_cam = -jnp.linalg.solve(S_flat, rhs.reshape(-1)).reshape(n_cam, 6)

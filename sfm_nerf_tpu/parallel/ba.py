@@ -15,11 +15,14 @@ point count, so the method scales to clouds far beyond one chip's HBM.
 This is the multi-chip analog of the reference's dense scipy BA
 (Phase1/BundleAdjustment.py:122-160), which at 50 cams x 20k points cannot
 even build its Jacobian.  The underlying math and LM schedule are
-``ops.ba.bundle_adjust`` with ``axis_name`` set — same accept/reject
-decisions, same damping trajectory; results match the single-device path to
-reduction-order rounding (the per-shard partial sums reassociate the
-point-axis additions; exact equality is not guaranteed, tests assert tight
-allclose).
+``ops.ba.bundle_adjust`` with ``axis_name`` set.  Results match the
+single-device path to reduction-order rounding ONLY: the per-shard partial
+sums reassociate the point-axis additions, so the psummed cost differs by
+ulps, and a near-flat LM step can flip its accept/reject decision — the
+damping TRAJECTORY may fork even though the converged optimum agrees
+tightly (tests assert cost rtol 1e-9 and geometry atol 1e-5, not
+bit-equality; cf. the MSAC tie-flip note in CLAUDE.md for the same
+platform-rounding phenomenon in RANSAC).
 
 Single-chip callers should keep using ``bundle_adjust``; the SfM driver
 switches here when ``--ba_devices > 1``.

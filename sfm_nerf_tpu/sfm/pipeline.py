@@ -106,6 +106,14 @@ class SfMPipeline:
             # see config.ransac_devices)
             from sfm_nerf_tpu.parallel import make_mesh
 
+            n_avail = len(jax.devices())
+            if n_avail < cfg.ransac_devices:
+                raise ValueError(
+                    f"--ransac_devices {cfg.ransac_devices} but only "
+                    f"{n_avail} JAX device(s) available; on CPU set "
+                    f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                    f"{cfg.ransac_devices} before the first jax import"
+                )
             mesh = make_mesh(dp=cfg.ransac_devices, tp=1)
         for (i, j), arr in sorted(matches_dict.items()):
             # bucketed: one accelerator compile per size bucket, not per pair
@@ -856,6 +864,14 @@ class SfMPipeline:
             from sfm_nerf_tpu.parallel import make_mesh
             from sfm_nerf_tpu.parallel.ba import bundle_adjust_sharded
 
+            n_avail = len(jax.devices())
+            if n_avail < cfg.ba_devices:
+                raise ValueError(
+                    f"--ba_devices {cfg.ba_devices} but only {n_avail} "
+                    f"JAX device(s) available; on CPU set XLA_FLAGS="
+                    f"--xla_force_host_platform_device_count="
+                    f"{cfg.ba_devices} before the first jax import"
+                )
             ba_fn = _ft.partial(
                 bundle_adjust_sharded, mesh=make_mesh(dp=cfg.ba_devices, tp=1)
             )

@@ -347,9 +347,10 @@ def test_sharded_ba_matches_single_device():
     exercised.  Exact bit-equality is not expected — per-shard partial
     sums reassociate the point-axis reductions, and near-flat LM steps may
     flip accept/reject — but the optimum must agree tightly."""
+    import os
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_ba import build_problem
 
     from sfm_nerf_tpu.ops.ba import bundle_adjust
