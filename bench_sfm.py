@@ -89,12 +89,25 @@ def bench_ba(args):
     dt_dtype = jnp.float32 if args.platform != "cpu" else jnp.float64
     to = lambda a: jnp.asarray(np.asarray(a), dt_dtype)
 
-    res = bundle_adjust(to(scene["K"]), to(cams), to(pts),
-                        to(scene["obs"]), to(vis.astype(float)), n_iters=30)
+    if args.ba_devices > 1:
+        # point-sharded BA (parallel/ba.py) — the real lever is multi-chip
+        # HBM/FLOPs; on one chip this only measures the psum overhead
+        import functools
+
+        from sfm_nerf_tpu.parallel import make_mesh
+        from sfm_nerf_tpu.parallel.ba import bundle_adjust_sharded
+
+        ba_fn = functools.partial(
+            bundle_adjust_sharded, mesh=make_mesh(dp=args.ba_devices, tp=1)
+        )
+    else:
+        ba_fn = bundle_adjust
+    res = ba_fn(to(scene["K"]), to(cams), to(pts),
+                to(scene["obs"]), to(vis.astype(float)), n_iters=30)
     float(res.cost)  # compile + completion barrier
     t0 = time.time()
-    res = bundle_adjust(to(scene["K"]), to(cams), to(pts),
-                        to(scene["obs"]), to(vis.astype(float)), n_iters=30)
+    res = ba_fn(to(scene["K"]), to(cams), to(pts),
+                to(scene["obs"]), to(vis.astype(float)), n_iters=30)
     cost = float(res.cost)
     dt = time.time() - t0
     n_obs = float(res.n_residuals)
@@ -173,6 +186,9 @@ def main():
                     help="benchmark bundle adjustment instead of RANSAC")
     ap.add_argument("--ba_cams", type=int, default=50)
     ap.add_argument("--ba_points", type=int, default=20000)
+    ap.add_argument("--ba_devices", type=int, default=1,
+                    help="shard the point axis over this many devices "
+                         "(parallel/ba.py)")
     ap.add_argument("--pipeline", action="store_true",
                     help="full SfM pipeline on a large synthetic dataset")
     ap.add_argument("--pipe_cams", type=int, default=50)
