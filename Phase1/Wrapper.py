@@ -33,7 +33,7 @@ def main():
     parser.add_argument("--ransac_devices", type=int, default=1,
                         help="shard RANSAC hypotheses over this many "
                              "devices (bit-equal to single-device when "
-                             "the chunk count divides it; wants a "
+                             "it divides the chunk count; wants a "
                              "multi-chip mesh)")
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)

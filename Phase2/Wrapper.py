@@ -43,9 +43,17 @@ def configParser():
                         help="write frames in RGB (the reference cv2.imwrite "
                              "swaps to BGR, Wrapper.py:504-507)")
     parser.add_argument('--downscale', default=1, type=int)
-    parser.add_argument('--fused', action='store_true',
-                        help="render with the fused Pallas kernel (active "
-                             "arch only; 1.36x the XLA path on v5e)")
+    # default True to MATCH Phase2/train.py (fused is the training/render
+    # default there; main() copies this namespace onto train.py's, so a
+    # False default here would silently revert train.py's fast path)
+    parser.add_argument('--fused', action='store_true', default=True,
+                        help="fused Pallas kernels (active arch only; "
+                             "automatic XLA fallback outside the fused "
+                             "envelope — e.g. the legacy gif renderer); "
+                             "--no_fused opts out")
+    parser.add_argument('--no_fused', dest='fused', action='store_false',
+                        help="force the XLA path everywhere instead of "
+                             "the fused kernels")
     parser.add_argument('--no_perturb', action='store_true',
                         help="deterministic mid-bin sampling for gif frames "
                              "(the reference's legacy renderer always "

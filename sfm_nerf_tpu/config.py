@@ -155,7 +155,7 @@ class SfMConfig:
     ransac_scoring: str = "msac"
     # >1: shard the hypothesis axis over that many devices
     # (parallel/ransac.py; bit-equal to single-device for the same key
-    # WHEN ceil(n_iters/chunk) divides the device count — otherwise the
+    # WHEN the device count divides ceil(n_iters/chunk) — otherwise the
     # chunk count rounds up and extra hypotheses are drawn)
     ransac_devices: int = 1
     # PnP RANSAC (Phase1/PnP.py:160)

@@ -108,6 +108,31 @@ def fast_sin(u):
     return p * r
 
 
+def check_fast_sin_envelope(mcfg) -> None:
+    """Loud guard for fast_sin's validity range.  The Cody-Waite reduction
+    is exact only for |k| <= 2^12, i.e. phases within 2^12 periods; the top
+    PE phase is 2^(L-1)*pi*|x|, so positions must satisfy
+    |x| <= 2^(14 - n_pos_freq) (16 at the L=10 default — comfortably
+    outside any normalized NeRF scene) and unit directions are safe through
+    n_dir_freq <= 13.  Beyond that the k*hi product rounds and the
+    reduction error jumps from ~7e-7 to 1e-3+ rad SILENTLY — so the
+    trainer's envelope checks fall back to XLA's general-range jnp.sin
+    first, and this raises for direct kernel callers."""
+    if mcfg.n_pos_freq > 10 or mcfg.n_dir_freq > 13:
+        raise ValueError(
+            f"fused kernels' fast_sin supports n_pos_freq <= 10 / "
+            f"n_dir_freq <= 13 (got {mcfg.n_pos_freq}/{mcfg.n_dir_freq}); "
+            "use the XLA path for higher PE frequencies"
+        )
+
+
+def tri_inclusive(sample_chunk: int) -> np.ndarray:
+    """Inclusive upper-triangular constant for the log-cumsum / suffix-sum
+    dots, passed to the kernels as an operand (in-kernel iota builds
+    re-materialize per chunk — measured slower)."""
+    return np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
+
+
 def pe_trig_matrices(n_freqs: int):
     """(Fmat (3, 6L), phase (1, 6L)) such that
     sin(x @ Fmat + phase) == concat_l [sin(f_l x), cos(f_l x)] — the whole
@@ -352,6 +377,7 @@ def fused_render_rays(
         [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], tail)], axis=1
     )
 
+    check_fast_sin_envelope(mcfg)
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
     d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
 

@@ -47,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sfm_nerf_tpu.kernels.fused_render import (
     _ACTIVE_LAYERS,
+    check_fast_sin_envelope,
     fast_sin,
     pe_trig_matrices,
+    tri_inclusive,
 )
 
 f32 = jnp.float32
@@ -535,11 +537,10 @@ def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
         origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
     n_chunks = n_sample // sample_chunk
     assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
+    check_fast_sin_envelope(mcfg)
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
     d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
-    # inclusive upper-triangular constant for the log-cumsum dots, passed
-    # as an operand (in-kernel iota builds re-materialize per chunk)
-    tri_h = np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
+    tri_h = tri_inclusive(sample_chunk)
     kernel = _make_fwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -573,11 +574,10 @@ def _fused_train_bwd(packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
         origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
     n_chunks = n_sample // sample_chunk
     g_pad = jnp.pad(g, ((0, n_progs * block - n), (0, 0)))
+    check_fast_sin_envelope(mcfg)
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
     d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
-    # inclusive upper-triangular constant for the log-cumsum dots, passed
-    # as an operand (in-kernel iota builds re-materialize per chunk)
-    tri_h = np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
+    tri_h = tri_inclusive(sample_chunk)
     kernel = _make_bwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -796,11 +796,10 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
     # padded rays' garbage (acc - 0) must not leak into the weight grads
     wcol = jnp.full((n, 1), 2.0 / (3.0 * n), f32)
     wcol = jnp.pad(wcol, ((0, pad_n), (0, 0)))
+    check_fast_sin_envelope(mcfg)
     pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
     d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
-    # inclusive upper-triangular constant for the log-cumsum dots, passed
-    # as an operand (in-kernel iota builds re-materialize per chunk)
-    tri_h = np.triu(np.ones((sample_chunk, sample_chunk), np.float32))
+    tri_h = tri_inclusive(sample_chunk)
     kernel = _make_step_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program,
         emit_weights=emit_weights, n_progs=n_progs)

@@ -278,23 +278,38 @@ def ransac_fundamental_bucketed(
     normalize: bool = True,
     chunk: int = 1024,
     scoring: str = "msac",
+    mesh=None,
+    axis: str = "data",
 ) -> RansacResult:
     """Host wrapper: pad the match count to the next power of two and call
     the jitted core with the true count — one compile per bucket instead of
     one per pair (remote accelerator compiles cost minutes; a 10-pair run
-    collapses from ~10 compiles to ~3)."""
+    collapses from ~10 compiles to ~3).
+
+    ``mesh``: optional device mesh — routes to the hypothesis-sharded core
+    (parallel/ransac.py) with the same bucket policy, so the pad+slice
+    logic lives HERE for both paths."""
     import numpy as np
 
     n = len(pts1_np)
     bucket = pow2_bucket(n)
     pad = bucket - n
-    p1 = np.pad(np.asarray(pts1_np, np.float64), ((0, pad), (0, 0)))
-    p2 = np.pad(np.asarray(pts2_np, np.float64), ((0, pad), (0, 0)))
-    res = ransac_fundamental(
-        key, jnp.asarray(p1), jnp.asarray(p2),
-        n_iters=n_iters, threshold=threshold, normalize=normalize,
-        chunk=chunk, n_valid=jnp.asarray(n), scoring=scoring,
-    )
+    p1 = jnp.asarray(np.pad(np.asarray(pts1_np, np.float64), ((0, pad), (0, 0))))
+    p2 = jnp.asarray(np.pad(np.asarray(pts2_np, np.float64), ((0, pad), (0, 0))))
+    if mesh is not None:
+        from sfm_nerf_tpu.parallel.ransac import ransac_fundamental_sharded
+
+        res = ransac_fundamental_sharded(
+            key, p1, p2, jnp.asarray(n), mesh=mesh, axis=axis,
+            n_iters=n_iters, threshold=threshold, normalize=normalize,
+            chunk=chunk, scoring=scoring,
+        )
+    else:
+        res = ransac_fundamental(
+            key, p1, p2,
+            n_iters=n_iters, threshold=threshold, normalize=normalize,
+            chunk=chunk, n_valid=jnp.asarray(n), scoring=scoring,
+        )
     return RansacResult(
         res.F, res.inliers[:n], res.n_inliers, res.best_iter
     )

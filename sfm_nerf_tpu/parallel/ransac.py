@@ -10,10 +10,11 @@ scoring math, and the winning-hypothesis re-estimation are IDENTICAL to
 ``ops.epipolar.ransac_fundamental`` — same key -> same draws -> bit-equal
 winner — so the sharded path is a pure wall-clock lever.  Caveat: the
 per-device iteration count is padded to whole chunks, so bit-equality
-with the single-device path holds exactly when ceil(n_iters/chunk)
-divides the device count (e.g. 50k iters / 1024-chunk = 49 chunks: equal
-on 1 or 7 devices; on 4 devices the padded draw count differs and the
-winner may differ by a near-tie).  The config.py field documents this.
+with the single-device path holds exactly when the DEVICE COUNT divides
+the chunk count ceil(n_iters/chunk) (e.g. 50k iters / 1024-chunk = 49
+chunks: equal on 1 or 7 devices; on 4 devices the chunk count rounds up
+to 52, the draw sequence changes, and the winner may differ by a
+near-tie).  The config.py field documents this.
 
 Single-chip callers should keep using ``ransac_fundamental``; the driver
 switches here when ``--ransac_devices > 1``.
@@ -63,8 +64,8 @@ def ransac_fundamental_sharded(
     """``ransac_fundamental`` with the hypothesis axis sharded over
     ``mesh[axis]``.  The chunk count is rounded up to a device multiple, so
     the EFFECTIVE iteration count is ``ceil(ceil(n_iters/chunk)/n_dev) *
-    n_dev * chunk`` — pass an n_iters whose chunk count divides the device
-    count to match the single-device draw sequence exactly."""
+    n_dev * chunk`` — pass an n_iters whose chunk count is a MULTIPLE of
+    the device count to match the single-device draw sequence exactly."""
     n_pts = pts1.shape[0]
     if n_valid is None:
         valid = None

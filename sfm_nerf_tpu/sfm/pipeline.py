@@ -101,7 +101,7 @@ class SfMPipeline:
         if cfg.ransac_devices > 1:
             # hypothesis-parallel RANSAC over a device mesh
             # (parallel/ransac.py; bit-equal to the single-device path
-            # when ceil(n_iters/chunk) divides the device count — else
+            # when the device count divides ceil(n_iters/chunk) — else
             # the chunk count rounds up and the draw sequence differs;
             # see config.ransac_devices)
             from sfm_nerf_tpu.parallel import make_mesh
@@ -116,33 +116,14 @@ class SfMPipeline:
                 )
             mesh = make_mesh(dp=cfg.ransac_devices, tp=1)
         for (i, j), arr in sorted(matches_dict.items()):
-            # bucketed: one accelerator compile per size bucket, not per pair
-            if mesh is not None:
-                from sfm_nerf_tpu.parallel.ransac import (
-                    ransac_fundamental_sharded,
-                )
-
-                n = len(arr)
-                bucket = pow2_bucket(n)
-                p1 = np.pad(np.asarray(arr[:, 0:2], np.float64),
-                            ((0, bucket - n), (0, 0)))
-                p2 = np.pad(np.asarray(arr[:, 2:4], np.float64),
-                            ((0, bucket - n), (0, 0)))
-                res = ransac_fundamental_sharded(
-                    self._next_key(), jnp.asarray(p1), jnp.asarray(p2),
-                    jnp.asarray(n), mesh=mesh,
-                    n_iters=cfg.ransac_iters,
-                    threshold=cfg.ransac_threshold,
-                    normalize=cfg.normalize,
-                    scoring=cfg.ransac_scoring,
-                )
-                res = res._replace(inliers=res.inliers[:n])
-            else:
-                res = ransac_fundamental_bucketed(
-                    self._next_key(), arr[:, 0:2], arr[:, 2:4],
-                    n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
-                    normalize=cfg.normalize, scoring=cfg.ransac_scoring,
-                )
+            # bucketed: one accelerator compile per size bucket, not per
+            # pair; mesh=None -> single-device core, else hypothesis-sharded
+            res = ransac_fundamental_bucketed(
+                self._next_key(), arr[:, 0:2], arr[:, 2:4],
+                n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
+                normalize=cfg.normalize, scoring=cfg.ransac_scoring,
+                mesh=mesh,
+            )
             inliers = np.asarray(res.inliers)
             print(
                 f"RANSAC: Found {int(res.n_inliers)} inliers out of "
@@ -681,7 +662,16 @@ class SfMPipeline:
                 Eij = essential_from_fundamental(Kj0, jnp.asarray(Fij))
                 if cfg.essential_cleanup:
                     Eij = cleanup_essential(Eij)
-                Cs, Rs = decompose_essential(Eij, cfg.center_convention)
+                # ALWAYS the correct 'hz' convention here, regardless of
+                # cfg.center_convention: global rotation/translation
+                # averaging is an addition (no reference counterpart to be
+                # bug-compatible with), and pair_direction_world needs
+                # C_rel to be camera j's true CENTER in camera i's frame —
+                # under the 'reference' quirk U[:,2] is treated as the
+                # center when it is ±t, which would rotate every edge
+                # direction by that pair's relative rotation and bias the
+                # averaged centers consistently (no outlier gate can see it)
+                Cs, Rs = decompose_essential(Eij, "hz")
                 _, C_rel, R_rel, _, _ = disambiguate_pose(
                     Kj0, Cs, Rs,
                     jnp.asarray(mij[:, 0:2]), jnp.asarray(mij[:, 2:4]),

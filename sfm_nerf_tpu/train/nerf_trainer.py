@@ -82,6 +82,12 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
         and chunk % 128 == 0
         and chunks_ok
         and rcfg.variant == "train"
+        # fast_sin's Cody-Waite reduction is exact for |k| <= 2^12, i.e.
+        # positions within |x| <= 2^(14 - n_pos_freq) (16 at the L=10
+        # default; unit dirs are safe through n_dir_freq <= 13) — larger
+        # L must fall back to XLA's general-range jnp.sin
+        and mcfg.n_pos_freq <= 10
+        and mcfg.n_dir_freq <= 13
         and jax.default_backend() != "cpu"
     )
 
@@ -252,6 +258,8 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
         and mcfg.arch == "active"
         and rcfg.n_importance == 0
         and rcfg.n_sample % 128 == 0
+        and mcfg.n_pos_freq <= 10   # fast_sin Cody-Waite envelope: exact
+        and mcfg.n_dir_freq <= 13   # for |x| <= 2^(14 - L); see fast_sin
         and jax.default_backend() != "cpu"  # Pallas TPU kernel; CPU falls
         # back to the XLA path (interpret mode is for tests only)
     )

@@ -122,6 +122,12 @@ def test_fused_flag_reaches_training_with_envelope_fallback():
         # background term and its cotangent since round 2)
         assert engaged(
             dataclasses.replace(cfg.render, white_background=True))
+        # fast_sin Cody-Waite envelope: high PE frequencies must fall back
+        # to XLA's general-range sin (fused_render.check_fast_sin_envelope)
+        assert not nt.fused_train_supported(dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, n_pos_freq=13)))
+        assert not nt.fused_train_supported(dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, n_dir_freq=14)))
     finally:
         jax.default_backend = orig
     # on the CPU test backend the envelope always rejects
