@@ -151,6 +151,28 @@ def pe_trig_matrices(n_freqs: int):
     return F, phase
 
 
+def pe_trig_matrices_ext(n_freqs: int):
+    """pe_trig_matrices with THREE identity columns prepended: columns 0-2
+    of ``x @ Fmat + phase`` reproduce x itself (F[j, j] = 1, phase 0), the
+    rest are the sin/cos phases, plus ONE zero pad column (sin(0) = 0)
+    matching pack_active_params' 63->64 input-row pad.  A lane select
+    (col < 3 keeps the raw phase, else sin) then yields ``[x ++ PE(x) ++ 0]``
+    in ONE (M, 4+6L) tensor — exactly the fc1/skip/rgb1 packed weight row
+    layout ([identity rows; trig rows; pad row]), so each of those layers
+    consumes a SINGLE full/tail-slice dot instead of a K=3 identity dot +
+    a K=6L trig dot.  The K=3 dot costs a full MXU pass for 3 rows of
+    work; merging removes ~8% of the step kernel's MXU pass volume
+    (PERFORMANCE.md round-2 delta)."""
+    F, phase = pe_trig_matrices(n_freqs)
+    F_ext = np.concatenate(
+        [np.eye(3, dtype=np.float32), F, np.zeros((3, 1), np.float32)],
+        axis=1)
+    phase_ext = np.concatenate(
+        [np.zeros((1, 3), np.float32), phase, np.zeros((1, 1), np.float32)],
+        axis=1)
+    return F_ext, phase_ext
+
+
 def _make_kernel(
     mcfg: NeRFModelConfig, rcfg: RenderConfig,
     ray_tile: int, sample_chunk: int, n_sample: int, tiles_per_program: int,
@@ -195,17 +217,21 @@ def _make_kernel(
                 )
             return out if out_dtype is f32 else out.astype(w_dtype)
 
-        def trig_encode(x, mat_ref, phase_ref):
-            """sin(x @ F + phase): the whole sin/cos bank via three
-            broadcasted VPU FMAs + one lane-wide transcendental (see
-            pe_trig_matrices).  The K=3 contraction is kept OFF the MXU:
-            Mosaic would demote it to single-pass bf16, and phase error is
-            amplified by frequencies up to pi*2^L (the high-frequency
-            features decohere); broadcast FMAs are exact f32."""
+        def ext_encode(x, mat_ref, phase_ref):
+            """[x ++ sin(x @ F + phase) ++ 0]: the whole identity+sin/cos
+            bank via three broadcasted VPU FMAs + one lane-wide
+            transcendental + one lane select (see pe_trig_matrices_ext).
+            The K=3 phase contraction is kept OFF the MXU: Mosaic would
+            demote it to single-pass bf16, and phase error is amplified by
+            frequencies up to pi*2^L (the high-frequency features
+            decohere); broadcast FMAs are exact f32.  The identity lanes
+            (cols 0-2) bypass the sin, so fc1/skip/rgb1 each consume ONE
+            dot over their full [identity; trig; pad] input rows."""
             mat = mat_ref[:]
             u = (x[:, 0:1] * mat[0:1, :] + x[:, 1:2] * mat[1:2, :]
-                 + x[:, 2:3] * mat[2:3, :])
-            return fast_sin(u + phase_ref[:])
+                 + x[:, 2:3] * mat[2:3, :]) + phase_ref[:]
+            col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+            return jnp.where(col < 3, u, fast_sin(u))
 
         def subtile_body(s, _):
             # each program streams ``tiles_per_program`` ray sub-tiles
@@ -214,7 +240,7 @@ def _make_kernel(
             row0 = pl.multiple_of(s * ray_tile, 8)
             o = o_ref[pl.ds(row0, ray_tile), :]        # (T, 3)
             d = d_ref[pl.ds(row0, ray_tile), :]
-            dtrig = trig_encode(d, dmat_ref, dphase_ref)   # (T, n_de)
+            extd = ext_encode(d, dmat_ref, dphase_ref)   # (T, 4 + n_de)
 
             trans_scr[:] = jnp.ones_like(trans_scr)
             acc_scr[:] = jnp.zeros_like(acc_scr)
@@ -232,12 +258,11 @@ def _make_kernel(
 
                 pts = (o[:, None, :] + d[:, None, :] * z[..., None])
                 pts = pts.reshape(-1, 3)                        # (T*CH, 3)
-                trig = trig_encode(pts, pemat_ref, pephase_ref)  # (T*CH, n_pe)
+                ext = ext_encode(pts, pemat_ref, pephase_ref)  # (T*CH, 4+n_pe)
 
-                # fc1/skip consume [x(3) ++ trig(n_pe) ++ pad] row-blocks
-                h = jnp.maximum(
-                    lin_parts("fc1", [(pts, 0, 3), (trig, 3, 3 + n_pe)]), 0.0
-                )
+                # fc1/skip consume [x(3) ++ trig(n_pe) ++ pad] row-blocks,
+                # exactly ext's lane layout — one dot each
+                h = jnp.maximum(lin("fc1", ext), 0.0)
                 hidden = h.shape[-1]
                 for i in range(4):
                     h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
@@ -245,8 +270,7 @@ def _make_kernel(
                         h = jnp.maximum(
                             lin_parts("skip", [
                                 (h, 0, hidden),
-                                (pts, hidden, hidden + 3),
-                                (trig, hidden + 3, hidden + 3 + n_pe),
+                                (ext, hidden, hidden + 4 + n_pe),
                             ]),
                             0.0,
                         )
@@ -259,11 +283,8 @@ def _make_kernel(
                 # direction head: per-RAY partial matmuls broadcast over
                 # samples — sample_chunk x fewer dir FLOPs, no repeat
                 dir_part = jnp.dot(
-                    d.astype(w_dtype), W["rgb1"][hidden:hidden + 3, :],
-                    preferred_element_type=f32,
-                ) + jnp.dot(
-                    dtrig.astype(w_dtype),
-                    W["rgb1"][hidden + 3:hidden + 3 + n_de, :],
+                    extd.astype(w_dtype),
+                    W["rgb1"][hidden:hidden + 4 + n_de, :],
                     preferred_element_type=f32,
                 )                                               # (T, 128)
                 feat_part = jnp.dot(
@@ -378,8 +399,8 @@ def fused_render_rays(
     )
 
     check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
 
     kernel = _make_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program

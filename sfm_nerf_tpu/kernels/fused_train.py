@@ -49,7 +49,7 @@ from sfm_nerf_tpu.kernels.fused_render import (
     _ACTIVE_LAYERS,
     check_fast_sin_envelope,
     fast_sin,
-    pe_trig_matrices,
+    pe_trig_matrices_ext,
     tri_inclusive,
 )
 
@@ -131,6 +131,22 @@ def _k3_phase(x, mat):
             + x[:, 2:3] * mat[2:3, :])
 
 
+def _ext_features(x, mat, phase):
+    """``[x ++ PE(x) ++ 0]`` in one (M, 4+6L) tensor: exact-f32 phase FMAs
+    (``_k3_phase``) against the extended matrix (pe_trig_matrices_ext —
+    identity columns 0-2, trig phases after), then one lane select that
+    keeps the raw phase on the identity lanes and sin() elsewhere.  The
+    identity lanes reproduce x EXACTLY (x0*1 + x1*0 + x2*0).  Feeding
+    fc1/skip/rgb1 with this single operand merges each layer's K=3
+    identity dot + K=6L trig dot into ONE MXU dot (the weight rows are
+    already contiguous in that order)."""
+    u = _k3_phase(x, mat[:]) + phase[:]
+    if "sin" in ABLATE:
+        return u
+    col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    return jnp.where(col < 3, u, _sin(u))
+
+
 def _cumprod_lanes(x, n):
     """Inclusive prefix product along the last (lane) dim, width ``n``.
 
@@ -166,11 +182,17 @@ def _wb_maps(wb):
     return W, B
 
 
-def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
+def _chunk_forward(W, B, o, d, extd, z, dists, pemat, pephase,
                    ray_tile, sample_chunk, n_pe, n_de, keep=False,
                    tri=None):
     """One chunk's forward.  Returns (density, rgb, alpha, one_m, excl, cum)
-    plus (if keep) the intermediate activations needed for backward."""
+    plus (if keep) the intermediate activations needed for backward.
+
+    ``extd`` is the per-ray ``[d ++ PE(d)]`` operand (_ext_features); the
+    position analog ``ext`` is built here per chunk.  fc1 / skip / rgb1
+    each consume ONE dot against their contiguous [identity; trig] weight
+    rows instead of a K=3 + a K=6L pair (each K<=128 dot costs a full MXU
+    pass regardless, so the merge halves those layers' input-side passes)."""
 
     def lin(name, x, out_dtype=f32):
         return (
@@ -178,8 +200,7 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
         )
 
     pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
-    phase = _k3_phase(pts, pemat[:]) + pephase[:]
-    trig = phase if "sin" in ABLATE else _sin(phase)
+    ext = _ext_features(pts, pemat, pephase)          # (T*CH, 4 + n_pe)
 
     def lin_parts(name, parts):
         out = B[name][:].astype(f32)
@@ -187,8 +208,8 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
             out = out + jnp.dot(x, W[name][s:e, :], preferred_element_type=f32, precision=MXU_PRECISION)
         return out
 
-    acts = {"pts": pts, "trig": trig}
-    h = jnp.maximum(lin_parts("fc1", [(pts, 0, 3), (trig, 3, 3 + n_pe)]), 0.0)
+    acts = {"ext": ext}
+    h = jnp.maximum(lin("fc1", ext), 0.0)
     hs = [h]
     hidden = h.shape[-1]
     for i in range(4):
@@ -198,8 +219,7 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
             h = jnp.maximum(
                 lin_parts("skip", [
                     (h, 0, hidden),
-                    (pts, hidden, hidden + 3),
-                    (trig, hidden + 3, hidden + 3 + n_pe),
+                    (ext, hidden, hidden + 4 + n_pe),  # +1 pad row
                 ]), 0.0)
             hs.append(h)
     for i in range(3):
@@ -208,11 +228,9 @@ def _chunk_forward(W, B, o, d, dtrig, z, dists, pemat, pephase,
     df = lin("densfeat", h)
     density = jax.nn.softplus(df[:, :1])
     feat = jnp.maximum(df[:, 1:], 0.0)
-    dir_part = (
-        jnp.dot(d, W["rgb1"][hidden:hidden + 3, :], preferred_element_type=f32, precision=MXU_PRECISION)
-        + jnp.dot(dtrig, W["rgb1"][hidden + 3:hidden + 3 + n_de, :],
-                  preferred_element_type=f32, precision=MXU_PRECISION)
-    )
+    dir_part = jnp.dot(
+        extd, W["rgb1"][hidden:hidden + 4 + n_de, :],
+        preferred_element_type=f32, precision=MXU_PRECISION)
     feat_part = jnp.dot(feat, W["rgb1"][:hidden, :], preferred_element_type=f32, precision=MXU_PRECISION)
     rgb_h = (
         feat_part.reshape(ray_tile, sample_chunk, -1) + dir_part[:, None, :]
@@ -293,7 +311,7 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             row0 = pl.multiple_of(s * ray_tile, 8)
             o = o_ref[pl.ds(row0, ray_tile), :]
             d = d_ref[pl.ds(row0, ray_tile), :]
-            dtrig = _sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
+            extd = _ext_features(d, dmat_ref, dphase_ref)
             T_in = jnp.ones((ray_tile, 1), f32)
             acc = jnp.zeros((ray_tile, 3), f32)
             wsum = jnp.zeros((ray_tile, 1), f32)
@@ -308,7 +326,7 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 # record the chunk's entering transmittance (residual)
                 tb_out[pl.ds(row0, ray_tile), c:c + 1] = T_in
                 density, rgb, alpha, one_m, excl, cum, _ = _chunk_forward(
-                    W, B, o, d, dtrig, z, dists,
+                    W, B, o, d, extd, z, dists,
                     pemat_ref, pephase_ref,
                     ray_tile, sample_chunk, n_pe, n_de, tri=tri_ref,
                 )
@@ -412,13 +430,12 @@ def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
         gW[f"fc2_{i}"][...] += _dot_tn(h_inp, d_h)
         gB[f"fc2_{i}"][...] += jnp.sum(d_h, axis=0)
         d_h = _dot_nt(d_h, W[f"fc2_{i}"][:]) * (h_inp > 0)
-    # skip layer (input = [h_fc3, pts, trig]); d_h entering here is the
+    # skip layer (input = [h_fc3, ext]); d_h entering here is the
     # grad wrt the skip layer's OUTPUT, already masked by
     # (input-of-fc2_0 > 0) == (h_skip > 0).
     h_fc3 = acts["hs"][4]
     gW["skip"][0:hidden, :] += _dot_tn(h_fc3, d_h)
-    gW["skip"][hidden:hidden + 3, :] += _dot_tn(acts["pts"], d_h)
-    gW["skip"][hidden + 3:hidden + 3 + n_pe, :] += _dot_tn(acts["trig"], d_h)
+    gW["skip"][hidden:hidden + 4 + n_pe, :] += _dot_tn(acts["ext"], d_h)
     gB["skip"][...] += jnp.sum(d_h, axis=0)
     d_h = _dot_nt(d_h, W["skip"][0:hidden, :]) * (h_fc3 > 0)
     # fc_3..fc_0
@@ -427,9 +444,9 @@ def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
         gW[f"fc_{i}"][...] += _dot_tn(h_inp, d_h)
         gB[f"fc_{i}"][...] += jnp.sum(d_h, axis=0)
         d_h = _dot_nt(d_h, W[f"fc_{i}"][:]) * (h_inp > 0)
-    # fc1 (input = [pts, trig]); d_h is grad wrt h_fc1 output
-    gW["fc1"][0:3, :] += _dot_tn(acts["pts"], d_h)
-    gW["fc1"][3:3 + n_pe, :] += _dot_tn(acts["trig"], d_h)
+    # fc1 (input = ext = [pts, trig]); d_h is grad wrt h_fc1 output.
+    # No input-side dot: positions aren't trainable, so the grad stops here.
+    gW["fc1"][...] += _dot_tn(acts["ext"], d_h)
     gB["fc1"][...] += jnp.sum(d_h, axis=0)
     return d_dirpart
 
@@ -463,7 +480,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             d = d_ref[pl.ds(row0, ray_tile), :]
             g = g_ref[pl.ds(row0, ray_tile), :]            # (T, 3)
             gsum = jnp.sum(g, axis=1, keepdims=True) if white else None
-            dtrig = _sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
+            extd = _ext_features(d, dmat_ref, dphase_ref)
             S_carry = jnp.zeros((ray_tile, 1), f32)        # suffix qw carry
             d_dirpart_total = jnp.zeros((ray_tile, W["rgb1"].shape[1]), f32)
 
@@ -475,7 +492,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 T_in = tb_ref[pl.ds(row0, ray_tile), c:c + 1]
 
                 density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
-                    W, B, o, d, dtrig, z, dists, pemat_ref, pephase_ref,
+                    W, B, o, d, extd, z, dists, pemat_ref, pephase_ref,
                     ray_tile, sample_chunk, n_pe, n_de, keep=True,
                     tri=tri_ref,
                 )
@@ -491,10 +508,8 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
 
             # per-ray direction rows of rgb1 (accumulated over all chunks)
             hidden = W["fc1"].shape[1]
-            gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
-                d.T, d_dirpart_total, preferred_element_type=f32, precision=BWD_PRECISION)
-            gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
-                dtrig.T, d_dirpart_total, preferred_element_type=f32, precision=BWD_PRECISION)
+            gW["rgb1"][hidden:hidden + 4 + n_de, :] += _dot_tn(
+                extd, d_dirpart_total)
             return 0
 
         jax.lax.fori_loop(0, tiles_per_program, subtile, 0)
@@ -538,8 +553,8 @@ def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
     n_chunks = n_sample // sample_chunk
     assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
     check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
     tri_h = tri_inclusive(sample_chunk)
     kernel = _make_fwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
@@ -575,8 +590,8 @@ def _fused_train_bwd(packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
     n_chunks = n_sample // sample_chunk
     g_pad = jnp.pad(g, ((0, n_progs * block - n), (0, 0)))
     check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
     tri_h = tri_inclusive(sample_chunk)
     kernel = _make_bwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
@@ -692,7 +707,7 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             d = d_ref[pl.ds(row0, ray_tile), :]
             t = t_ref[pl.ds(row0, ray_tile), :]
             wcol = wcol_ref[pl.ds(row0, ray_tile), :]      # (T,1) dL/drgb scale
-            dtrig = _sin(_k3_phase(d, dmat_ref[:]) + dphase_ref[:])
+            extd = _ext_features(d, dmat_ref, dphase_ref)
 
             T_in = jnp.ones((ray_tile, 1), f32)
             acc = jnp.zeros((ray_tile, 3), f32)
@@ -704,7 +719,7 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 dists = dists_ref[
                     pl.ds(row0, ray_tile), start:start + sample_chunk]
                 density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
-                    W, B, o, d, dtrig, z, dists, pemat_ref, pephase_ref,
+                    W, B, o, d, extd, z, dists, pemat_ref, pephase_ref,
                     ray_tile, sample_chunk, n_pe, n_de, keep=True,
                     tri=tri_ref,
                 )
@@ -739,12 +754,8 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                         ray_tile, sample_chunk, n_pe)
 
                 hidden = W["fc1"].shape[1]
-                gW["rgb1"][hidden:hidden + 3, :] += jnp.dot(
-                    d.T, d_dirpart_total, preferred_element_type=f32,
-                    precision=BWD_PRECISION)
-                gW["rgb1"][hidden + 3:hidden + 3 + n_de, :] += jnp.dot(
-                    dtrig.T, d_dirpart_total, preferred_element_type=f32,
-                    precision=BWD_PRECISION)
+                gW["rgb1"][hidden:hidden + 4 + n_de, :] += _dot_tn(
+                    extd, d_dirpart_total)
             return 0
 
         if INTERLEAVE in ("2", "2s") and tiles_per_program % 2 == 0:
@@ -797,8 +808,8 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
     wcol = jnp.full((n, 1), 2.0 / (3.0 * n), f32)
     wcol = jnp.pad(wcol, ((0, pad_n), (0, 0)))
     check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices(mcfg.n_dir_freq)
+    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
+    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
     tri_h = tri_inclusive(sample_chunk)
     kernel = _make_step_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program,

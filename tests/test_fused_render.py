@@ -162,3 +162,30 @@ def test_render_image_fused_option_interpret(monkeypatch, tmp_path):
     img_x = np.asarray(make_render_image(cfg_x)(params, K, pose, 16, 16))
     img_f = np.asarray(make_render_image(cfg_f)(params, K, pose, 16, 16))
     np.testing.assert_allclose(img_f, img_x, rtol=5e-2, atol=5e-3)
+
+
+def test_ext_features_layout_oracle():
+    """pe_trig_matrices_ext + the kernels' lane select must reproduce
+    [x ++ PE(x) ++ 0] exactly: identity lanes carry x bit-for-bit (the
+    FMA against the identity columns is x0*1 + x1*0 + x2*0), trig lanes
+    match positional_encoding's column order, the pad lane is zero."""
+    from sfm_nerf_tpu.kernels.fused_render import pe_trig_matrices_ext
+    from sfm_nerf_tpu.kernels.fused_train import _ext_features
+    from sfm_nerf_tpu.ops.encoding import positional_encoding
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(17, 3)) * 4, jnp.float32)
+    for L in (1, 4, 10):
+        mat, phase = pe_trig_matrices_ext(L)
+        assert mat.shape == (3, 4 + 6 * L)
+        ext = np.asarray(_ext_features(x, jnp.asarray(mat),
+                                       jnp.asarray(phase)))
+        # identity lanes: exact
+        np.testing.assert_array_equal(ext[:, :3], np.asarray(x))
+        # pad lane: exactly zero
+        np.testing.assert_array_equal(ext[:, -1], np.zeros(x.shape[0]))
+        # trig lanes: match the XLA-path encoding (fast_sin vs jnp.sin
+        # agree to ~1e-6 over this phase range)
+        oracle = np.asarray(positional_encoding(x, L))  # [x, trig]
+        np.testing.assert_allclose(
+            ext[:, 3:-1], oracle[:, 3:], atol=2e-6, rtol=0)
