@@ -77,6 +77,18 @@ def main():
                         help="reconcile re-detected features across matching "
                              "files into single tracks (the reference's "
                              "per-file namespace never merges them)")
+    parser.add_argument("--export_nerf", default="",
+                        help="after reconstruction, export a Phase2-trainable "
+                             "NeRF dataset (images + transforms_*.json with "
+                             "SfM poses, calibrated intrinsics, and "
+                             "scene-derived near/far) to this directory — "
+                             "the SfM->NeRF coupling the reference only "
+                             "describes (sfm/to_nerf.py).  Train with "
+                             "Phase2/train.py --data_path DIR/ --near auto "
+                             "--far auto")
+    parser.add_argument("--export_holdout_every", type=int, default=0,
+                        help="send every Nth registered view to the export's "
+                             "test split (0 = test split mirrors train)")
     parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "default"],
                         help="device backend. Default cpu: this 5-image "
                              "problem is latency-bound and wants float64; "
@@ -128,7 +140,29 @@ def main():
         output_dir=args.output_dir,
     )
     os.makedirs(args.output_dir, exist_ok=True)
-    SfMPipeline(cfg).run()
+    result = SfMPipeline(cfg).run()
+
+    if args.export_nerf:
+        import cv2
+
+        from sfm_nerf_tpu.io.sfm_data import load_calibration
+        from sfm_nerf_tpu.sfm.to_nerf import export_nerf_dataset
+
+        image_paths = {
+            i: os.path.join(args.data_path, f"{i}.png")
+            for i in sorted(result["camera_info"])
+        }
+        h, w = cv2.imread(next(iter(image_paths.values()))).shape[:2]
+        export_nerf_dataset(
+            result["camera_info"],
+            result["points"],
+            load_calibration(os.path.join(args.data_path, "calibration.txt")),
+            image_paths,
+            args.export_nerf,
+            width=w,
+            height=h,
+            holdout_every=args.export_holdout_every,
+        )
 
 
 if __name__ == "__main__":

@@ -15,6 +15,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _bound(v):
+    """--near/--far value: a float, or 'auto' = take the dataset's hint."""
+    return v if v == "auto" else float(v)
+
+
 def configParser():
     parser = argparse.ArgumentParser()
     # --- reference flags, names and defaults preserved -----------------
@@ -37,8 +42,13 @@ def configParser():
                              "per step) or orbax (async, multi-host)")
     parser.add_argument('--images_path', default="./image/", help="folder to store images")
     parser.add_argument('--perturb', default=True, type=bool, help="use stratified sampling")
-    parser.add_argument('--near', default=2.0, type=float, help="near bound for ray sampling")
-    parser.add_argument('--far', default=6.0, type=float, help="far bound for ray sampling")
+    parser.add_argument('--near', default=2.0, type=_bound,
+                        help="near bound for ray sampling (or 'auto': use "
+                             "the dataset's scene-derived hint, written by "
+                             "the SfM->NeRF bridge)")
+    parser.add_argument('--far', default=6.0, type=_bound,
+                        help="far bound for ray sampling (or 'auto', as "
+                             "--near)")
     parser.add_argument('--chunk_size', default=1024 * 32, type=int, help="chunk size for memory efficient inference")
     parser.add_argument('--hidden_size', default=256, type=int, help="hidden layer width")
     parser.add_argument('--lrate_decay', default=0.1, type=float, help="learning rate decay factor")
@@ -210,11 +220,21 @@ def main(args):
     print("Loading data...")
     from sfm_nerf_tpu.io.blender import load_blender_dataset
 
-    cfg = build_config(args)
     mode = "train" if args.mode == "train" else "test"
     images, poses, cam = load_blender_dataset(
-        cfg.data_path, mode, downscale=int(args.downscale)
+        args.data_path, mode, downscale=int(args.downscale)
     )
+    for name in ("near", "far"):
+        if getattr(args, name) == "auto":
+            hint = getattr(cam, name)
+            if hint is None:
+                raise SystemExit(
+                    f"--{name} auto: transforms_{mode}.json carries no "
+                    f"'{name}' hint (only SfM->NeRF bridge datasets do)"
+                )
+            print(f"--{name} auto -> {hint:.3f} (dataset hint)")
+            setattr(args, name, hint)
+    cfg = build_config(args)
     if args.mode == "train":
         print("Start training")
         run_train(cfg, images, poses, cam)

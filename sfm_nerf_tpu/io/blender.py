@@ -10,6 +10,13 @@ Behavior parity with the reference loader (Phase2/train.py:19-65):
   standard formula is available behind ``focal_formula='standard'`` as a
   documented switch (SURVEY §7 hard-part d),
 - K = [[f,0,W/2],[0,f,H/2],[0,0,1]].
+
+Extension beyond the reference: transforms files may carry EXPLICIT
+intrinsics (``fl_x/fl_y/cx/cy``, the instant-ngp convention) and scene
+``near``/``far`` hints — written by the SfM->NeRF bridge
+(sfm/to_nerf.py), whose real calibrations a centered ``camera_angle_x``
+pinhole cannot represent.  When ``fl_x`` is present it wins over the
+``camera_angle_x`` derivation.
 """
 
 from __future__ import annotations
@@ -27,6 +34,10 @@ class CameraInfo:
     width: int
     height: int
     camera_matrix: np.ndarray  # (3,3) float32
+    # scene depth-bound hints from the transforms file (SfM->NeRF bridge
+    # datasets carry them; Blender-synthetic ones don't -> None)
+    near: "float | None" = None
+    far: "float | None" = None
 
 
 def derive_focal(camera_angle_x: float, width: int, formula: str = "reference") -> float:
@@ -88,12 +99,30 @@ def load_blender_dataset(
             images.append(img)
         images = np.stack(images).astype(np.float32)
     height, width = images.shape[1], images.shape[2]
-    focal = derive_focal(camera_angle_x, width, focal_formula)
-    K = np.array(
-        [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
-        dtype=np.float32,
+    if "fl_x" in meta:
+        # explicit-intrinsics extension (sfm/to_nerf.py datasets): the
+        # stored values are for the full-resolution frames; the integer
+        # subsample divides them uniformly.
+        s = 1.0 / downscale
+        K = np.array(
+            [[meta["fl_x"] * s, 0, meta["cx"] * s],
+             [0, meta["fl_y"] * s, meta["cy"] * s],
+             [0, 0, 1]],
+            dtype=np.float32,
+        )
+    else:
+        focal = derive_focal(camera_angle_x, width, focal_formula)
+        K = np.array(
+            [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
+            dtype=np.float32,
+        )
+    return images, poses, CameraInfo(
+        width=width,
+        height=height,
+        camera_matrix=K,
+        near=float(meta["near"]) if "near" in meta else None,
+        far=float(meta["far"]) if "far" in meta else None,
     )
-    return images, poses, CameraInfo(width=width, height=height, camera_matrix=K)
 
 
 def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
