@@ -59,6 +59,10 @@ def configParser():
     parser.add_argument('--render_variant', default='train', help="train|legacy compositor")
     parser.add_argument('--arch', default='active', help="active|legacy MLP architecture")
     parser.add_argument('--no_pos_encoding', action='store_true', help="positional-encoding ablation")
+    parser.add_argument('--lindisp', action='store_true',
+                        help="stratified samples linear in INVERSE depth "
+                             "(for real/SfM scenes whose depth spans "
+                             "decades; Blender shells don't need it)")
     parser.add_argument('--n_importance', default=0, type=int,
                         help="hierarchical fine-pass importance samples "
                              "(0 = off; coarse/fine model pair when on)")
@@ -104,6 +108,7 @@ def build_config(args):
             near=float(args.near),
             far=float(args.far),
             perturb=bool(args.perturb),
+            lindisp=bool(getattr(args, "lindisp", False)),
             chunk_size=int(args.chunk_size),
             variant=args.render_variant,
             use_fused_kernel=bool(getattr(args, "fused", False)),

@@ -66,6 +66,12 @@ class RenderConfig:
     near: float = 2.0             # --near  (legacy default: 1.0)
     far: float = 6.0              # --far   (legacy default: 10.0)
     perturb: bool = True          # --perturb
+    # sample linearly in INVERSE depth (vanilla NeRF's real-scene option;
+    # the reference has no analog — its Blender scenes sit in a 2..6 shell).
+    # Essential for SfM->NeRF bridge scenes whose triangulated depth spans
+    # decades (bundled data: near 0.21 / far 57.7); uniform-in-z would
+    # spend ~99% of samples past the visible structure.  Requires near > 0.
+    lindisp: bool = False
     chunk_size: int = 32768       # --chunk_size (grid/tile size on TPU)
     variant: str = "train"        # 'train' | 'legacy'
     white_background: bool = False

@@ -36,13 +36,24 @@ def stratified_samples(
 ) -> jnp.ndarray:
     """Depth values z (n_rays, n_sample) along each ray."""
     S = cfg.n_sample
+
+    def to_depth(t):
+        if cfg.lindisp:
+            # linear in inverse depth (vanilla NeRF's real-scene sampling;
+            # no reference analog — see RenderConfig.lindisp): equal-count
+            # bins per depth OCTAVE instead of per metre.
+            if cfg.near <= 0:
+                raise ValueError("lindisp requires near > 0")
+            return 1.0 / (1.0 / cfg.near * (1.0 - t) + 1.0 / cfg.far * t)
+        return cfg.near + (cfg.far - cfg.near) * t
+
     if cfg.variant == "legacy":
         idx = jnp.arange(S, dtype=jnp.float32)[None, :]
         if cfg.perturb and key is not None:
             u = jax.random.uniform(key, (n_rays, S))
         else:
             u = jnp.full((n_rays, S), 0.5)
-        return cfg.near + (cfg.far - cfg.near) * (idx + u) / S
+        return to_depth((idx + u) / S)
 
     t = jnp.linspace(0.0, 1.0, S)[None, :].repeat(n_rays, axis=0)
     if cfg.perturb and key is not None:
@@ -51,7 +62,7 @@ def stratified_samples(
         lower = jnp.concatenate([t[..., :1], mids], -1)
         u = jax.random.uniform(key, t.shape)
         t = lower + (upper - lower) * u
-    return cfg.near + (cfg.far - cfg.near) * t
+    return to_depth(t)
 
 
 def composite(

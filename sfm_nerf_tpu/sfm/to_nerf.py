@@ -161,4 +161,9 @@ def export_nerf_dataset(
         f"export_nerf_dataset: {len(train_frames)} train / {len(test_frames)} "
         f"test views -> {out_dir} (near {near:.3f}, far {far:.3f})"
     )
+    if far / near > 50:
+        print(
+            f"  note: depth range spans {far / near:.0f}x — train with "
+            "--lindisp so stratified samples cover it in inverse depth"
+        )
     return dict(base, frames=train_frames)

@@ -36,6 +36,37 @@ def test_stratified_legacy_bins():
     assert ((z >= lower) & (z < lower + 1.0)).all()
 
 
+def test_stratified_lindisp_uniform_in_inverse_depth():
+    """--lindisp: no-perturb samples are exactly linspace in 1/z, stay in
+    [near, far] sorted, and concentrate near the near plane."""
+    cfg = RenderConfig(n_sample=64, near=0.2, far=57.0, perturb=False,
+                      lindisp=True)
+    z = np.asarray(stratified_samples(None, 2, cfg))
+    np.testing.assert_allclose(
+        1.0 / z[0], np.linspace(1 / 0.2, 1 / 57.0, 64), rtol=1e-5
+    )
+    cfg_p = RenderConfig(n_sample=64, near=0.2, far=57.0, perturb=True,
+                         lindisp=True)
+    zp = np.asarray(stratified_samples(jax.random.key(0), 16, cfg_p))
+    assert (zp >= 0.2 - 1e-6).all() and (zp <= 57.0 + 1e-6).all()
+    assert (np.diff(zp, axis=-1) > 0).all()
+    # a 285x depth range: uniform-in-z would put the median sample at ~28;
+    # inverse-depth sampling keeps it below 1
+    assert np.median(zp) < 1.0
+
+
+def test_stratified_lindisp_legacy_variant_bins():
+    """Legacy per-bin jitter composes with the lindisp map: each sample
+    stays inside its own (inverse-depth) bin."""
+    cfg = RenderConfig(n_sample=10, near=1.0, far=11.0, perturb=True,
+                      variant="legacy", lindisp=True)
+    z = np.asarray(stratified_samples(jax.random.key(1), 32, cfg))
+    t_edges = np.arange(11) / 10.0
+    z_edges = 1.0 / (1.0 / 1.0 * (1 - t_edges) + 1.0 / 11.0 * t_edges)
+    assert ((z >= z_edges[:-1]) & (z < z_edges[1:])).all()
+    assert (np.diff(z, axis=-1) > 0).all()
+
+
 def _np_composite(density, rgb, z, variant):
     pad = 1e-3 if variant == "train" else 1.0
     dists = np.concatenate(
