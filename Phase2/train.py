@@ -83,6 +83,11 @@ def configParser():
                         help="train steps fused into one device call via "
                              "lax.scan (amortizes dispatch latency on "
                              "remote/tunneled TPU attachments)")
+    parser.add_argument('--save_depth', action='store_true',
+                        help="test mode: also save depth / disparity / "
+                             "accumulated-opacity maps per test view "
+                             "(test_{i}_{depth,disp,acc}.png; no reference "
+                             "analog — its renderer returns rgb only)")
     parser.add_argument('--seed', default=0, type=int)
     return parser
 
@@ -151,7 +156,7 @@ def run_train(cfg, images, poses, cam):
     return stats
 
 
-def run_test(cfg, images, poses, cam):
+def run_test(cfg, images, poses, cam, save_depth=False):
     import numpy as np
     import imageio.v2 as imageio
     import jax
@@ -177,11 +182,37 @@ def run_test(cfg, images, poses, cam):
     idxs = rng.choice(len(images), n_test, replace=False)
     height, width = images.shape[1], images.shape[2]
     total = 0.0
+    render_aux = None
+    if save_depth:
+        from sfm_nerf_tpu.train.nerf_trainer import make_render_image_aux
+
+        render_aux = make_render_image_aux(cfg)
     for i, idx in enumerate(idxs):
         print(f"Rendering test image {i + 1}/{n_test}...")
-        pred = np.asarray(trainer.render_image(
-            trainer.params, trainer.K, trainer.poses[int(idx)], height, width
-        ))
+        if render_aux is not None:
+            rgb, depth, disp, acc = render_aux(
+                trainer.params, trainer.K, trainer.poses[int(idx)],
+                height, width,
+            )
+            pred = np.asarray(rgb)
+            depth = np.asarray(depth)
+            acc8 = (np.clip(np.asarray(acc), 0, 1) * 255).astype(np.uint8)
+            # depth normalized over the configured sampling range so maps
+            # are comparable across views; disparity self-normalized
+            dn = np.clip(
+                (depth - cfg.render.near)
+                / max(cfg.render.far - cfg.render.near, 1e-9), 0, 1)
+            depth8 = (dn * 255).astype(np.uint8)
+            disp = np.asarray(disp)
+            disp8 = (np.clip(disp / max(disp.max(), 1e-9), 0, 1)
+                     * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(out_dir, f"test_{i}_depth.png"), depth8)
+            imageio.imwrite(os.path.join(out_dir, f"test_{i}_disp.png"), disp8)
+            imageio.imwrite(os.path.join(out_dir, f"test_{i}_acc.png"), acc8)
+        else:
+            pred = np.asarray(trainer.render_image(
+                trainer.params, trainer.K, trainer.poses[int(idx)], height, width
+            ))
         gt = images[int(idx)]
         mse_val = float(((pred - gt) ** 2).mean())
         total += mse_val
@@ -245,7 +276,7 @@ def main(args):
         run_train(cfg, images, poses, cam)
     elif args.mode == "test":
         print("Start testing")
-        run_test(cfg, images, poses, cam)
+        run_test(cfg, images, poses, cam, save_depth=bool(args.save_depth))
 
 
 if __name__ == "__main__":

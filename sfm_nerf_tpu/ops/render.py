@@ -113,6 +113,41 @@ def render_rays(
     return out
 
 
+def weight_maps(
+    weights: jnp.ndarray,   # (N, S)
+    z_vals: jnp.ndarray,    # (N, S)
+    acc: jnp.ndarray,       # (N,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Standard NeRF auxiliary maps from compositing weights.
+
+    Returns (depth[N], disparity[N]): depth = sum(w*z) (expected
+    termination depth, un-normalized as in vanilla NeRF), disparity =
+    1 / max(eps, depth/acc).  The reference computes neither
+    (train.py:248-271 returns rgb only) — ADDITION for eval/diagnostics.
+    """
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    return depth, disp
+
+
+def render_rays_aux(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    origins: jnp.ndarray,     # (N, 3)
+    directions: jnp.ndarray,  # (N, 3)
+    cfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """render_rays variant returning (rgb[N,3], depth[N], disp[N], acc[N])."""
+    n_rays = origins.shape[0]
+    z_vals = stratified_samples(key, n_rays, cfg)
+    pts = origins[:, None, :] + directions[:, None, :] * z_vals[..., None]
+    dirs = jnp.broadcast_to(directions[:, None, :], pts.shape)
+    density, rgb = model_fn(pts, dirs)
+    out, weights, acc = composite(density, rgb, z_vals, cfg)
+    depth, disp = weight_maps(weights, z_vals, acc)
+    return out, depth, disp, acc
+
+
 def sample_pdf(
     key: Optional[jax.Array],
     bins: jnp.ndarray,        # (N, S-1) bin edges (z midpoints)
@@ -222,6 +257,16 @@ def render_rays_hierarchical(
     same model.  Fine pass evaluates the union of coarse + importance
     samples, sorted per ray.
     """
+    out_f, out_c, _, _, _ = _hierarchical_body(
+        coarse_fn, fine_fn, origins, directions, cfg, n_importance, key
+    )
+    return out_f, out_c
+
+
+def _hierarchical_body(
+    coarse_fn, fine_fn, origins, directions, cfg, n_importance, key
+):
+    """Shared coarse/fine pass; returns (rgb_f, rgb_c, weights_f, z_all, acc_f)."""
     n_rays = origins.shape[0]
     k1 = k2 = None
     if key is not None:
@@ -243,8 +288,26 @@ def render_rays_hierarchical(
     pts = origins[:, None, :] + directions[:, None, :] * z_all[..., None]
     dirs = jnp.broadcast_to(directions[:, None, :], pts.shape)
     density_f, rgb_f = fine_fn(pts, dirs)
-    out_f, _, _ = composite(density_f, rgb_f, z_all, cfg)
-    return out_f, out_c
+    out_f, weights_f, acc_f = composite(density_f, rgb_f, z_all, cfg)
+    return out_f, out_c, weights_f, z_all, acc_f
+
+
+def render_rays_hierarchical_aux(
+    coarse_fn,
+    fine_fn,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: RenderConfig,
+    n_importance: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hierarchical render with fine-pass aux maps:
+    returns (rgb_fine[N,3], depth[N], disp[N], acc[N])."""
+    out_f, _, weights_f, z_all, acc_f = _hierarchical_body(
+        coarse_fn, fine_fn, origins, directions, cfg, n_importance, key
+    )
+    depth, disp = weight_maps(weights_f, z_all, acc_f)
+    return out_f, depth, disp, acc_f
 
 
 def render_rays_hierarchical_chunked(
@@ -288,6 +351,18 @@ def render_rays_hierarchical_chunked(
     return out.reshape(n_chunks * chunk_rays, 3)[:n_rays]
 
 
+def _chunk_rays(origins, directions, chunk_rays):
+    """Pad + reshape (N,3) rays to (n_chunks, chunk_rays, 3) for lax.map."""
+    n_rays = origins.shape[0]
+    n_chunks = (n_rays + chunk_rays - 1) // chunk_rays
+    pad = n_chunks * chunk_rays - n_rays
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    # pad directions with unit z so normalization math stays finite
+    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=0.0)
+    d = d.at[n_rays:, 2].set(1.0) if pad else d
+    return o.reshape(n_chunks, chunk_rays, 3), d.reshape(n_chunks, chunk_rays, 3)
+
+
 def render_rays_chunked(
     model_fn,
     origins: jnp.ndarray,
@@ -307,14 +382,8 @@ def render_rays_chunked(
     At 2048 rays x 256 samples the per-chunk activations are ~540 MB.
     """
     n_rays = origins.shape[0]
-    n_chunks = (n_rays + chunk_rays - 1) // chunk_rays
-    pad = n_chunks * chunk_rays - n_rays
-    o = jnp.pad(origins, ((0, pad), (0, 0)))
-    # pad directions with unit z so normalization math stays finite
-    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=0.0)
-    d = d.at[n_rays:, 2].set(1.0) if pad else d
-    o = o.reshape(n_chunks, chunk_rays, 3)
-    d = d.reshape(n_chunks, chunk_rays, 3)
+    o, d = _chunk_rays(origins, directions, chunk_rays)
+    n_chunks = o.shape[0]
     if key is not None:
         keys = jax.random.split(key, n_chunks)
         out = jax.lax.map(
@@ -327,3 +396,40 @@ def render_rays_chunked(
             (o, d),
         )
     return out.reshape(n_chunks * chunk_rays, 3)[:n_rays]
+
+
+def render_rays_chunked_aux(
+    model_fn,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+    chunk_rays: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Chunked full-frame render with aux maps: returns
+    (rgb[N,3], depth[N], disp[N], acc[N]).  Same HBM-bounding lax.map
+    strategy as :func:`render_rays_chunked`."""
+    n_rays = origins.shape[0]
+    o, d = _chunk_rays(origins, directions, chunk_rays)
+    n_chunks = o.shape[0]
+
+    def body(args):
+        if key is not None:
+            oc, dc, kc = args
+        else:
+            oc, dc = args
+            kc = None
+        return render_rays_aux(model_fn, oc, dc, cfg, kc)
+
+    if key is not None:
+        keys = jax.random.split(key, n_chunks)
+        rgb, depth, disp, acc = jax.lax.map(body, (o, d, keys))
+    else:
+        rgb, depth, disp, acc = jax.lax.map(body, (o, d))
+    flat = n_chunks * chunk_rays
+    return (
+        rgb.reshape(flat, 3)[:n_rays],
+        depth.reshape(flat)[:n_rays],
+        disp.reshape(flat)[:n_rays],
+        acc.reshape(flat)[:n_rays],
+    )

@@ -298,6 +298,66 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     return render_image
 
 
+def make_render_image_aux(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
+    """Jitted full-frame renderer with auxiliary maps:
+    (params, K, pose, H, W) -> (rgb[H,W,3], depth[H,W], disp[H,W], acc[H,W]).
+
+    Eval/diagnostic path (no reference analog — train.py:248-271 returns
+    rgb only), so it always takes the XLA route: the fused Pallas kernel
+    emits rgb only and aux renders are not throughput-critical.
+    """
+    mcfg, rcfg = cfg.model, cfg.render
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def render_image_aux(params, K, pose, height: int, width: int, key=None):
+        from sfm_nerf_tpu.ops.render import (
+            render_rays_chunked_aux, render_rays_hierarchical_aux,
+        )
+
+        o, d = image_rays(K, pose, height, width)
+        if rcfg.n_importance > 0:
+            coarse_fn = lambda p, dd: nerf_apply(params["coarse"], p, dd, mcfg)
+            fine_fn = lambda p, dd: nerf_apply(params["fine"], p, dd, mcfg)
+            n_rays = height * width
+            n_chunks = (n_rays + chunk_rays - 1) // chunk_rays
+            from sfm_nerf_tpu.ops.render import _chunk_rays
+
+            oc, dc = _chunk_rays(o, d, chunk_rays)
+
+            def body(args):
+                if key is not None:
+                    ob, db, kb = args
+                else:
+                    ob, db = args
+                    kb = None
+                return render_rays_hierarchical_aux(
+                    coarse_fn, fine_fn, ob, db, rcfg, rcfg.n_importance, kb
+                )
+
+            if key is not None:
+                keys = jax.random.split(key, n_chunks)
+                rgb, depth, disp, acc = jax.lax.map(body, (oc, dc, keys))
+            else:
+                rgb, depth, disp, acc = jax.lax.map(body, (oc, dc))
+            flat = n_chunks * chunk_rays
+            rgb = rgb.reshape(flat, 3)[:n_rays]
+            depth = depth.reshape(flat)[:n_rays]
+            disp = disp.reshape(flat)[:n_rays]
+            acc = acc.reshape(flat)[:n_rays]
+        else:
+            model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
+            rgb, depth, disp, acc = render_rays_chunked_aux(
+                model_fn, o, d, rcfg, key, chunk_rays
+            )
+        hw = (height, width)
+        return (
+            rgb.reshape(height, width, 3),
+            depth.reshape(hw), disp.reshape(hw), acc.reshape(hw),
+        )
+
+    return render_image_aux
+
+
 class NeRFTrainer:
     """Host-side orchestration: resume, loop, logging, checkpoints."""
 

@@ -124,3 +124,90 @@ def test_chunked_render_equals_unchunked(rng):
     chunked = render_rays_chunked(toy_model, o, d, cfg, chunk_rays=64)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# auxiliary maps (depth / disparity / acc) — ADDITION, no reference analog
+# ---------------------------------------------------------------------------
+
+def test_weight_maps_opaque_surface_depth():
+    """An opaque wall at sample k should put the depth map at z[k]."""
+    from sfm_nerf_tpu.ops.render import weight_maps
+
+    cfg = RenderConfig(n_sample=16, variant="train")
+    density = np.zeros((1, 16, 1), np.float32)
+    density[0, 5, 0] = 1e6
+    rgb = np.zeros((1, 16, 3), np.float32)
+    z = np.linspace(2, 6, 16, dtype=np.float32)[None]
+    _, w, acc = composite(jnp.asarray(density), jnp.asarray(rgb),
+                          jnp.asarray(z), cfg)
+    depth, disp = weight_maps(np.asarray(w), jnp.asarray(z), acc)
+    np.testing.assert_allclose(float(depth[0]), z[0, 5], atol=1e-4)
+    np.testing.assert_allclose(float(disp[0]), 1.0 / z[0, 5], rtol=1e-4)
+
+
+def test_weight_maps_numpy_oracle(rng):
+    from sfm_nerf_tpu.ops.render import weight_maps
+
+    w = rng.uniform(0, 0.1, (6, 32)).astype(np.float32)
+    z = np.sort(rng.uniform(2, 6, (6, 32)).astype(np.float32), -1)
+    acc = w.sum(-1)
+    depth, disp = weight_maps(jnp.asarray(w), jnp.asarray(z), jnp.asarray(acc))
+    exp_depth = (w * z).sum(-1)
+    np.testing.assert_allclose(np.asarray(depth), exp_depth, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(disp), 1.0 / np.maximum(1e-10, exp_depth / acc), rtol=1e-4)
+
+
+def test_chunked_aux_matches_unchunked(rng):
+    from sfm_nerf_tpu.ops.render import render_rays_aux, render_rays_chunked_aux
+
+    cfg = RenderConfig(n_sample=24, perturb=False)
+
+    def toy_model(pts, dirs):
+        density = jnp.sum(pts**2, -1, keepdims=True) * 0.3
+        rgb = jax.nn.sigmoid(pts + 0.1 * dirs)
+        return density, rgb
+
+    o = jnp.asarray(rng.normal(size=(133, 3)).astype(np.float32))
+    d = rng.normal(size=(133, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rgb_f, depth_f, disp_f, acc_f = render_rays_aux(toy_model, o, d, cfg)
+    rgb_c, depth_c, disp_c, acc_c = render_rays_chunked_aux(
+        toy_model, o, d, cfg, chunk_rays=32)
+    # rgb also must match the rgb-only path exactly
+    rgb_plain = render_rays(toy_model, o, d, cfg)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_plain),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in ((rgb_c, rgb_f), (depth_c, depth_f), (disp_c, disp_f),
+                 (acc_c, acc_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_hierarchical_aux_rgb_matches_plain(rng):
+    from sfm_nerf_tpu.ops.render import (
+        render_rays_hierarchical, render_rays_hierarchical_aux,
+    )
+
+    cfg = RenderConfig(n_sample=16, perturb=True)
+
+    def toy_model(pts, dirs):
+        density = jnp.sum(pts**2, -1, keepdims=True) * 0.3
+        rgb = jax.nn.sigmoid(pts + 0.1 * dirs)
+        return density, rgb
+
+    o = jnp.asarray(rng.normal(size=(21, 3)).astype(np.float32))
+    d = rng.normal(size=(21, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    key = jax.random.key(3)
+    rgb_f, _ = render_rays_hierarchical(toy_model, toy_model, o, d, cfg, 8, key)
+    rgb_a, depth, disp, acc = render_rays_hierarchical_aux(
+        toy_model, toy_model, o, d, cfg, 8, key)
+    np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_f),
+                               rtol=1e-6, atol=1e-7)
+    z = np.asarray(depth)
+    assert z.shape == (21,) and np.isfinite(z).all()
+    assert (z >= cfg.near - 1e-5).all() and (z <= cfg.far + 1e-5).all()
+    assert np.isfinite(np.asarray(disp)).all()
+    assert (np.asarray(acc) >= 0).all()
