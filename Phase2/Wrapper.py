@@ -47,10 +47,11 @@ def configParser():
     # default there; main() copies this namespace onto train.py's, so a
     # False default here would silently revert train.py's fast path)
     parser.add_argument('--fused', action='store_true', default=True,
-                        help="fused Pallas kernels (active arch only; "
-                             "automatic XLA fallback outside the fused "
-                             "envelope — e.g. the legacy gif renderer); "
-                             "--no_fused opts out")
+                        help="fused Pallas kernels (training: active arch; "
+                             "rendering: active AND legacy archs, so "
+                             "converted reference .pth checkpoints gif "
+                             "through the kernel; automatic XLA fallback "
+                             "outside the envelope); --no_fused opts out")
     parser.add_argument('--no_fused', dest='fused', action='store_false',
                         help="force the XLA path everywhere instead of "
                              "the fused kernels")

@@ -9,9 +9,12 @@ compute — bandwidth-bound.  This kernel keeps the whole layer chain for a
 (once, ~1 MB bf16) and rgb out.  The reference's analog is the chunked
 Python loop over `model(pts_chunk)` (Phase2/train.py:235-242).
 
-Scope: inference path for the ACTIVE architecture, 'train' compositor
-variant (exclusive transmittance).  Training continues on the XLA autodiff
-path; this kernel serves eval/gif/serving renders.
+Scope: inference path for BOTH architectures — the active class AND the
+legacy Sequential variant every shipped reference .pth serializes
+(including the no-positional-encoding ablation) — and both compositor
+variants ('train' exclusive / 'legacy' inclusive transmittance), so
+converted reference checkpoints render through this kernel.  The TRAINING
+kernels (fused_train.py) remain active-arch only.
 
 Layout notes:
 - the (2L+1)*3 = 63-wide positional encoding is padded to 64 columns and
@@ -43,34 +46,75 @@ _ACTIVE_LAYERS = (
 )
 
 
-def pack_active_params(params, dtype=jnp.bfloat16):
-    """Flatten the active-arch param dict into a fixed-order tuple of
-    (w, b) pairs, padding fc1/skip input rows from 63->64 (PE pad) and the
-    rgb1 input rows from 283->284 accordingly."""
+def _arch_layers(mcfg: NeRFModelConfig):
+    """Static (layer_names, body_program, density_act) for an arch.
+
+    ``body_program`` is the hidden-layer sequence between fc1 and the
+    density/feature head: ("plain", name) = relu(Linear), ("skip", name) =
+    relu(Linear over [h ++ PE(x)]).  The LEGACY arch (what every shipped
+    reference .pth serializes — Phase2/NeRFModel.py:7-99) needs no new
+    kernel structure: its block2_2 is a (hidden, hidden+1) ReLU layer whose
+    channel 0 is the density and channels 1: the feature — EXACTLY the
+    packed 'densfeat' layout the active kernel already runs, with relu in
+    place of softplus on the density column."""
+    if mcfg.arch == "active":
+        body = (
+            ("plain", "fc_0"), ("plain", "fc_1"), ("plain", "fc_2"),
+            ("plain", "fc_3"), ("skip", "skip"),
+            ("plain", "fc2_0"), ("plain", "fc2_1"), ("plain", "fc2_2"),
+        )
+        density_act = "softplus"
+    elif mcfg.arch == "legacy":
+        body = tuple(
+            ("plain", f"block1_{i}") for i in range(mcfg.n_block1_layers)
+        )
+        if mcfg.has_skip:
+            body += (("skip", "skip"),)
+        body += (("plain", "block2_0"), ("plain", "block2_1"))
+        density_act = "relu"      # post-ReLU channel 0, NeRFModel.py:90
+    else:
+        raise ValueError(f"fused kernels: unknown arch {mcfg.arch!r}")
+    names = ("fc1",) + tuple(n for _, n in body) + ("densfeat", "rgb1", "rgb2")
+    return names, body, density_act
+
+
+def pack_nerf_params(params, mcfg: NeRFModelConfig, dtype=jnp.bfloat16):
+    """Flatten a param dict (active OR legacy arch) into the kernels'
+    fixed-order tuple of (w, b) pairs, padding the PE-consuming layers'
+    input rows by one (the zero pad lane pe_trig_matrices_ext emits):
+    fc1 63->64, skip 256+63->+64, rgb1's direction block 27->28 (raw 3->4
+    when pos_encoding is off)."""
+    names, _, _ = _arch_layers(mcfg)
     packed = []
-    for name in _ACTIVE_LAYERS:
+    for name in names:
         if name == "densfeat":
-            w = jnp.concatenate(
-                [jnp.asarray(params["density"]["w"]),
-                 jnp.asarray(params["feature"]["w"])], axis=1,
-            )
-            b = jnp.concatenate(
-                [jnp.asarray(params["density"]["b"]),
-                 jnp.asarray(params["feature"]["b"])],
-            )
+            if mcfg.arch == "active":
+                w = jnp.concatenate(
+                    [jnp.asarray(params["density"]["w"]),
+                     jnp.asarray(params["feature"]["w"])], axis=1,
+                )
+                b = jnp.concatenate(
+                    [jnp.asarray(params["density"]["b"]),
+                     jnp.asarray(params["feature"]["b"])],
+                )
+            else:
+                # legacy block2_2 already IS [density col ++ feature cols]
+                w = jnp.asarray(params["block2_2"]["w"])
+                b = jnp.asarray(params["block2_2"]["b"])
         else:
             w = jnp.asarray(params[name]["w"])
             b = jnp.asarray(params[name]["b"])
-        if name == "fc1":
-            w = jnp.pad(w, ((0, 1), (0, 0)))        # 63 -> 64 input rows
-        if name == "skip":
-            w = jnp.pad(w, ((0, 1), (0, 0)))        # 256+63 -> 256+64
-        if name == "rgb1":
-            # input = feature(256) ++ dir_pe(27) -> pad dir block to 28
+        if name in ("fc1", "skip", "rgb1"):
             w = jnp.pad(w, ((0, 1), (0, 0)))
         packed.append(w.astype(dtype))
         packed.append(b.astype(jnp.float32))
     return tuple(packed)
+
+
+def pack_active_params(params, dtype=jnp.bfloat16):
+    """pack_nerf_params for the active arch (the training kernels' only
+    supported arch; kept as their stable entry point)."""
+    return pack_nerf_params(params, NeRFModelConfig(arch="active"), dtype)
 
 
 # Cody-Waite split of 2*pi with a 12-bit-mantissa hi: k*hi is EXACT for
@@ -180,8 +224,10 @@ def _make_kernel(
     n_chunks = n_sample // sample_chunk
     f32 = jnp.float32
 
-    n_pe = 6 * mcfg.n_pos_freq            # 60 trig columns for positions
-    n_de = 6 * mcfg.n_dir_freq            # 24 for directions
+    layer_names, body_program, density_act = _arch_layers(mcfg)
+    # trig columns: 6L each, 0 when the PE ablation feeds raw coordinates
+    n_pe = 6 * mcfg.n_pos_freq if mcfg.pos_encoding else 0
+    n_de = 6 * mcfg.n_dir_freq if mcfg.pos_encoding else 0
 
     def kernel(
         o_ref, d_ref, z_ref, dists_ref,
@@ -189,8 +235,8 @@ def _make_kernel(
         *wb_and_out,
     ):
         *wb, rgb_out, trans_scr, acc_scr = wb_and_out
-        W = {name: wb[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
-        B = {name: wb[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+        W = {name: wb[2 * i] for i, name in enumerate(layer_names)}
+        B = {name: wb[2 * i + 1] for i, name in enumerate(layer_names)}
 
         w_dtype = W["fc1"].dtype
 
@@ -264,21 +310,24 @@ def _make_kernel(
                 # exactly ext's lane layout — one dot each
                 h = jnp.maximum(lin("fc1", ext), 0.0)
                 hidden = h.shape[-1]
-                for i in range(4):
-                    h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
-                    if i == 3:
+                for kind, name in body_program:
+                    if kind == "plain":
+                        h = jnp.maximum(lin(name, h), 0.0)
+                    else:  # skip-concat, concat-free via row-block dots
                         h = jnp.maximum(
-                            lin_parts("skip", [
+                            lin_parts(name, [
                                 (h, 0, hidden),
                                 (ext, hidden, hidden + 4 + n_pe),
                             ]),
                             0.0,
                         )
-                for i in range(3):
-                    h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
-                # merged density+feature heads (see _ACTIVE_LAYERS note)
+                # merged density+feature head: pack-time concat for the
+                # active arch; the legacy block2_2 ships in this layout
                 df = lin("densfeat", h, f32)
-                density = jax.nn.softplus(df[:, :1])
+                if density_act == "softplus":
+                    density = jax.nn.softplus(df[:, :1])
+                else:                         # legacy: post-ReLU channel 0
+                    density = jnp.maximum(df[:, :1], 0.0)
                 feat = jnp.maximum(df[:, 1:], 0.0).astype(w_dtype)
                 # direction head: per-RAY partial matmuls broadcast over
                 # samples — sample_chunk x fewer dir FLOPs, no repeat
@@ -398,9 +447,16 @@ def fused_render_rays(
         [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], tail)], axis=1
     )
 
-    check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
+    if mcfg.pos_encoding:
+        check_fast_sin_envelope(mcfg)
+        pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
+        d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
+    else:
+        # PE ablation (reference checkpoints_no_pos_encoding): zero trig
+        # columns — ext degenerates to [x ++ pad], the fc1/rgb1 packed
+        # weights carry the matching 3->4 input-row pad
+        pe_mat, pe_phase = pe_trig_matrices_ext(0)
+        d_mat, d_phase = pe_trig_matrices_ext(0)
 
     kernel = _make_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program

@@ -255,11 +255,16 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
 
     use_fused = (
         cfg.render.use_fused_kernel
-        and mcfg.arch == "active"
+        and mcfg.arch in ("active", "legacy")  # legacy = shipped .pth arch
         and rcfg.n_importance == 0
         and rcfg.n_sample % 128 == 0
-        and mcfg.n_pos_freq <= 10   # fast_sin Cody-Waite envelope: exact
-        and mcfg.n_dir_freq <= 13   # for |x| <= 2^(14 - L); see fast_sin
+        # fast_sin Cody-Waite envelope: exact for |x| <= 2^(14 - L); the
+        # no-PE ablation has no trig phases at all — see fast_sin
+        and (not mcfg.pos_encoding
+             or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
+        # legacy inclusive weights don't telescope (fused_render_rays
+        # raises on white_background there) — fall back to XLA
+        and not (rcfg.white_background and rcfg.variant != "train")
         and jax.default_backend() != "cpu"  # Pallas TPU kernel; CPU falls
         # back to the XLA path (interpret mode is for tests only)
     )
@@ -269,11 +274,11 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
         o, d = image_rays(K, pose, height, width)
         if use_fused:
             from sfm_nerf_tpu.kernels.fused_render import (
-                fused_render_rays, pack_active_params,
+                fused_render_rays, pack_nerf_params,
             )
             from sfm_nerf_tpu.ops.render import stratified_samples
 
-            packed = pack_active_params(params, jnp.bfloat16)
+            packed = pack_nerf_params(params, mcfg, jnp.bfloat16)
             z = stratified_samples(key, height * width, rcfg).astype(
                 jnp.float32
             )

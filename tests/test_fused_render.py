@@ -189,3 +189,104 @@ def test_ext_features_layout_oracle():
         oracle = np.asarray(positional_encoding(x, L))  # [x, trig]
         np.testing.assert_allclose(
             ext[:, 3:-1], oracle[:, 3:], atol=2e-6, rtol=0)
+
+
+@pytest.mark.parametrize("variant", ["train", "legacy"])
+def test_fused_kernel_legacy_arch(rng, variant):
+    """Legacy ARCHITECTURE (the Sequential variant every shipped reference
+    .pth serializes) through the fused kernel: block2_2 runs as the packed
+    densfeat layer with relu (not softplus) density."""
+    from sfm_nerf_tpu.kernels.fused_render import pack_nerf_params
+    from sfm_nerf_tpu.ops.render import composite
+
+    mcfg = NeRFModelConfig(arch="legacy", hidden=64)
+    rcfg = RenderConfig(n_sample=32, near=1.0, far=10.0, perturb=False,
+                        variant=variant)
+    params = init_nerf_params(jax.random.key(5), mcfg)
+    o = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, 64, rcfg).astype(jnp.float32)
+
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    expected, _, _ = composite(density, rgb, z, rcfg)
+
+    out = fused_render_rays(
+        pack_nerf_params(params, mcfg, jnp.float32), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, tiles_per_program=2, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_fused_kernel_no_pos_encoding(rng):
+    """The PE-ablation layout (reference checkpoints_no_pos_encoding):
+    skip-less legacy net fed raw 3-d coords — ext degenerates to
+    [x ++ pad] and fc1/rgb1 carry the 3->4 input-row pad."""
+    from sfm_nerf_tpu.kernels.fused_render import pack_nerf_params
+    from sfm_nerf_tpu.ops.render import composite
+
+    mcfg = NeRFModelConfig(arch="legacy", hidden=64, pos_encoding=False,
+                           has_skip=False, n_block1_layers=5)
+    rcfg = RenderConfig(n_sample=32, near=1.0, far=10.0, perturb=False,
+                        variant="legacy")
+    params = init_nerf_params(jax.random.key(6), mcfg)
+    o = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, 64, rcfg).astype(jnp.float32)
+
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    expected, _, _ = composite(density, rgb, z, rcfg)
+
+    out = fused_render_rays(
+        pack_nerf_params(params, mcfg, jnp.float32), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, tiles_per_program=2, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_fused_kernel_chair_checkpoint(rng):
+    """The real shipped chair .pth through convert -> pack -> fused kernel
+    (interpret) vs the XLA legacy path — pins the exact artifact route the
+    gif CLI now takes on TPU."""
+    import os
+
+    path = "/root/reference/Phase2/checkpoints/chair/final_model.pth"
+    if not os.path.exists(path):
+        pytest.skip("reference checkpoint not available")
+    from sfm_nerf_tpu.kernels.fused_render import pack_nerf_params
+    from sfm_nerf_tpu.models.convert import convert_pth
+    from sfm_nerf_tpu.ops.render import composite
+
+    params, mcfg = convert_pth(path)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    rcfg = RenderConfig(n_sample=32, near=2.0, far=6.0, perturb=False,
+                        variant="legacy")
+    o = jnp.asarray(rng.uniform(-0.5, 0.5, (32, 3)), jnp.float32)
+    o = o.at[:, 2].add(-4.0)
+    d = rng.normal(size=(32, 3)).astype(np.float32) + np.array([0, 0, 1.0],
+                                                               np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, 32, rcfg).astype(jnp.float32)
+
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    expected, _, _ = composite(density, rgb, z, rcfg)
+
+    out = fused_render_rays(
+        pack_nerf_params(params, mcfg, jnp.float32), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, tiles_per_program=1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
+    )
