@@ -220,6 +220,7 @@ def pe_trig_matrices_ext(n_freqs: int):
 def _make_kernel(
     mcfg: NeRFModelConfig, rcfg: RenderConfig,
     ray_tile: int, sample_chunk: int, n_sample: int, tiles_per_program: int,
+    emit_weights: bool = False,
 ):
     n_chunks = n_sample // sample_chunk
     f32 = jnp.float32
@@ -234,7 +235,10 @@ def _make_kernel(
         pemat_ref, pephase_ref, dmat_ref, dphase_ref,
         *wb_and_out,
     ):
-        *wb, rgb_out, trans_scr, acc_scr = wb_and_out
+        if emit_weights:
+            *wb, rgb_out, w_out, trans_scr, acc_scr = wb_and_out
+        else:
+            *wb, rgb_out, trans_scr, acc_scr = wb_and_out
         W = {name: wb[2 * i] for i, name in enumerate(layer_names)}
         B = {name: wb[2 * i + 1] for i, name in enumerate(layer_names)}
 
@@ -376,6 +380,13 @@ def _make_kernel(
                 )
                 T_in = trans_scr[:]                             # (T, 1)
                 w = alpha * (T_in * trans)                      # (T, CH)
+                if emit_weights:
+                    # per-sample compositing weights (what sample_pdf /
+                    # weight_maps consume) — matches composite()'s weights
+                    # output for the active variant
+                    w_out[
+                        pl.ds(row0, ray_tile), pl.ds(start, sample_chunk)
+                    ] = w
                 rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
                 acc_scr[:] = acc_scr[:] + jnp.sum(w[..., None] * rgb3, axis=1)
                 trans_scr[:] = T_in * cum[:, -1:]
@@ -395,34 +406,10 @@ def _make_kernel(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mcfg", "rcfg", "ray_tile", "sample_chunk", "tiles_per_program",
-        "interpret",
-    ),
-)
-def fused_render_rays(
-    packed_params: Tuple[jnp.ndarray, ...],
-    origins: jnp.ndarray,      # (N, 3) f32
-    directions: jnp.ndarray,   # (N, 3) f32
-    z_vals: jnp.ndarray,       # (N, S) f32
-    mcfg: NeRFModelConfig,
-    rcfg: RenderConfig,
-    ray_tile: int = 32,
-    sample_chunk: int = 128,
-    tiles_per_program: int = 16,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Render rgb (N,3) with the fused kernel.  N padded to the program size
-    (ray_tile * tiles_per_program rays per grid step).
-
-    ``sample_chunk`` must be a multiple of 128 on real TPU (lane-aligned
-    dynamic slicing); interpret mode accepts smaller chunks for testing.
-    ``tiles_per_program`` streams that many ray sub-tiles through one grid
-    step's buffers — the per-program fixed cost dominated at 1 (measured
-    2.03 s vs XLA's 0.816 s at 5000 programs for a 400^2 frame).
-    """
+def _fused_render_impl(
+    packed_params, origins, directions, z_vals, mcfg, rcfg,
+    ray_tile, sample_chunk, tiles_per_program, interpret, emit_weights,
+):
     n = origins.shape[0]
     n_sample = z_vals.shape[1]
     assert n_sample % sample_chunk == 0
@@ -459,10 +446,26 @@ def fused_render_rays(
         d_mat, d_phase = pe_trig_matrices_ext(0)
 
     kernel = _make_kernel(
-        mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program
+        mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program,
+        emit_weights,
     )
     full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     wb_specs = [full_vmem for _ in packed_params]
+    rgb_spec = pl.BlockSpec((block, 3), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rgb_shape = jax.ShapeDtypeStruct((n_progs * block, 3), jnp.float32)
+    if emit_weights:
+        out_specs = [
+            rgb_spec,
+            pl.BlockSpec((block, n_sample), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            rgb_shape,
+            jax.ShapeDtypeStruct((n_progs * block, n_sample), jnp.float32),
+        ]
+    else:
+        out_specs, out_shape = rgb_spec, rgb_shape
     out = pl.pallas_call(
         kernel,
         grid=(n_progs,),
@@ -478,9 +481,8 @@ def fused_render_rays(
             full_vmem, full_vmem, full_vmem, full_vmem,  # trig matrices
             *wb_specs,
         ],
-        out_specs=pl.BlockSpec((block, 3), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_progs * block, 3), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((ray_tile, 1), jnp.float32),   # carried transmittance
             pltpu.VMEM((ray_tile, 3), jnp.float32),   # rgb accumulator
@@ -492,4 +494,70 @@ def fused_render_rays(
         jnp.asarray(d_mat), jnp.asarray(d_phase),
         *packed_params,
     )
+    if emit_weights:
+        return out[0][:n], out[1][:n]
     return out[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mcfg", "rcfg", "ray_tile", "sample_chunk", "tiles_per_program",
+        "interpret",
+    ),
+)
+def fused_render_rays(
+    packed_params: Tuple[jnp.ndarray, ...],
+    origins: jnp.ndarray,      # (N, 3) f32
+    directions: jnp.ndarray,   # (N, 3) f32
+    z_vals: jnp.ndarray,       # (N, S) f32
+    mcfg: NeRFModelConfig,
+    rcfg: RenderConfig,
+    ray_tile: int = 32,
+    sample_chunk: int = 128,
+    tiles_per_program: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render rgb (N,3) with the fused kernel.  N padded to the program size
+    (ray_tile * tiles_per_program rays per grid step).
+
+    ``sample_chunk`` must be a multiple of 128 on real TPU (lane-aligned
+    dynamic slicing); interpret mode accepts smaller chunks for testing.
+    ``tiles_per_program`` streams that many ray sub-tiles through one grid
+    step's buffers — the per-program fixed cost dominated at 1 (measured
+    2.03 s vs XLA's 0.816 s at 5000 programs for a 400^2 frame).
+    """
+    return _fused_render_impl(
+        packed_params, origins, directions, z_vals, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, interpret, False,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mcfg", "rcfg", "ray_tile", "sample_chunk", "tiles_per_program",
+        "interpret",
+    ),
+)
+def fused_render_rays_weights(
+    packed_params: Tuple[jnp.ndarray, ...],
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    mcfg: NeRFModelConfig,
+    rcfg: RenderConfig,
+    ray_tile: int = 32,
+    sample_chunk: int = 128,
+    tiles_per_program: int = 16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fused_render_rays that ALSO returns the per-sample compositing
+    weights (N, S) — the inputs to sample_pdf (hierarchical inference's
+    coarse pass) and weight_maps (depth/disparity/acc eval maps), so those
+    consumers run fused instead of falling back to XLA.  Weights carry no
+    backward (inference path; training uses fused_train.py's kernels)."""
+    return _fused_render_impl(
+        packed_params, origins, directions, z_vals, mcfg, rcfg,
+        ray_tile, sample_chunk, tiles_per_program, interpret, True,
+    )

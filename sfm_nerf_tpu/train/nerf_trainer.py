@@ -246,6 +246,54 @@ def make_multi_train_step(
     return multi_step
 
 
+def _fused_render_env_ok(cfg: NeRFPipelineConfig) -> bool:
+    """Shared fused-INFERENCE envelope (make_render_image[_aux]): both
+    archs (active + the legacy layout every shipped reference .pth
+    serializes), both compositor variants, n_sample lane-aligned, PE
+    frequencies inside fast_sin's Cody-Waite range (the no-PE ablation has
+    no trig phases at all), white background only where weights telescope
+    ('train' variant), and a real accelerator backend (CPU falls back to
+    XLA; interpret mode is for tests only)."""
+    mcfg, rcfg = cfg.model, cfg.render
+    return (
+        rcfg.use_fused_kernel
+        and mcfg.arch in ("active", "legacy")
+        and rcfg.n_sample % 128 == 0
+        and (not mcfg.pos_encoding
+             or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
+        and not (rcfg.white_background and rcfg.variant != "train")
+        and jax.default_backend() != "cpu"
+    )
+
+
+def _fused_hierarchical_render(params, o, d, mcfg, rcfg, key):
+    """Coarse fused pass (rgb + weights) -> sample_pdf + bitonic merge in
+    XLA -> fine fused pass over the union.  Mirrors ops.render's
+    _hierarchical_body sampling semantics exactly (interior-bin weights,
+    stratified importance draws, sorted union).  Returns
+    (rgb_fine (N,3), weights_fine (N, S+I), z_all (N, S+I))."""
+    from sfm_nerf_tpu.kernels.fused_render import (
+        fused_render_rays_weights, pack_nerf_params,
+    )
+    from sfm_nerf_tpu.ops.render import (
+        merge_sorted, sample_pdf, stratified_samples,
+    )
+
+    packed_c = pack_nerf_params(params["coarse"], mcfg, jnp.bfloat16)
+    packed_f = pack_nerf_params(params["fine"], mcfg, jnp.bfloat16)
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    n_rays = o.shape[0]
+    z_c = stratified_samples(k1, n_rays, rcfg).astype(jnp.float32)
+    _, w_c = fused_render_rays_weights(packed_c, o, d, z_c, mcfg, rcfg)
+    mids = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
+    z_fine = sample_pdf(k2, mids, w_c[..., 1:-1], rcfg.n_importance)
+    z_all = merge_sorted(z_c, z_fine)
+    rgb_f, w_f = fused_render_rays_weights(packed_f, o, d, z_all, mcfg, rcfg)
+    return rgb_f, w_f, z_all
+
+
 def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     """Jitted full-frame renderer: (params, K, pose, H, W static) -> (H,W,3).
 
@@ -253,20 +301,14 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     the {'coarse','fine'} pytree and the fine image is returned."""
     mcfg, rcfg = cfg.model, cfg.render
 
-    use_fused = (
-        cfg.render.use_fused_kernel
-        and mcfg.arch in ("active", "legacy")  # legacy = shipped .pth arch
-        and rcfg.n_importance == 0
-        and rcfg.n_sample % 128 == 0
-        # fast_sin Cody-Waite envelope: exact for |x| <= 2^(14 - L); the
-        # no-PE ablation has no trig phases at all — see fast_sin
-        and (not mcfg.pos_encoding
-             or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
-        # legacy inclusive weights don't telescope (fused_render_rays
-        # raises on white_background there) — fall back to XLA
-        and not (rcfg.white_background and rcfg.variant != "train")
-        and jax.default_backend() != "cpu"  # Pallas TPU kernel; CPU falls
-        # back to the XLA path (interpret mode is for tests only)
+    fused_env = _fused_render_env_ok(cfg)
+    use_fused = fused_env and rcfg.n_importance == 0
+    # hierarchical fused inference: coarse fused pass emits the weight
+    # histogram, sample_pdf + bitonic merge run in XLA, fine pass fused
+    use_fused_hier = (
+        fused_env
+        and rcfg.n_importance > 0
+        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
     )
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -283,6 +325,10 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
                 jnp.float32
             )
             rgb = fused_render_rays(packed, o, d, z, mcfg, rcfg)
+            return rgb.reshape(height, width, 3)
+        if use_fused_hier:
+            rgb, _, _ = _fused_hierarchical_render(
+                params, o, d, mcfg, rcfg, key)
             return rgb.reshape(height, width, 3)
         if rcfg.n_importance > 0:
             from sfm_nerf_tpu.ops.render import (
@@ -308,18 +354,47 @@ def make_render_image_aux(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     (params, K, pose, H, W) -> (rgb[H,W,3], depth[H,W], disp[H,W], acc[H,W]).
 
     Eval/diagnostic path (no reference analog — train.py:248-271 returns
-    rgb only), so it always takes the XLA route: the fused Pallas kernel
-    emits rgb only and aux renders are not throughput-critical.
+    rgb only).  Runs fused when the envelope allows: the kernel's weights
+    output (fused_render_rays_weights) feeds weight_maps directly, so
+    depth/disp/acc renders get the same kernel speedup as rgb ones.
     """
     mcfg, rcfg = cfg.model, cfg.render
+    fused_env = _fused_render_env_ok(cfg)
+    use_fused = fused_env and rcfg.n_importance == 0
+    use_fused_hier = (
+        fused_env
+        and rcfg.n_importance > 0
+        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
+    )
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def render_image_aux(params, K, pose, height: int, width: int, key=None):
         from sfm_nerf_tpu.ops.render import (
             render_rays_chunked_aux, render_rays_hierarchical_aux,
+            weight_maps,
         )
 
         o, d = image_rays(K, pose, height, width)
+        if use_fused or use_fused_hier:
+            if use_fused:
+                from sfm_nerf_tpu.kernels.fused_render import (
+                    fused_render_rays_weights, pack_nerf_params,
+                )
+                from sfm_nerf_tpu.ops.render import stratified_samples
+
+                packed = pack_nerf_params(params, mcfg, jnp.bfloat16)
+                z_all = stratified_samples(
+                    key, height * width, rcfg).astype(jnp.float32)
+                rgb, w = fused_render_rays_weights(
+                    packed, o, d, z_all, mcfg, rcfg)
+            else:
+                rgb, w, z_all = _fused_hierarchical_render(
+                    params, o, d, mcfg, rcfg, key)
+            acc = jnp.sum(w, axis=-1)
+            depth, disp = weight_maps(w, z_all, acc)
+            hw = (height, width)
+            return (rgb.reshape(height, width, 3),
+                    depth.reshape(hw), disp.reshape(hw), acc.reshape(hw))
         if rcfg.n_importance > 0:
             coarse_fn = lambda p, dd: nerf_apply(params["coarse"], p, dd, mcfg)
             fine_fn = lambda p, dd: nerf_apply(params["fine"], p, dd, mcfg)

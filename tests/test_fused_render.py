@@ -290,3 +290,121 @@ def test_fused_kernel_chair_checkpoint(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), rtol=2e-3, atol=2e-3
     )
+
+
+def test_fused_weights_output_matches_composite(rng):
+    """fused_render_rays_weights' second output == composite()'s per-sample
+    weights (the sample_pdf / weight_maps inputs)."""
+    from sfm_nerf_tpu.kernels.fused_render import (
+        fused_render_rays_weights, pack_nerf_params,
+    )
+    from sfm_nerf_tpu.ops.render import composite
+
+    mcfg = NeRFModelConfig(arch="active", hidden=64)
+    rcfg = RenderConfig(n_sample=32, perturb=False)
+    params = init_nerf_params(jax.random.key(7), mcfg)
+    o = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, 64, rcfg).astype(jnp.float32)
+
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    exp_rgb, exp_w, _ = composite(density, rgb, z, rcfg)
+
+    out_rgb, out_w = fused_render_rays_weights(
+        pack_nerf_params(params, mcfg, jnp.float32), o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, tiles_per_program=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_rgb), np.asarray(exp_rgb),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(exp_w),
+                               rtol=2e-3, atol=2e-3)
+
+
+def _force_interpret_kernels(monkeypatch):
+    import sfm_nerf_tpu.kernels.fused_render as fr
+
+    for fname in ("fused_render_rays", "fused_render_rays_weights"):
+        orig = getattr(fr, fname)
+
+        def interp(*a, _orig=orig, **kw):
+            kw.update(interpret=True, sample_chunk=32, ray_tile=32,
+                      tiles_per_program=1)
+            return _orig(*a, **kw)
+
+        monkeypatch.setattr(fr, fname, interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def test_render_image_fused_hierarchical_interpret(monkeypatch):
+    """Hierarchical make_render_image routes through the fused
+    coarse(weights) -> sample_pdf -> fused fine chain and matches the XLA
+    hierarchical path."""
+    from sfm_nerf_tpu.config import NeRFPipelineConfig
+    from sfm_nerf_tpu.train.nerf_trainer import make_render_image
+
+    _force_interpret_kernels(monkeypatch)
+    mcfg = NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1)
+    cfg_x = NeRFPipelineConfig(
+        model=mcfg,
+        render=RenderConfig(n_sample=128, n_importance=128, perturb=False),
+    )
+    cfg_f = NeRFPipelineConfig(
+        model=mcfg,
+        render=RenderConfig(n_sample=128, n_importance=128, perturb=False,
+                            use_fused_kernel=True),
+    )
+    params = {
+        "coarse": init_nerf_params(jax.random.key(0), mcfg),
+        "fine": init_nerf_params(jax.random.key(1), mcfg),
+    }
+    K = jnp.asarray([[30.0, 0, 8], [0, 30.0, 8], [0, 0, 1.0]], jnp.float32)
+    pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
+    img_x = np.asarray(make_render_image(cfg_x)(params, K, pose, 16, 16))
+    img_f = np.asarray(make_render_image(cfg_f)(params, K, pose, 16, 16))
+    np.testing.assert_allclose(img_f, img_x, rtol=5e-2, atol=5e-3)
+
+
+def test_render_image_aux_fused_interpret(monkeypatch):
+    """make_render_image_aux routes fused (flat AND hierarchical) and its
+    depth/disp/acc maps match the XLA aux renderers."""
+    from sfm_nerf_tpu.config import NeRFPipelineConfig
+    from sfm_nerf_tpu.train.nerf_trainer import make_render_image_aux
+
+    _force_interpret_kernels(monkeypatch)
+    mcfg = NeRFModelConfig(hidden=16, n_pos_freq=2, n_dir_freq=1)
+    K = jnp.asarray([[30.0, 0, 8], [0, 30.0, 8], [0, 0, 1.0]], jnp.float32)
+    pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
+
+    # flat
+    cfg_x = NeRFPipelineConfig(
+        model=mcfg, render=RenderConfig(n_sample=128, perturb=False))
+    cfg_f = NeRFPipelineConfig(
+        model=mcfg, render=RenderConfig(n_sample=128, perturb=False,
+                                        use_fused_kernel=True))
+    params = init_nerf_params(jax.random.key(0), mcfg)
+    out_x = make_render_image_aux(cfg_x)(params, K, pose, 16, 16)
+    out_f = make_render_image_aux(cfg_f)(params, K, pose, 16, 16)
+    for a, b in zip(out_f, out_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+    # hierarchical
+    cfg_xh = NeRFPipelineConfig(
+        model=mcfg,
+        render=RenderConfig(n_sample=128, n_importance=128, perturb=False))
+    cfg_fh = NeRFPipelineConfig(
+        model=mcfg,
+        render=RenderConfig(n_sample=128, n_importance=128, perturb=False,
+                            use_fused_kernel=True))
+    params_h = {
+        "coarse": init_nerf_params(jax.random.key(0), mcfg),
+        "fine": init_nerf_params(jax.random.key(1), mcfg),
+    }
+    out_x = make_render_image_aux(cfg_xh)(params_h, K, pose, 16, 16)
+    out_f = make_render_image_aux(cfg_fh)(params_h, K, pose, 16, 16)
+    for a, b in zip(out_f, out_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
