@@ -40,24 +40,32 @@ def make_sharded_render_image(
     axis = cfg.parallel.data_axis
     dp = mesh.shape[axis]
 
-    use_fused = (
-        rcfg.use_fused_kernel
-        and mcfg.arch == "active"
-        and rcfg.n_importance == 0
-        and rcfg.n_sample % 128 == 0
-        and jax.default_backend() != "cpu"
+    from sfm_nerf_tpu.train.nerf_trainer import (
+        _fused_hierarchical_render, _fused_render_env_ok,
+    )
+
+    fused_env = _fused_render_env_ok(cfg)    # same envelope as single-chip
+    use_fused = fused_env and rcfg.n_importance == 0
+    use_fused_hier = (
+        fused_env
+        and rcfg.n_importance > 0
+        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
     )
 
     def local_render(params, o, d, key):
         if use_fused:
             from sfm_nerf_tpu.kernels.fused_render import (
-                fused_render_rays, pack_active_params,
+                fused_render_rays, pack_nerf_params,
             )
             from sfm_nerf_tpu.ops.render import stratified_samples
 
-            packed = pack_active_params(params, jnp.bfloat16)
+            packed = pack_nerf_params(params, mcfg, jnp.bfloat16)
             z = stratified_samples(key, o.shape[0], rcfg).astype(jnp.float32)
             return fused_render_rays(packed, o, d, z, mcfg, rcfg)
+        if use_fused_hier:
+            rgb, _, _ = _fused_hierarchical_render(
+                params, o, d, mcfg, rcfg, key)
+            return rgb
         if rcfg.n_importance > 0:
             from sfm_nerf_tpu.ops.render import (
                 render_rays_hierarchical_chunked,
