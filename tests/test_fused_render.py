@@ -253,13 +253,16 @@ def test_fused_kernel_no_pos_encoding(rng):
     )
 
 
-def test_fused_kernel_chair_checkpoint(rng):
-    """The real shipped chair .pth through convert -> pack -> fused kernel
-    (interpret) vs the XLA legacy path — pins the exact artifact route the
-    gif CLI now takes on TPU."""
+@pytest.mark.parametrize("path", [
+    "/root/reference/Phase2/checkpoints/chair/final_model.pth",
+    "/root/reference/Phase2/checkpoints_no_pos_encoding/final_model.pth",
+])
+def test_fused_kernel_chair_checkpoint(rng, path):
+    """The real shipped .pth checkpoints (chair + the no-PE ablation)
+    through convert -> pack -> fused kernel (interpret) vs the XLA legacy
+    path — pins the exact artifact route the gif CLI now takes on TPU."""
     import os
 
-    path = "/root/reference/Phase2/checkpoints/chair/final_model.pth"
     if not os.path.exists(path):
         pytest.skip("reference checkpoint not available")
     from sfm_nerf_tpu.kernels.fused_render import pack_nerf_params
