@@ -27,8 +27,10 @@ sequential grid (constant index maps; program 0 zero-initializes) and
 expose custom_vjp wrappers so jax.grad flows through the (differentiable)
 packing to the parameter pytree.  Ray/z/target inputs get zero cotangents.
 
-Scope: active arch, 'train' compositor; white background (our
-standard-NeRF addition) supported in-kernel.  Interpret mode is the
+Scope: both archs — active AND the legacy layout every shipped reference
+.pth serializes (incl. the no-PE ablation), so converted checkpoints can
+be FINE-TUNED through the kernel; 'train' compositor; white background
+(our standard-NeRF addition) supported in-kernel.  Interpret mode is the
 correctness reference (tested against jax.grad of the XLA path); on-chip
 compilation is subject to the toolchain limits recorded in
 PERFORMANCE.md.
@@ -46,12 +48,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sfm_nerf_tpu.kernels.fused_render import (
-    _ACTIVE_LAYERS,
+    _arch_layers,
     check_fast_sin_envelope,
     fast_sin,
     pe_trig_matrices_ext,
     tri_inclusive,
 )
+
+
+def _arch_static(mcfg):
+    """Static per-arch kernel parameters: (layer names, body program,
+    density activation, trig column counts).  n_pe/n_de are 0 for the
+    PE-ablation nets (ext degenerates to [x ++ pad])."""
+    names, body, density_act = _arch_layers(mcfg)
+    n_pe = 6 * mcfg.n_pos_freq if mcfg.pos_encoding else 0
+    n_de = 6 * mcfg.n_dir_freq if mcfg.pos_encoding else 0
+    return names, body, density_act, n_pe, n_de
+
+
+def _pe_mats(mcfg):
+    """Extended trig matrices for the kernels, honoring the PE ablation."""
+    if mcfg.pos_encoding:
+        check_fast_sin_envelope(mcfg)
+        return (pe_trig_matrices_ext(mcfg.n_pos_freq),
+                pe_trig_matrices_ext(mcfg.n_dir_freq))
+    return pe_trig_matrices_ext(0), pe_trig_matrices_ext(0)
 
 f32 = jnp.float32
 # Hardware-attribution knob (bench_kernel sweeps only — results are
@@ -176,15 +197,15 @@ def _suffix_sum_lanes(x, n):
     return x
 
 
-def _wb_maps(wb):
-    W = {name: wb[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
-    B = {name: wb[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+def _wb_maps(wb, names):
+    W = {name: wb[2 * i] for i, name in enumerate(names)}
+    B = {name: wb[2 * i + 1] for i, name in enumerate(names)}
     return W, B
 
 
 def _chunk_forward(W, B, o, d, extd, z, dists, pemat, pephase,
-                   ray_tile, sample_chunk, n_pe, n_de, keep=False,
-                   tri=None):
+                   ray_tile, sample_chunk, n_pe, n_de, body, density_act,
+                   keep=False, tri=None):
     """One chunk's forward.  Returns (density, rgb, alpha, one_m, excl, cum)
     plus (if keep) the intermediate activations needed for backward.
 
@@ -192,7 +213,12 @@ def _chunk_forward(W, B, o, d, extd, z, dists, pemat, pephase,
     position analog ``ext`` is built here per chunk.  fc1 / skip / rgb1
     each consume ONE dot against their contiguous [identity; trig] weight
     rows instead of a K=3 + a K=6L pair (each K<=128 dot costs a full MXU
-    pass regardless, so the merge halves those layers' input-side passes)."""
+    pass regardless, so the merge halves those layers' input-side passes).
+
+    ``body``/``density_act`` come from fused_render._arch_layers — the
+    active arch's program reproduces the original hardcoded chain op for
+    op; the legacy arch differs only in layer names/count and a relu (not
+    softplus) density column."""
 
     def lin(name, x, out_dtype=f32):
         return (
@@ -212,21 +238,21 @@ def _chunk_forward(W, B, o, d, extd, z, dists, pemat, pephase,
     h = jnp.maximum(lin("fc1", ext), 0.0)
     hs = [h]
     hidden = h.shape[-1]
-    for i in range(4):
-        h = jnp.maximum(lin(f"fc_{i}", h), 0.0)
-        hs.append(h)
-        if i == 3:
+    for kind, name in body:
+        if kind == "plain":
+            h = jnp.maximum(lin(name, h), 0.0)
+        else:   # skip-concat via row-block dots (concat-free)
             h = jnp.maximum(
-                lin_parts("skip", [
+                lin_parts(name, [
                     (h, 0, hidden),
                     (ext, hidden, hidden + 4 + n_pe),  # +1 pad row
                 ]), 0.0)
-            hs.append(h)
-    for i in range(3):
-        h = jnp.maximum(lin(f"fc2_{i}", h), 0.0)
         hs.append(h)
     df = lin("densfeat", h)
-    density = jax.nn.softplus(df[:, :1])
+    if density_act == "softplus":
+        density = jax.nn.softplus(df[:, :1])
+    else:                       # legacy: post-ReLU channel 0
+        density = jnp.maximum(df[:, :1], 0.0)
     feat = jnp.maximum(df[:, 1:], 0.0)
     dir_part = jnp.dot(
         extd, W["rgb1"][hidden:hidden + 4 + n_de, :],
@@ -297,15 +323,14 @@ def _chunk_forward(W, B, o, d, extd, z, dists, pemat, pephase,
 def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                      tiles_per_program):
     n_chunks = n_sample // sample_chunk
-    n_pe = 6 * mcfg.n_pos_freq
-    n_de = 6 * mcfg.n_dir_freq
+    names, body, density_act, n_pe, n_de = _arch_static(mcfg)
     white = rcfg.white_background
 
     def kernel(o_ref, d_ref, z_ref, dists_ref,
                pemat_ref, pephase_ref, dmat_ref, dphase_ref, tri_ref,
                *wb_and_out):
         *wb, rgb_out, tb_out = wb_and_out
-        W, B = _wb_maps(wb)
+        W, B = _wb_maps(wb, names)
 
         def subtile(s, _):
             row0 = pl.multiple_of(s * ray_tile, 8)
@@ -328,7 +353,8 @@ def _make_fwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                 density, rgb, alpha, one_m, excl, cum, _ = _chunk_forward(
                     W, B, o, d, extd, z, dists,
                     pemat_ref, pephase_ref,
-                    ray_tile, sample_chunk, n_pe, n_de, tri=tri_ref,
+                    ray_tile, sample_chunk, n_pe, n_de, body, density_act,
+                    tri=tri_ref,
                 )
                 w = alpha * (T_in * excl)
                 rgb3 = rgb.reshape(ray_tile, sample_chunk, 3)
@@ -385,13 +411,16 @@ def _composite_backward_chunk(g, w, rgb3, T_i, one_m, alpha, dists,
 
 
 def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
-                        ray_tile, sample_chunk, n_pe):
+                        ray_tile, sample_chunk, n_pe, body, density_act):
     """Backprop one chunk's MLP given its forward activations; accumulates
     weight/bias grads into the VMEM-resident gW/gB refs and returns this
     chunk's per-ray direction-head cotangent (to be applied once per ray).
 
     Shared by the recompute backward kernel (activations rebuilt in VMEM)
     and the merged fwd+bwd step kernel (activations kept from forward).
+    ``body`` is walked in reverse (hs[j] is body layer j's INPUT since
+    hs[0] is fc1's output) — for the active arch this emits the exact op
+    sequence the original hardcoded fc2/skip/fc chain did.
     """
     hidden = acts["hs"][0].shape[-1]
     rowsN = ray_tile * sample_chunk
@@ -412,8 +441,11 @@ def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
     # with the feature cotangent to fuse the head's backward dots was
     # A/B'd on-chip and measured SLOWER — the unaligned 1+hidden concat
     # costs a relayout that outweighs the saved pass; keep the split dots.)
-    sig_a = 1.0 - jnp.exp(-acts["density"])    # softplus' = sigmoid
-    d_dens_col = dL_dsigma.reshape(rowsN, 1) * sig_a
+    if density_act == "softplus":
+        dact = 1.0 - jnp.exp(-acts["density"])   # softplus' = sigmoid
+    else:                                        # legacy relu column
+        dact = (acts["density"] > 0).astype(f32)
+    d_dens_col = dL_dsigma.reshape(rowsN, 1) * dact
     h_last = acts["hs"][-1]
     gW["densfeat"][:, 0:1] += _dot_tn(h_last, d_dens_col)
     gW["densfeat"][:, 1:] += _dot_tn(h_last, d_feat)
@@ -423,27 +455,22 @@ def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
         _dot_nt(d_dens_col, W["densfeat"][:, 0:1])
         + _dot_nt(d_feat, W["densfeat"][:, 1:])
     ) * (h_last > 0)
-    # fc2 chain: hs = [h_fc1, h_fc0..h_fc3(4 entries), h_skip,
-    #                  h_fc2_0, h_fc2_1, h_fc2_2]
-    for i in (2, 1, 0):
-        h_inp = acts["hs"][5 + i]              # input to fc2_i
-        gW[f"fc2_{i}"][...] += _dot_tn(h_inp, d_h)
-        gB[f"fc2_{i}"][...] += jnp.sum(d_h, axis=0)
-        d_h = _dot_nt(d_h, W[f"fc2_{i}"][:]) * (h_inp > 0)
-    # skip layer (input = [h_fc3, ext]); d_h entering here is the
-    # grad wrt the skip layer's OUTPUT, already masked by
-    # (input-of-fc2_0 > 0) == (h_skip > 0).
-    h_fc3 = acts["hs"][4]
-    gW["skip"][0:hidden, :] += _dot_tn(h_fc3, d_h)
-    gW["skip"][hidden:hidden + 4 + n_pe, :] += _dot_tn(acts["ext"], d_h)
-    gB["skip"][...] += jnp.sum(d_h, axis=0)
-    d_h = _dot_nt(d_h, W["skip"][0:hidden, :]) * (h_fc3 > 0)
-    # fc_3..fc_0
-    for i in (3, 2, 1, 0):
-        h_inp = acts["hs"][i]                  # input to fc_i
-        gW[f"fc_{i}"][...] += _dot_tn(h_inp, d_h)
-        gB[f"fc_{i}"][...] += jnp.sum(d_h, axis=0)
-        d_h = _dot_nt(d_h, W[f"fc_{i}"][:]) * (h_inp > 0)
+    # reversed body walk; hs[j] is body layer j's input (hs[0] = h_fc1).
+    # d_h entering a skip layer is the grad wrt its OUTPUT, already masked
+    # by (next layer's input > 0) == (h_skip > 0).
+    for j in range(len(body) - 1, -1, -1):
+        kind, name = body[j]
+        h_inp = acts["hs"][j]
+        if kind == "plain":
+            gW[name][...] += _dot_tn(h_inp, d_h)
+            gB[name][...] += jnp.sum(d_h, axis=0)
+            d_h = _dot_nt(d_h, W[name][:]) * (h_inp > 0)
+        else:  # skip layer (input = [h_prev, ext])
+            gW[name][0:hidden, :] += _dot_tn(h_inp, d_h)
+            gW[name][hidden:hidden + 4 + n_pe, :] += _dot_tn(
+                acts["ext"], d_h)
+            gB[name][...] += jnp.sum(d_h, axis=0)
+            d_h = _dot_nt(d_h, W[name][0:hidden, :]) * (h_inp > 0)
     # fc1 (input = ext = [pts, trig]); d_h is grad wrt h_fc1 output.
     # No input-side dot: positions aren't trainable, so the grad stops here.
     gW["fc1"][...] += _dot_tn(acts["ext"], d_h)
@@ -454,19 +481,18 @@ def _chunk_mlp_backward(W, gW, gB, acts, g, w, dL_dsigma,
 def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                      tiles_per_program):
     n_chunks = n_sample // sample_chunk
-    n_pe = 6 * mcfg.n_pos_freq
-    n_de = 6 * mcfg.n_dir_freq
+    names, body, density_act, n_pe, n_de = _arch_static(mcfg)
     white = rcfg.white_background
 
     def kernel(o_ref, d_ref, z_ref, dists_ref, tb_ref, g_ref,
                pemat_ref, pephase_ref, dmat_ref, dphase_ref, tri_ref,
                *wb_and_out):
-        n_w = 2 * len(_ACTIVE_LAYERS)
+        n_w = 2 * len(names)
         wb = wb_and_out[:n_w]
         grads = wb_and_out[n_w:n_w * 2]
-        W, B = _wb_maps(wb)
-        gW = {name: grads[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
-        gB = {name: grads[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+        W, B = _wb_maps(wb, names)
+        gW = {name: grads[2 * i] for i, name in enumerate(names)}
+        gB = {name: grads[2 * i + 1] for i, name in enumerate(names)}
 
         # program 0 zero-initializes the accumulated grads (sequential grid)
         @pl.when(pl.program_id(0) == 0)
@@ -493,8 +519,8 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
 
                 density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
                     W, B, o, d, extd, z, dists, pemat_ref, pephase_ref,
-                    ray_tile, sample_chunk, n_pe, n_de, keep=True,
-                    tri=tri_ref,
+                    ray_tile, sample_chunk, n_pe, n_de, body, density_act,
+                    keep=True, tri=tri_ref,
                 )
                 T_i = T_in * excl                          # (T, CH)
                 w = alpha * T_i
@@ -504,7 +530,7 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                     sample_chunk, tri=tri_ref, gsum=gsum)
                 d_dirpart_total = d_dirpart_total + _chunk_mlp_backward(
                     W, gW, gB, acts, g, w, dL_dsigma,
-                    ray_tile, sample_chunk, n_pe)
+                    ray_tile, sample_chunk, n_pe, body, density_act)
 
             # per-ray direction rows of rgb1 (accumulated over all chunks)
             hidden = W["fc1"].shape[1]
@@ -552,9 +578,7 @@ def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
         origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
     n_chunks = n_sample // sample_chunk
     assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
-    check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
+    (pe_mat, pe_phase), (d_mat, d_phase) = _pe_mats(mcfg)
     tri_h = tri_inclusive(sample_chunk)
     kernel = _make_fwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
@@ -589,9 +613,7 @@ def _fused_train_bwd(packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
         origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
     n_chunks = n_sample // sample_chunk
     g_pad = jnp.pad(g, ((0, n_progs * block - n), (0, 0)))
-    check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
+    (pe_mat, pe_phase), (d_mat, d_phase) = _pe_mats(mcfg)
     tri_h = tri_inclusive(sample_chunk)
     kernel = _make_bwd_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program)
@@ -673,14 +695,13 @@ fused_render_train.defvjp(_frt_fwd, _frt_bwd)
 def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                       tiles_per_program, emit_weights=False, n_progs=1):
     n_chunks = n_sample // sample_chunk
-    n_pe = 6 * mcfg.n_pos_freq
-    n_de = 6 * mcfg.n_dir_freq
+    names, body, density_act, n_pe, n_de = _arch_static(mcfg)
     white = rcfg.white_background
 
     def kernel(o_ref, d_ref, z_ref, dists_ref, t_ref, wcol_ref,
                pemat_ref, pephase_ref, dmat_ref, dphase_ref, tri_ref,
                *wb_and_out):
-        n_w = 2 * len(_ACTIVE_LAYERS)
+        n_w = 2 * len(names)
         wb = wb_and_out[:n_w]
         idx = n_w
         rgb_out = wb_and_out[idx]
@@ -690,9 +711,9 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
             idx += 1
         grads = wb_and_out[idx:idx + n_w]
         scratch = wb_and_out[idx + n_w:]   # "2s" second-stream accumulators
-        W, B = _wb_maps(wb)
-        gW = {name: grads[2 * i] for i, name in enumerate(_ACTIVE_LAYERS)}
-        gB = {name: grads[2 * i + 1] for i, name in enumerate(_ACTIVE_LAYERS)}
+        W, B = _wb_maps(wb, names)
+        gW = {name: grads[2 * i] for i, name in enumerate(names)}
+        gB = {name: grads[2 * i + 1] for i, name in enumerate(names)}
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -720,8 +741,8 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                     pl.ds(row0, ray_tile), start:start + sample_chunk]
                 density, rgb, alpha, one_m, excl, cum, acts = _chunk_forward(
                     W, B, o, d, extd, z, dists, pemat_ref, pephase_ref,
-                    ray_tile, sample_chunk, n_pe, n_de, keep=True,
-                    tri=tri_ref,
+                    ray_tile, sample_chunk, n_pe, n_de, body, density_act,
+                    keep=True, tri=tri_ref,
                 )
                 T_i = T_in * excl
                 w = alpha * T_i
@@ -751,7 +772,7 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
                         sample_chunk, tri=tri_ref, gsum=gsum)
                     d_dirpart_total = d_dirpart_total + _chunk_mlp_backward(
                         W, gW, gB, acts, g, w, dL_dsigma,
-                        ray_tile, sample_chunk, n_pe)
+                        ray_tile, sample_chunk, n_pe, body, density_act)
 
                 hidden = W["fc1"].shape[1]
                 gW["rgb1"][hidden:hidden + 4 + n_de, :] += _dot_tn(
@@ -761,9 +782,9 @@ def _make_step_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
         if INTERLEAVE in ("2", "2s") and tiles_per_program % 2 == 0:
             if scratch:
                 gW2 = {n: scratch[2 * i]
-                       for i, n in enumerate(_ACTIVE_LAYERS)}
+                       for i, n in enumerate(names)}
                 gB2 = {n: scratch[2 * i + 1]
-                       for i, n in enumerate(_ACTIVE_LAYERS)}
+                       for i, n in enumerate(names)}
             else:
                 gW2, gB2 = gW, gB
 
@@ -807,9 +828,7 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
     # padded rays' garbage (acc - 0) must not leak into the weight grads
     wcol = jnp.full((n, 1), 2.0 / (3.0 * n), f32)
     wcol = jnp.pad(wcol, ((0, pad_n), (0, 0)))
-    check_fast_sin_envelope(mcfg)
-    pe_mat, pe_phase = pe_trig_matrices_ext(mcfg.n_pos_freq)
-    d_mat, d_phase = pe_trig_matrices_ext(mcfg.n_dir_freq)
+    (pe_mat, pe_phase), (d_mat, d_phase) = _pe_mats(mcfg)
     tri_h = tri_inclusive(sample_chunk)
     kernel = _make_step_kernel(
         mcfg, rcfg, ray_tile, sample_chunk, n_sample, tiles_per_program,

@@ -54,7 +54,9 @@ def make_optimizer(cfg: NeRFPipelineConfig) -> optax.GradientTransformation:
 def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     """Whether the fused Pallas training kernel's envelope covers this
     config; outside it make_loss_fn silently falls back to the XLA autodiff
-    path.  Envelope: active arch, sample count a multiple of the kernel's
+    path.  Envelope: active OR legacy arch (the shipped-checkpoint layout
+    — converted .pth nets fine-tune through the kernel; the no-PE ablation
+    runs with zero trig columns), sample count a multiple of the kernel's
     128-sample chunk, 'train' compositor (white background — our standard-NeRF
     ADDITION, absent in the reference compositor — supported: the kernels
     accumulate the weight sum and shift the compositing cotangent by
@@ -77,7 +79,7 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     )
     return (
         rcfg.use_fused_kernel
-        and mcfg.arch == "active"
+        and mcfg.arch in ("active", "legacy")
         and hier_ok
         and chunk % 128 == 0
         and chunks_ok
@@ -85,9 +87,10 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
         # fast_sin's Cody-Waite reduction is exact for |k| <= 2^12, i.e.
         # positions within |x| <= 2^(14 - n_pos_freq) (16 at the L=10
         # default; unit dirs are safe through n_dir_freq <= 13) — larger
-        # L must fall back to XLA's general-range jnp.sin
-        and mcfg.n_pos_freq <= 10
-        and mcfg.n_dir_freq <= 13
+        # L must fall back to XLA's general-range jnp.sin.  The PE
+        # ablation has no trig phases at all.
+        and (not mcfg.pos_encoding
+             or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
         and jax.default_backend() != "cpu"
     )
 
@@ -111,7 +114,7 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
         if fused_train:
             # fused Pallas kernels (custom VJP); grads flow through the
             # differentiable packing to the pytree
-            from sfm_nerf_tpu.kernels.fused_render import pack_active_params
+            from sfm_nerf_tpu.kernels.fused_render import pack_nerf_params
             from sfm_nerf_tpu.kernels.fused_train import (
                 fused_mse_loss, fused_mse_loss_weights, fused_render_train,
             )
@@ -128,8 +131,8 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
                 # XLA -> fine merged kernel; loss = mse_c + mse_f, exactly
                 # the XLA path's objective (render_rays_hierarchical, with
                 # weights detached into sample_pdf on both paths)
-                packed_c = pack_active_params(params["coarse"], pdt)
-                packed_f = pack_active_params(params["fine"], pdt)
+                packed_c = pack_nerf_params(params["coarse"], mcfg, pdt)
+                packed_f = pack_nerf_params(params["fine"], mcfg, pdt)
                 kw = dict(ray_tile=rcfg.fused_ray_tile,
                           sample_chunk=rcfg.fused_sample_chunk,
                           tiles_per_program=rcfg.fused_tiles_per_program,
@@ -145,7 +148,7 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
                 loss_f = fused_mse_loss(
                     packed_f, o, d, z_all, target, mcfg, rcfg, **kw)
                 return loss_f + loss_c
-            packed = pack_active_params(params, pdt)
+            packed = pack_nerf_params(params, mcfg, pdt)
             if rcfg.fused_merged_step:
                 # one launch per step: forward keeps activations in VMEM,
                 # the MSE cotangent is computed in-kernel, backward consumes

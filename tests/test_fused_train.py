@@ -306,3 +306,94 @@ def test_saturated_density_matches_xla():
     gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
     _assert_grads_close(gx, jax.grad(merged_loss)(
         params, mcfg, rcfg, o, d, z, target))
+
+
+def setup_arch(mcfg, n_rays=32, n_sample=32, seed=0):
+    rcfg = RenderConfig(n_sample=n_sample, near=2.0, far=6.0, perturb=False)
+    params = init_nerf_params(jax.random.key(seed), mcfg)
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-1, 1, (n_rays, 3)), jnp.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, n_rays, rcfg).astype(jnp.float32)
+    target = jnp.asarray(rng.uniform(0, 1, (n_rays, 3)), jnp.float32)
+    return rcfg, params, o, d, z, target
+
+
+def merged_loss_generic(params, mcfg, rcfg, o, d, z, target):
+    from sfm_nerf_tpu.kernels.fused_render import pack_nerf_params
+    from sfm_nerf_tpu.kernels.fused_train import fused_mse_loss
+
+    packed = pack_nerf_params(params, mcfg, jnp.float32)
+    return fused_mse_loss(
+        packed, o, d, z, target, mcfg, rcfg,
+        ray_tile=16, sample_chunk=16, tiles_per_program=1, interpret=True,
+    )
+
+
+def _assert_grads_match(gx, gk):
+    for (pathx, lx), (pathk, lk) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gk)[0],
+    ):
+        assert pathx == pathk
+        a, b = np.asarray(lx), np.asarray(lk)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=5e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pathx)}",
+        )
+
+
+def test_merged_step_legacy_arch_grads_match_xla():
+    """Legacy arch (the shipped-checkpoint layout: block2_2 as relu densfeat)
+    through the merged train kernel: loss AND grads == jax.grad of XLA."""
+    mcfg = NeRFModelConfig(arch="legacy", hidden=32, n_pos_freq=4,
+                           n_dir_freq=2)
+    rcfg, params, o, d, z, target = setup_arch(mcfg)
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss_generic(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    gm = jax.grad(merged_loss_generic)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_match(gx, gm)
+
+
+def test_merged_step_no_pe_grads_match_xla():
+    """The PE-ablation layout (skip-less legacy, raw 3-d inputs, zero trig
+    columns) through the merged train kernel."""
+    mcfg = NeRFModelConfig(arch="legacy", hidden=32, pos_encoding=False,
+                           has_skip=False, n_block1_layers=4)
+    rcfg, params, o, d, z, target = setup_arch(mcfg, seed=1)
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss_generic(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    gm = jax.grad(merged_loss_generic)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_match(gx, gm)
+
+
+def test_recompute_path_legacy_arch_grads_match_xla():
+    """The two-kernel recompute path (fused_render_train) on the legacy
+    arch — general-cotangent backward with recomputed activations."""
+    from sfm_nerf_tpu.kernels.fused_render import pack_nerf_params
+
+    mcfg = NeRFModelConfig(arch="legacy", hidden=32, n_pos_freq=4,
+                           n_dir_freq=2)
+    rcfg, params, o, d, z, target = setup_arch(mcfg, seed=2)
+
+    def loss(params, mcfg, rcfg, o, d, z, target):
+        packed = pack_nerf_params(params, mcfg, jnp.float32)
+        out = fused_render_train(
+            packed, o, d, z, mcfg, rcfg,
+            ray_tile=16, sample_chunk=16, tiles_per_program=1,
+            interpret=True,
+        )
+        return jnp.mean((out - target) ** 2)
+
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lk = float(loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lk, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    gk = jax.grad(loss)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_match(gx, gk)
