@@ -514,13 +514,60 @@ class NeRFTrainer:
             return True
         path = ckpt_lib.latest_checkpoint(self.cfg.checkpoint_path)
         if path is None:
-            return False
+            return self._try_resume_pth()
         params, opt_state, step = ckpt_lib.load_checkpoint(
             path, self.params, self.opt_state
         )
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
         self.start_iter = step + 1
+        return True
+
+    def _try_resume_pth(self) -> bool:
+        """FINE-TUNE fallback: no native checkpoint, but a reference-format
+        .pth in checkpoint_path — convert it and start from its weights
+        (step 0, fresh optimizer; bare state_dicts carry no iteration).
+        With the fused kernels now covering the legacy arch, shipped
+        reference checkpoints fine-tune at kernel speed from the plain
+        training CLI (run with --arch legacy so the model config matches)."""
+        import glob
+        import re
+
+        ckpt_dir = self.cfg.checkpoint_path
+        pth = os.path.join(ckpt_dir, "final_model.pth")
+        if not os.path.exists(pth):
+            cands = glob.glob(os.path.join(ckpt_dir, "model_*.pth"))
+            if not cands:
+                return False
+
+            def step_of(p):
+                m = re.search(r"model_(\d+)\.pth$", p)
+                return int(m.group(1)) if m else -1
+
+            pth = max(cands, key=step_of)
+        from sfm_nerf_tpu.models.convert import convert_pth
+
+        params, mcfg = convert_pth(pth)
+        try:
+            shapes_ok = all(
+                jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                    lambda a, b: np.shape(a) == np.shape(b),
+                    params, self.params,
+                ))
+            )
+        except ValueError:   # different tree structure (arch/hierarchical)
+            shapes_ok = False
+        if not shapes_ok:
+            raise ValueError(
+                f"{pth} serializes a different architecture than the "
+                f"configured model ({mcfg}); pass the matching --arch/"
+                "--n_pos_freq/--hidden_size flags to fine-tune it"
+            )
+        self.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), params)
+        self.opt_state = self.tx.init(self.params)
+        self.start_iter = 0
+        print(f"Fine-tuning from converted {pth}")
         return True
 
     def save(self, step: int, loss: float, final: bool = False) -> str:

@@ -177,3 +177,59 @@ def test_orbax_backend_roundtrip_and_resume(tmp_path):
     # resumed training keeps running
     trainer2.fit(max_iters=16, progress=False)
     assert trainer2._steps_done == 5
+
+
+def test_pth_finetune_resume(tmp_path):
+    """No native checkpoint + a reference-format .pth in checkpoint_path ->
+    try_resume converts it and starts fine-tuning from its weights (step 0,
+    fresh optimizer); a mismatched architecture raises loudly instead of
+    silently training fresh."""
+    import pytest
+
+    from sfm_nerf_tpu.models import init_nerf_params
+    from sfm_nerf_tpu.models.convert import export_legacy_to_pth
+
+    root = make_blender_dataset(str(tmp_path / "data"), n_frames=2,
+                                height=16, width=16)
+    images, poses, cam = load_blender_dataset(root, "train")
+    mcfg = NeRFModelConfig(arch="legacy", hidden=32, n_pos_freq=4,
+                           n_dir_freq=2)
+    cfg = NeRFPipelineConfig(
+        model=mcfg,
+        render=RenderConfig(n_sample=32, near=2.0, far=6.0),
+        train=TrainConfig(n_rays_batch=128, val_every=0),
+        checkpoint_path=os.path.join(str(tmp_path), "ckpt"),
+        load_checkpoint=True,
+    )
+    os.makedirs(cfg.checkpoint_path)
+    src = init_nerf_params(jax.random.key(7), mcfg)
+    export_legacy_to_pth(src, mcfg, os.path.join(cfg.checkpoint_path,
+                                                 "final_model.pth"))
+
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    assert trainer.try_resume()
+    assert trainer.start_iter == 0
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(src)[0],
+        jax.tree_util.tree_flatten_with_path(trainer.params)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-6, atol=1e-7)
+    # and training from the converted weights proceeds
+    trainer.fit(max_iters=3, progress=False)
+
+    # arch mismatch: configured active, .pth is legacy -> loud error
+    cfg_bad = NeRFPipelineConfig(
+        model=NeRFModelConfig(arch="active", hidden=32, n_pos_freq=4,
+                              n_dir_freq=2),
+        render=cfg.render, train=cfg.train,
+        checkpoint_path=cfg.checkpoint_path, load_checkpoint=True,
+    )
+    # remove the npz checkpoints fit() just wrote so the .pth path triggers
+    for f in os.listdir(cfg.checkpoint_path):
+        if f.endswith(".npz"):
+            os.remove(os.path.join(cfg.checkpoint_path, f))
+    trainer_bad = NeRFTrainer(cfg_bad, images, poses, cam.camera_matrix)
+    with pytest.raises(ValueError, match="different architecture"):
+        trainer_bad.try_resume()
