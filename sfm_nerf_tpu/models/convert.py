@@ -95,9 +95,46 @@ def convert_legacy_state_dict(
     return params, cfg
 
 
+def convert_active_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[dict, NeRFModelConfig]:
+    """Map a reference ACTIVE-class state dict (NeRFmodel, NeRFModel.py:
+    101-202 — what the reference's train.py saves for self-trained runs)
+    onto our pytree + config.  Keys: fc1, fc_layers.{0..3}, skip_layer,
+    fc_layers2.{0..2}, density_layer, feature_layer, rgb_layer{1,2}."""
+    hidden = sd["fc1.weight"].shape[0]
+    pos_in = sd["fc1.weight"].shape[1]
+    dir_in = sd["rgb_layer1.weight"].shape[1] - hidden
+    pos_encoding = pos_in != 3
+    n_pos_freq = (pos_in // 3 - 1) // 2 if pos_encoding else 10
+    n_dir_freq = (dir_in // 3 - 1) // 2 if pos_encoding else 4
+
+    params = {"fc1": _wb(sd, "fc1")}
+    for i in range(4):
+        params[f"fc_{i}"] = _wb(sd, f"fc_layers.{i}")
+    params["skip"] = _wb(sd, "skip_layer")
+    for i in range(3):
+        params[f"fc2_{i}"] = _wb(sd, f"fc_layers2.{i}")
+    params["density"] = _wb(sd, "density_layer")
+    params["feature"] = _wb(sd, "feature_layer")
+    params["rgb1"] = _wb(sd, "rgb_layer1")
+    params["rgb2"] = _wb(sd, "rgb_layer2")
+    cfg = NeRFModelConfig(
+        n_pos_freq=n_pos_freq, n_dir_freq=n_dir_freq, hidden=hidden,
+        pos_encoding=pos_encoding, arch="active",
+    )
+    return params, cfg
+
+
 def convert_pth(path: str) -> Tuple[dict, NeRFModelConfig]:
-    """One-call conversion: .pth file -> (params pytree of np arrays, config)."""
-    return convert_legacy_state_dict(load_torch_state_dict(path))
+    """One-call conversion: .pth file -> (params pytree of np arrays, config).
+    Dispatches on the serialized layout: the shipped checkpoints are all
+    legacy Sequential state dicts; self-trained reference checkpoints
+    (train.py's saves) serialize the active class."""
+    sd = load_torch_state_dict(path)
+    if "fc1.weight" in sd:               # active class (plain nn.Linear fc1)
+        return convert_active_state_dict(sd)
+    return convert_legacy_state_dict(sd)
 
 
 def export_legacy_to_pth(
@@ -135,4 +172,31 @@ def export_legacy_to_pth(
     put("density_fc", params["density_fc"])
     put("rgb_fc.0", params["rgb1"])
     put("rgb_fc.2", params["rgb2"])
+    torch.save(sd, path)
+
+
+def export_active_to_pth(params: dict, path: str) -> None:
+    """Our active-arch pytree -> a reference NeRFmodel state dict, loadable
+    by the reference's train.py/test paths (round-trip interop)."""
+    import torch
+
+    def t(a):
+        return torch.from_numpy(
+            np.ascontiguousarray(np.asarray(a, np.float32)))
+
+    def put(sd, prefix, layer):
+        sd[prefix + ".weight"] = t(np.asarray(layer["w"]).T)
+        sd[prefix + ".bias"] = t(layer["b"])
+
+    sd = {}
+    put(sd, "fc1", params["fc1"])
+    for i in range(4):
+        put(sd, f"fc_layers.{i}", params[f"fc_{i}"])
+    put(sd, "skip_layer", params["skip"])
+    for i in range(3):
+        put(sd, f"fc_layers2.{i}", params[f"fc2_{i}"])
+    put(sd, "density_layer", params["density"])
+    put(sd, "feature_layer", params["feature"])
+    put(sd, "rgb_layer1", params["rgb1"])
+    put(sd, "rgb_layer2", params["rgb2"])
     torch.save(sd, path)

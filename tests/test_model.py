@@ -166,3 +166,71 @@ def test_pth_roundtrip_export(tmp_path):
         )
         for k in sd_orig:
             np.testing.assert_array_equal(sd_orig[k], sd_new[k])
+
+
+def test_active_pth_roundtrip_export(tmp_path):
+    """ours -> reference active-class .pth -> ours must be exact, and the
+    converter must dispatch on the active layout automatically."""
+    import os
+
+    from sfm_nerf_tpu.models.convert import convert_pth, export_active_to_pth
+
+    mcfg = NeRFModelConfig(arch="active", hidden=32, n_pos_freq=4,
+                           n_dir_freq=2)
+    src = init_nerf_params(jax.random.key(3), mcfg)
+    out = os.path.join(str(tmp_path), "active.pth")
+    export_active_to_pth(src, out)
+    params, cfg = convert_pth(out)
+    assert cfg.arch == "active" and cfg.hidden == 32
+    assert cfg.n_pos_freq == 4 and cfg.n_dir_freq == 2
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(src)[0],
+        jax.tree_util.tree_flatten_with_path(
+            jax.tree_util.tree_map(jnp.asarray, params))[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la, np.float32),
+                                      np.asarray(lb, np.float32))
+
+
+@requires_reference
+def test_active_export_runs_reference_class(tmp_path):
+    """Our exported active .pth loaded into the reference's ACTUAL NeRFmodel
+    class (Phase2/NeRFModel.py:101) agrees with nerf_apply — interop for
+    self-trained reference checkpoints in the other direction."""
+    import importlib.util
+    import os
+
+    import torch
+
+    from sfm_nerf_tpu.models.convert import export_active_to_pth
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_nerfmodel", "/root/reference/Phase2/NeRFModel.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    mcfg = NeRFModelConfig(arch="active", hidden=32, n_pos_freq=4,
+                           n_dir_freq=2)
+    params = init_nerf_params(jax.random.key(4), mcfg)
+    out = os.path.join(str(tmp_path), "active.pth")
+    export_active_to_pth(params, out)
+
+    model = ref.NeRFmodel(embed_pos_L=4, embed_direction_L=2,
+                          num_channels=32)
+    model.load_state_dict(torch.load(out, weights_only=True))
+    model.eval()
+
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    with torch.no_grad():
+        d_t, rgb_t = model(torch.from_numpy(pos), torch.from_numpy(dirs))
+    d_j, rgb_j = nerf_apply(
+        jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params),
+        jnp.asarray(pos), jnp.asarray(dirs), mcfg)
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
