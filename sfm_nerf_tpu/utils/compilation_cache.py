@@ -11,25 +11,56 @@ dominated by compiles, not compute (PERFORMANCE.md "Full SfM on TPU").
 bench.  Opt out with SFM_NERF_JAX_CACHE=0; point elsewhere with
 SFM_NERF_JAX_CACHE=/path; an explicit JAX_COMPILATION_CACHE_DIR (JAX's
 own env var) always wins and is left untouched.
+
+The cache path is suffixed with a HOST FINGERPRINT (CPU model + feature
+flags): CPU executables are AOT-compiled for the *detected* host features,
+and reloading an entry written on a different machine is a SIGSEGV/SIGILL,
+not an error (observed in-session: the container migrated hosts and every
+jit under test_train segfaulted inside cache deserialization).  A migrated
+container now lands in a fresh subdirectory instead of the poisoned one.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-_DEFAULT = os.path.expanduser("~/.cache/sfm_nerf_tpu/jax")
+_ROOT = os.path.expanduser("~/.cache/sfm_nerf_tpu")
+
+
+def _host_fingerprint() -> str:
+    """Stable id of the host's CPU model + feature flags (the inputs that
+    determine XLA CPU-AOT code generation).  Falls back to platform info
+    where /proc/cpuinfo is unavailable."""
+    text = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    text += line
+                    if text.count("\n") >= 2:
+                        break
+    except OSError:
+        pass
+    if not text:
+        import platform
+
+        text = f"{platform.machine()} {platform.processor()}"
+    return hashlib.sha1(text.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Idempotently point JAX's persistent compilation cache at a local
-    directory.  Returns the directory in effect (None if disabled)."""
+    host-fingerprinted directory.  Returns the directory in effect (None
+    if disabled).  An explicitly-passed/env directory is used verbatim
+    (the caller owns its lifecycle)."""
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return os.environ["JAX_COMPILATION_CACHE_DIR"]
     env = os.environ.get("SFM_NERF_JAX_CACHE")
     if env == "0":
         return None
     if cache_dir is None:
-        cache_dir = env or _DEFAULT
+        cache_dir = env or os.path.join(_ROOT, f"jax-{_host_fingerprint()}")
     import jax
 
     try:
