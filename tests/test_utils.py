@@ -98,3 +98,24 @@ def test_ssim_oracle_and_properties():
     assert float(ssim(jnp.asarray(a), jnp.asarray(worse))) < got
     # grayscale (H, W) input path
     assert float(ssim(jnp.asarray(a[..., 0]), jnp.asarray(a[..., 0]))) > 0.9999
+
+
+def test_compilation_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):
+    """The default cache dir must differ across host CPUs: loading a
+    CPU-AOT cache entry written on another machine is a SIGSEGV, not an
+    error (observed after a container host migration)."""
+    import sfm_nerf_tpu.utils.compilation_cache as cc
+
+    fp = cc._host_fingerprint()
+    assert fp and len(fp) == 12
+    # deterministic on the same host
+    assert cc._host_fingerprint() == fp
+
+    # explicit env dir is used verbatim (caller owns its lifecycle)
+    monkeypatch.setenv("SFM_NERF_JAX_CACHE", str(tmp_path / "explicit"))
+    assert cc.enable_compilation_cache() == str(tmp_path / "explicit")
+    monkeypatch.delenv("SFM_NERF_JAX_CACHE")
+
+    # default path embeds the fingerprint
+    got = cc.enable_compilation_cache()
+    assert got is not None and got.endswith(f"jax-{fp}")
