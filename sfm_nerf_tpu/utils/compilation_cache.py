@@ -53,15 +53,29 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Idempotently point JAX's persistent compilation cache at a local
     host-fingerprinted directory.  Returns the directory in effect (None
     if disabled).  An explicitly-passed/env directory is used verbatim
-    (the caller owns its lifecycle)."""
+    (the caller owns its lifecycle).
+
+    CPU-only processes never enable the DEFAULT cache: the cache exists
+    for the remote-TPU compile cost (minutes/program), CPU compiles are
+    seconds — and this jaxlib's CPU ``executable.serialize()`` can
+    SEGFAULT nondeterministically in long processes (observed twice in
+    full-suite runs, faulthandler pointing at put/get_executable_and_time;
+    a fresh-dir repro of the same test sequence wrote 35 entries fine, so
+    it is state-dependent, not entry corruption).  An explicit
+    SFM_NERF_JAX_CACHE / JAX_COMPILATION_CACHE_DIR still opts in."""
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return os.environ["JAX_COMPILATION_CACHE_DIR"]
     env = os.environ.get("SFM_NERF_JAX_CACHE")
     if env == "0":
         return None
-    if cache_dir is None:
-        cache_dir = env or os.path.join(_ROOT, f"jax-{_host_fingerprint()}")
     import jax
+
+    if cache_dir is None and not env:
+        if jax.default_backend() == "cpu":
+            return None
+        cache_dir = os.path.join(_ROOT, f"jax-{_host_fingerprint()}")
+    elif cache_dir is None:
+        cache_dir = env
 
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -111,11 +111,24 @@ def test_compilation_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):
     # deterministic on the same host
     assert cc._host_fingerprint() == fp
 
-    # explicit env dir is used verbatim (caller owns its lifecycle)
+    # explicit env dir is used verbatim (caller owns its lifecycle),
+    # even on CPU backends
     monkeypatch.setenv("SFM_NERF_JAX_CACHE", str(tmp_path / "explicit"))
     assert cc.enable_compilation_cache() == str(tmp_path / "explicit")
     monkeypatch.delenv("SFM_NERF_JAX_CACHE")
 
-    # default path embeds the fingerprint
-    got = cc.enable_compilation_cache()
-    assert got is not None and got.endswith(f"jax-{fp}")
+    # CPU-only process (this test env): the DEFAULT cache stays off —
+    # jaxlib's CPU executable serialization can segfault in long processes
+    assert cc.enable_compilation_cache() is None
+
+    # on an accelerator backend the default path embeds the fingerprint
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        got = cc.enable_compilation_cache()
+        assert got is not None and got.endswith(f"jax-{fp}")
+    finally:
+        # don't leave the cache enabled for the rest of the suite (the
+        # serialize-segfault hazard this gate exists to avoid)
+        jax.config.update("jax_compilation_cache_dir", None)
