@@ -28,10 +28,12 @@ import os
 _ROOT = os.path.expanduser("~/.cache/sfm_nerf_tpu")
 
 
-def _host_fingerprint() -> str:
+def _host_fingerprint(extra: str = "") -> str:
     """Stable id of the host's CPU model + feature flags (the inputs that
-    determine XLA CPU-AOT code generation).  Falls back to platform info
-    where /proc/cpuinfo is unavailable."""
+    determine XLA CPU-AOT code generation), plus any caller-supplied
+    ``extra`` discriminator (the accelerator runtime build — see
+    ``enable_compilation_cache``).  Falls back to platform info where
+    /proc/cpuinfo is unavailable."""
     text = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -46,7 +48,22 @@ def _host_fingerprint() -> str:
         import platform
 
         text = f"{platform.machine()} {platform.processor()}"
-    return hashlib.sha1(text.encode()).hexdigest()[:12]
+    return hashlib.sha1((text + extra).encode()).hexdigest()[:12]
+
+
+def _backend_version() -> str:
+    """The active backend's runtime build string (libtpu build for TPU) —
+    part of the cache fingerprint because a cached TPU executable
+    AOT-compiled under one libtpu build is rejected (FAILED_PRECONDITION,
+    'client and terminal must use the same libtpu build') or silently
+    divergent under another; rolling libtpu upgrades on the shared
+    terminal are observed in practice (round-1 MULTICHIP artifact)."""
+    try:
+        import jax.extend as jex
+
+        return str(getattr(jex.backend.get_backend(), "platform_version", ""))
+    except Exception:
+        return ""
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
@@ -73,7 +90,9 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     if cache_dir is None and not env:
         if jax.default_backend() == "cpu":
             return None
-        cache_dir = os.path.join(_ROOT, f"jax-{_host_fingerprint()}")
+        cache_dir = os.path.join(
+            _ROOT, f"jax-{_host_fingerprint(_backend_version())}"
+        )
     elif cache_dir is None:
         cache_dir = env
 

@@ -121,13 +121,18 @@ def test_compilation_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):
     # jaxlib's CPU executable serialization can segfault in long processes
     assert cc.enable_compilation_cache() is None
 
-    # on an accelerator backend the default path embeds the fingerprint
+    # on an accelerator backend the default path embeds the fingerprint,
+    # including the backend runtime build (libtpu rolls change it: a
+    # cached executable from another build is rejected or divergent)
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     try:
         got = cc.enable_compilation_cache()
-        assert got is not None and got.endswith(f"jax-{fp}")
+        fp_ver = cc._host_fingerprint(cc._backend_version())
+        assert got is not None and got.endswith(f"jax-{fp_ver}")
+        assert cc._backend_version()  # real backend reports a build string
+        assert fp_ver != fp  # the runtime build participates
     finally:
         # don't leave the cache enabled for the rest of the suite (the
         # serialize-segfault hazard this gate exists to avoid)
