@@ -27,11 +27,38 @@ import numpy as np
 DEFAULT_CPU_BASELINE_RAYS_PER_SEC = 17.5
 
 
+def _init_watchdog(seconds: float):
+    """Abort (with a diagnosis) if backend init hangs.  The tunneled TPU
+    attachment has been observed to wedge so hard that jax.devices()
+    never returns — a bench run must fail loudly in bounded time, not
+    hang the driver.  Returns a cancel() callback."""
+    import sys
+    import threading
+
+    def boom():
+        print(
+            f"bench.py: backend init did not complete within {seconds:.0f}s "
+            "— TPU attachment unreachable (jax.devices() hung). "
+            "No measurement taken.",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
 def main():
+    cancel = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))
     from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    cancel()
 
     from sfm_nerf_tpu.config import (
         NeRFModelConfig, NeRFPipelineConfig, RenderConfig, TrainConfig,
