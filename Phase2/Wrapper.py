@@ -251,5 +251,10 @@ def main(args):
     train_mod.main(t_args)
 
 
-if __name__ == "__main__":
+def cli():
+    """Zero-arg entry point for the packaged `sfm-nerf-render` command."""
     main(configParser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

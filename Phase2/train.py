@@ -279,5 +279,10 @@ def main(args):
         run_test(cfg, images, poses, cam, save_depth=bool(args.save_depth))
 
 
-if __name__ == "__main__":
+def cli():
+    """Zero-arg entry point for the packaged `sfm-nerf-train` command."""
     main(configParser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

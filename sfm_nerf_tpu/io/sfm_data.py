@@ -40,7 +40,19 @@ def _load_native() -> Optional[ctypes.CDLL]:
         srcs = [s for s in (src, src_img) if os.path.exists(s)]
         # a prebuilt .so without sources (packaged install) loads as-is
         newest_src = max(os.path.getmtime(s) for s in srcs) if srcs else 0.0
-        if not os.path.exists(so) or newest_src > os.path.getmtime(so):
+        if not srcs and not os.path.exists(so):
+            # pip-installed layout: setup.py ships the same symbols as
+            # sfm_nerf_tpu/_libmatching_parser.*.so (no sources, no build)
+            import glob
+
+            pkg_dir = os.path.dirname(os.path.dirname(__file__))
+            hits = sorted(
+                glob.glob(os.path.join(pkg_dir, "_libmatching_parser*"))
+            )
+            if not hits:
+                return None
+            so = hits[0]
+        elif not os.path.exists(so) or newest_src > os.path.getmtime(so):
             if not srcs:
                 return None
             try:
