@@ -185,7 +185,11 @@ int64_t parse_matching_dir(const char* folder, int num_images, double* out,
         return;
       }
       double rgb_packed = r * 65536.0 + g * 256.0 + b;
-      if (rows + total > cap) {
+      // rows written this feature = 1 self + max(total-1, 0) matches —
+      // a malformed total <= 0 still writes the self row, so bound by
+      // at least 1 (the old `rows + total` check under-counted there)
+      int64_t need = total > 1 ? total : 1;
+      if (rows + need > cap) {
         files[i].error = true;
         return;
       }
