@@ -16,8 +16,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
-    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_path", default="Phase1/Data",
                         help="folder with 1..N.png, calibration.txt, matching*.txt")
@@ -100,7 +98,16 @@ def main():
     import jax
 
     if args.platform == "cpu":
+        # BEFORE any backend touch: the default platform is the remote
+        # TPU attachment, and initializing it costs seconds (or hangs
+        # outright when the tunnel is wedged) — a CPU run must never
+        # depend on TPU reachability
         jax.config.update("jax_platforms", "cpu")
+    # cache enablement initializes the backend (it asks which platform is
+    # default), so it must come after the platform choice; it is a no-op
+    # on CPU-only processes
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     resolved = jax.devices()[0].platform
     if args.platform == "tpu" and resolved == "cpu":
         raise SystemExit(
