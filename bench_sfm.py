@@ -173,8 +173,6 @@ def bench_pipeline(args):
 
 
 def main():
-    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
-    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="default",
                     choices=["cpu", "default"])
@@ -195,6 +193,16 @@ def main():
     ap.add_argument("--pipe_points", type=int, default=15000)
     ap.add_argument("--pipe_ransac_iters", type=int, default=4000)
     args = ap.parse_args()
+
+    # platform choice must precede the cache hookup: enabling the cache
+    # initializes the backend, and a --platform cpu run must never depend
+    # on (or wait for) the remote TPU attachment
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.ba:
         import jax
