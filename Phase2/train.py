@@ -203,7 +203,10 @@ def run_test(cfg, images, poses, cam, save_depth=False):
                 (depth - cfg.render.near)
                 / max(cfg.render.far - cfg.render.near, 1e-9), 0, 1)
             depth8 = (dn * 255).astype(np.uint8)
-            disp = np.asarray(disp)
+            # zero-weight rays (empty space, exact-0 relu density) carry
+            # disp = 1/eps = 1e10; normalizing by that would crush every
+            # real disparity to black — mask them out first
+            disp = np.where(np.asarray(acc) > 1e-6, np.asarray(disp), 0.0)
             disp8 = (np.clip(disp / max(disp.max(), 1e-9), 0, 1)
                      * 255).astype(np.uint8)
             imageio.imwrite(os.path.join(out_dir, f"test_{i}_depth.png"), depth8)

@@ -66,7 +66,12 @@ def load_blender_dataset(
     json_file = os.path.join(data_path, f"transforms_{mode}.json")
     with open(json_file) as f:
         meta = json.load(f)
-    camera_angle_x = float(meta["camera_angle_x"])
+    # explicit-intrinsics files (fl_x/fl_y/cx/cy, instant-ngp convention /
+    # sfm/to_nerf.py exports) may omit camera_angle_x entirely — only
+    # required on the derive-focal path below
+    camera_angle_x = (
+        float(meta["camera_angle_x"]) if "camera_angle_x" in meta else None
+    )
 
     fps = [
         os.path.join(data_path, frame["file_path"] + ".png")
@@ -111,6 +116,11 @@ def load_blender_dataset(
             dtype=np.float32,
         )
     else:
+        if camera_angle_x is None:
+            raise KeyError(
+                f"{json_file} has neither camera_angle_x nor fl_x/fl_y — "
+                "cannot derive intrinsics"
+            )
         focal = derive_focal(camera_angle_x, width, focal_formula)
         K = np.array(
             [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],

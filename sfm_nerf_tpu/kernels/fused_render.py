@@ -112,8 +112,10 @@ def pack_nerf_params(params, mcfg: NeRFModelConfig, dtype=jnp.bfloat16):
 
 
 def pack_active_params(params, dtype=jnp.bfloat16):
-    """pack_nerf_params for the active arch (the training kernels' only
-    supported arch; kept as their stable entry point)."""
+    """pack_nerf_params specialized to the active arch's default config.
+    Convenience shim (tests use it); production callers pass their real
+    NeRFModelConfig to pack_nerf_params — the kernels support the legacy
+    and no-PE layouts too (_arch_layers)."""
     return pack_nerf_params(params, NeRFModelConfig(arch="active"), dtype)
 
 

@@ -41,16 +41,11 @@ def make_sharded_render_image(
     dp = mesh.shape[axis]
 
     from sfm_nerf_tpu.train.nerf_trainer import (
-        _fused_hierarchical_render, _fused_render_env_ok,
+        _fused_hierarchical_render, _fused_render_routes,
     )
 
-    fused_env = _fused_render_env_ok(cfg)    # same envelope as single-chip
-    use_fused = fused_env and rcfg.n_importance == 0
-    use_fused_hier = (
-        fused_env
-        and rcfg.n_importance > 0
-        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
-    )
+    # same route split as single-chip (one source of truth)
+    use_fused, use_fused_hier = _fused_render_routes(cfg)
 
     def local_render(params, o, d, key):
         if use_fused:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -269,6 +269,24 @@ def _fused_render_env_ok(cfg: NeRFPipelineConfig) -> bool:
     )
 
 
+def _fused_render_routes(cfg: NeRFPipelineConfig) -> Tuple[bool, bool]:
+    """(use_fused, use_fused_hier) for the full-frame renderers — the ONE
+    place the flat-vs-hierarchical route split lives; make_render_image,
+    make_render_image_aux and the sharded renderer must stay in lockstep
+    or single-chip and sharded eval silently diverge."""
+    rcfg = cfg.render
+    env = _fused_render_env_ok(cfg)
+    use_fused = env and rcfg.n_importance == 0
+    use_fused_hier = (
+        env
+        and rcfg.n_importance > 0
+        # the fine pass evaluates the coarse∪fine union, so the merged
+        # sample count must be lane-aligned too
+        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
+    )
+    return use_fused, use_fused_hier
+
+
 def _fused_hierarchical_render(params, o, d, mcfg, rcfg, key):
     """Coarse fused pass (rgb + weights) -> sample_pdf + bitonic merge in
     XLA -> fine fused pass over the union.  Mirrors ops.render's
@@ -304,15 +322,9 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     the {'coarse','fine'} pytree and the fine image is returned."""
     mcfg, rcfg = cfg.model, cfg.render
 
-    fused_env = _fused_render_env_ok(cfg)
-    use_fused = fused_env and rcfg.n_importance == 0
     # hierarchical fused inference: coarse fused pass emits the weight
     # histogram, sample_pdf + bitonic merge run in XLA, fine pass fused
-    use_fused_hier = (
-        fused_env
-        and rcfg.n_importance > 0
-        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
-    )
+    use_fused, use_fused_hier = _fused_render_routes(cfg)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def render_image(params, K, pose, height: int, width: int, key=None):
@@ -362,13 +374,7 @@ def make_render_image_aux(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     depth/disp/acc renders get the same kernel speedup as rgb ones.
     """
     mcfg, rcfg = cfg.model, cfg.render
-    fused_env = _fused_render_env_ok(cfg)
-    use_fused = fused_env and rcfg.n_importance == 0
-    use_fused_hier = (
-        fused_env
-        and rcfg.n_importance > 0
-        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
-    )
+    use_fused, use_fused_hier = _fused_render_routes(cfg)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def render_image_aux(params, K, pose, height: int, width: int, key=None):
@@ -558,6 +564,16 @@ class NeRFTrainer:
         except ValueError:   # different tree structure (arch/hierarchical)
             shapes_ok = False
         if not shapes_ok:
+            if isinstance(self.params, dict) and "coarse" in self.params:
+                # hierarchical configs train a {coarse, fine} pair; a
+                # single-net .pth can never match, whatever flags are
+                # passed — train from scratch rather than abort
+                print(
+                    f"note: ignoring {pth} — it holds one network but "
+                    "--n_importance > 0 trains a coarse/fine pair; "
+                    "starting from scratch"
+                )
+                return False
             raise ValueError(
                 f"{pth} serializes a different architecture than the "
                 f"configured model ({mcfg}); pass the matching --arch/"

@@ -109,6 +109,36 @@ def test_export_holdout_split(tmp_path):
             assert key in meta
 
 
+def test_loader_accepts_intrinsics_only_transforms(tmp_path):
+    """A transforms file with explicit fl_x/fl_y/cx/cy and NO
+    camera_angle_x (instant-ngp convention) must load — camera_angle_x is
+    only required on the derive-focal path."""
+    from util_synthetic import make_blender_dataset
+
+    root = make_blender_dataset(str(tmp_path), n_frames=2, height=16,
+                                width=16, modes=("train",))
+    jf = os.path.join(root, "transforms_train.json")
+    with open(jf) as f:
+        meta = json.load(f)
+    del meta["camera_angle_x"]
+    meta.update(fl_x=20.0, fl_y=21.0, cx=8.0, cy=7.0)
+    with open(jf, "w") as f:
+        json.dump(meta, f)
+    _, _, cam = load_blender_dataset(root, "train")
+    np.testing.assert_allclose(
+        cam.camera_matrix,
+        [[20.0, 0, 8.0], [0, 21.0, 7.0], [0, 0, 1]], atol=0)
+
+    # and with neither convention present, the error names the file
+    del meta["fl_x"]
+    with open(jf, "w") as f:
+        json.dump(meta, f)
+    import pytest
+
+    with pytest.raises(KeyError, match="camera_angle_x"):
+        load_blender_dataset(root, "train")
+
+
 def test_c2w_inverts_world_to_camera():
     scene = make_sfm_scene(n_cams=2, n_points=10, seed=1)
     R, C = scene["Rs"][0], scene["Cs"][0]

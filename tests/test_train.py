@@ -233,3 +233,16 @@ def test_pth_finetune_resume(tmp_path):
     trainer_bad = NeRFTrainer(cfg_bad, images, poses, cam.camera_matrix)
     with pytest.raises(ValueError, match="different architecture"):
         trainer_bad.try_resume()
+
+    # hierarchical config (coarse/fine pair): a single-net .pth can never
+    # match any flag combination -> skipped with a note, scratch training
+    # proceeds (no abort)
+    cfg_hier = NeRFPipelineConfig(
+        model=mcfg,
+        render=RenderConfig(n_sample=32, n_importance=16, near=2.0, far=6.0),
+        train=cfg.train,
+        checkpoint_path=cfg.checkpoint_path, load_checkpoint=True,
+    )
+    trainer_hier = NeRFTrainer(cfg_hier, images, poses, cam.camera_matrix)
+    assert not trainer_hier.try_resume()
+    trainer_hier.fit(max_iters=2, progress=False)
