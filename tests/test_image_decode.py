@@ -64,3 +64,44 @@ def test_blender_loader_native_matches_imageio(tmp_path):
     assert np.array_equal(im_n, im_p)
     assert np.array_equal(poses_n, poses_p)
     assert np.array_equal(cam_n.camera_matrix, cam_p.camera_matrix)
+
+
+@needs_decoder
+def test_decode_palette_16bit_interlaced(tmp_path):
+    """Exotic PNG layouts the Blender loader may meet in the wild:
+    palette-indexed, 16-bit (high byte kept, libpng strip_16), Adam7
+    interlaced, gray+alpha — all normalized to 8-bit RGB like PIL."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    h, w = 24, 32
+    paths, refs = [], []
+
+    pal = Image.fromarray(
+        rng.integers(0, 256, (h, w, 3), np.uint8), "RGB"
+    ).quantize(colors=17)
+    p = str(tmp_path / "palette.png"); pal.save(p)
+    paths.append(p); refs.append(np.asarray(pal.convert("RGB")))
+
+    arr16 = rng.integers(0, 2 ** 16, (h, w), np.uint16)
+    img16 = Image.fromarray(arr16, "I;16")
+    p = str(tmp_path / "gray16.png"); img16.save(p)
+    ref16 = (arr16 >> 8).astype(np.uint8)  # libpng strip_16 keeps hi byte
+    paths.append(p); refs.append(np.repeat(ref16[..., None], 3, axis=-1))
+
+    inter = Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8), "RGB")
+    p = str(tmp_path / "interlaced.png"); inter.save(p, interlace=True)
+    paths.append(p); refs.append(np.asarray(inter))
+
+    la = Image.fromarray(
+        np.dstack([rng.integers(0, 256, (h, w), np.uint8)] * 2).astype(
+            np.uint8
+        ).reshape(h, w, 2), "LA")
+    p = str(tmp_path / "gray_alpha.png"); la.save(p)
+    paths.append(p)
+    refs.append(np.repeat(np.asarray(la)[..., :1], 3, axis=-1))
+
+    out = decode_images_native(paths)
+    assert out is not None and out.shape == (len(paths), h, w, 3)
+    for i, ref in enumerate(refs):
+        assert np.array_equal(out[i], ref), paths[i]

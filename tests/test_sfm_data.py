@@ -98,3 +98,44 @@ def test_parse_matching_table_scale_api(tmp_path):
     for (i, j), arr in md.items():
         sel = m[(m[:, 0] == i) & (m[:, 1] == j)]
         np.testing.assert_array_equal(sel[:, [2, 3, 4, 5, 6]], arr)
+
+
+def test_native_matches_python_fuzz(tmp_path):
+    """Property fuzz: 30 random matching trees (variable feature counts,
+    match fan-outs, float formats, blank lines, trailing whitespace, a
+    whole missing file) parse identically through C++ and Python."""
+    if _load_native() is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        root = str(tmp_path / f"t{trial}")
+        os.makedirs(root)
+        n_imgs = int(rng.integers(2, 6))
+        skip = int(rng.integers(1, n_imgs)) if trial % 5 == 0 else 0
+        for i in range(1, n_imgs):
+            if i == skip:
+                continue          # missing matching file: skipped by both
+            lines = []
+            n_feat = int(rng.integers(0, 8))
+            for _ in range(n_feat):
+                n_match = int(rng.integers(0, n_imgs - i + 1))
+                js = rng.choice(
+                    np.arange(i + 1, n_imgs + 1), n_match, replace=False)
+                row = [str(n_match + 1)]
+                row += [str(int(c)) for c in rng.integers(0, 256, 3)]
+                fmt = ("%.1f", "%.6f", "%g")[trial % 3]
+                row += [fmt % v for v in rng.uniform(0, 800, 2)]
+                for j in js:
+                    row.append(str(int(j)))
+                    row += [fmt % v for v in rng.uniform(0, 800, 2)]
+                sep = "  " if trial % 4 == 0 else " "
+                lines.append(sep.join(row) + (" " if trial % 7 == 0 else ""))
+            body = "\n".join(lines)
+            if trial % 6 == 0:
+                body += "\n"      # trailing newline variants
+            with open(os.path.join(root, f"matching{i}.txt"), "w") as f:
+                f.write(f"nFeatures: {n_feat}\n" + body)
+        py = parse_matching_files(root, n_imgs, use_native=False)
+        nat = _parse_matching_files_native(root, n_imgs)
+        assert nat is not None, f"native parse failed on trial {trial}"
+        assert_same(py, nat)
