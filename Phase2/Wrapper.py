@@ -65,6 +65,10 @@ def configParser():
                              "plot_rays, Wrapper.py:428-442,494, calls "
                              "plt.show() which blocks headless runs — same "
                              "fix as display_matches: save, don't show)")
+    parser.add_argument('--platform', default='default',
+                        choices=['default', 'cpu'],
+                        help="'cpu' forces the host CPU backend (see "
+                             "Phase2/train.py --platform)")
     parser.add_argument('--modern_schedule', action='store_true',
                         help="use train.py's StepLR(50000, 0.1) instead of "
                              "this legacy loop's StepLR(1000, 0.1) "
@@ -123,11 +127,19 @@ def run_gif(args):
     height, width = images.shape[1], images.shape[2]
 
     # reference parity: checkpoint_path gets the dataset name appended
-    # (Wrapper.py:521-522); fall back to the raw path if the joined one is
-    # empty so explicitly-passed leaf directories also work
-    model_name = args.data_path.rstrip("/").split("/")[-1]
-    ckpt_dir = os.path.join(args.checkpoint_path, model_name)
-    path, kind = load_any_checkpoint(ckpt_dir)
+    # (Wrapper.py:521-522 — split("/")[-2], which assumes a trailing
+    # slash).  Try the reference rule first so gif finds what train.py
+    # (same rule, train.py:781) just wrote, then the sensible
+    # trailing-slash-agnostic name, then the raw path for explicitly
+    # passed leaf directories.
+    names = [args.data_path.split("/")[-2] if args.data_path.count("/")
+             else "", args.data_path.rstrip("/").split("/")[-1]]
+    path = kind = None
+    for model_name in dict.fromkeys(n for n in names if n):
+        path, kind = load_any_checkpoint(
+            os.path.join(args.checkpoint_path, model_name))
+        if path is not None:
+            break
     if path is None:
         path, kind = load_any_checkpoint(args.checkpoint_path)
     if path is None:
@@ -218,6 +230,11 @@ def run_gif(args):
 
 
 def main(args):
+    if getattr(args, "platform", "default") == "cpu":
+        # before any backend touch — a CPU run must never wait on the TPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     print("Loading data...")

@@ -89,6 +89,14 @@ def configParser():
                              "(test_{i}_{depth,disp,acc}.png; no reference "
                              "analog — its renderer returns rgb only)")
     parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--platform', default='default',
+                        choices=['default', 'cpu'],
+                        help="'default' uses the best available backend "
+                             "(TPU when attached); 'cpu' forces the host "
+                             "CPU — the reference's no-GPU fallback "
+                             "(train.py:15), and the only way to run "
+                             "off-TPU here because the container selects "
+                             "the TPU programmatically")
     return parser
 
 
@@ -254,6 +262,12 @@ def run_test(cfg, images, poses, cam, save_depth=False):
 
 
 def main(args):
+    if getattr(args, "platform", "default") == "cpu":
+        # before any backend touch (the cache hookup below initializes
+        # one): a CPU run must never depend on TPU reachability
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     print("Loading data...")

@@ -308,3 +308,31 @@ def test_run_test_save_depth_emits_aux_maps(tmp_path):
         assert os.path.exists(os.path.join(out, name)), name
     depth = imageio.imread(os.path.join(out, "test_0_depth.png"))
     assert depth.shape == (16, 16)
+
+
+def test_platform_flag_and_ckpt_name_conventions(tmp_path):
+    """--platform cpu exists on both Phase2 CLIs (the only off-TPU escape
+    hatch, since the container selects the TPU programmatically), and the
+    gif loader finds checkpoints written under train.py's reference
+    naming rule (data_path.split('/')[-2], which assumes a trailing
+    slash) as well as the slash-agnostic leaf name."""
+    mod = load_module("Phase2/train.py")
+    args = mod.configParser().parse_args([])
+    assert args.platform == "default"
+    wmod = load_module("Phase2/Wrapper.py")
+    wargs = wmod.configParser().parse_args(["--platform", "cpu"])
+    assert wargs.platform == "cpu"
+
+    # train.py with data_path /x/scene (no trailing slash) writes under
+    # checkpoint_path/x per the reference quirk; the gif loader must look
+    # there too, not only under .../scene
+    import numpy as np
+
+    ck = tmp_path / "ck" / "x"          # [-2] of "/x/scene" is "x"
+    os.makedirs(ck)
+    np.savez(ck / "model_5.ckpt.npz", step=5)
+    for name in ("x", "scene"):
+        p, kind = wmod.load_any_checkpoint(str(tmp_path / "ck" / name))
+        if p is not None:
+            break
+    assert p is not None and p.endswith("model_5.ckpt.npz")
