@@ -28,6 +28,13 @@ CHECKPOINTS = {
     "chair": "/root/reference/Phase2/checkpoints/chair/final_model.pth",
     "no_pe": "/root/reference/Phase2/checkpoints_no_pos_encoding/final_model.pth",
 }
+# The third shipped family (checkpoints_tmp/lego/model_*.pth) is NOT gated:
+# measured, model_65000 renders ~black from every sensible gif camera
+# (max pixel 0.02 at {near,far,radius} = {2,6,4}, {1,10,4}, {1,10,6}) — a
+# degenerate mid-training artifact (it sits in a "_tmp" dir and the legacy
+# schedule collapses lr after ~3k steps), so a golden on it cannot
+# distinguish a correct render from a broken one.  convert/fine-tune of the
+# model_*.pth layout is covered by test_model/test_train instead.
 CAMERA_ANGLE_X = 0.6911112070083618      # lego/chair nerf_synthetic intrinsics
 
 
