@@ -76,7 +76,7 @@ class RenderConfig:
     variant: str = "train"        # 'train' | 'legacy'
     white_background: bool = False
     # fused Pallas render kernel for full-frame renders (active arch,
-    # n_sample % 128 == 0, n_importance == 0; 1.36x the XLA path on v5e)
+    # any n_sample via exact no-op sample padding; 1.36x+ the XLA path on v5e)
     use_fused_kernel: bool = False
     # training fast path: merged fwd+bwd step kernel (one launch, no
     # backward recompute — the MSE cotangent is computed in-kernel).

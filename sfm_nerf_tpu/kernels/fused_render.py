@@ -111,6 +111,36 @@ def pack_nerf_params(params, mcfg: NeRFModelConfig, dtype=jnp.bfloat16):
     return tuple(packed)
 
 
+def pad_sample_axis(z, sample_chunk, tail):
+    """Pad the per-ray sample axis to a ``sample_chunk`` multiple so ANY
+    n_sample runs through the lane-aligned kernels (the alternative is a
+    4x-slower XLA fallback for e.g. --n_sample 192).
+
+    Returns (z_padded, dists_padded, n_sample_real).  Pads duplicate the
+    last z (keeps per-ray sortedness AND stays inside fast_sin's
+    Cody-Waite phase envelope) and get dists == 0, so for every
+    compositor variant alpha = 1 - exp(-sigma*0) == 0 EXACTLY: padded
+    samples contribute nothing to rgb/weights/transmittance, and the
+    backward's d(alpha)/d(sigma) = dist * exp(...) == 0 kills their
+    gradient flow — bit-identical to the unpadded computation.  The last
+    REAL sample keeps the reference tail dist (train.py:246-247 1e-3 /
+    Wrapper.py:161-162 1.0), which a naive diff over padded z would lose.
+    """
+    n_real = z.shape[1]
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], tail)], axis=1
+    )
+    pad_s = (-n_real) % sample_chunk
+    if pad_s:
+        z = jnp.concatenate(
+            [z, jnp.broadcast_to(z[:, -1:], (z.shape[0], pad_s))], axis=1
+        )
+        dists = jnp.concatenate(
+            [dists, jnp.zeros((dists.shape[0], pad_s), dists.dtype)], axis=1
+        )
+    return z, dists, n_real
+
+
 def pack_active_params(params, dtype=jnp.bfloat16):
     """pack_nerf_params specialized to the active arch's default config.
     Convenience shim (tests use it); production callers pass their real
@@ -413,8 +443,6 @@ def _fused_render_impl(
     ray_tile, sample_chunk, tiles_per_program, interpret, emit_weights,
 ):
     n = origins.shape[0]
-    n_sample = z_vals.shape[1]
-    assert n_sample % sample_chunk == 0
     if not interpret:
         assert sample_chunk % 128 == 0, "TPU lane alignment"
     if rcfg.white_background and rcfg.variant != "train":
@@ -423,18 +451,18 @@ def _fused_render_impl(
             "weight telescoping (acc == 1 - T_final); the legacy inclusive "
             "weights don't telescope — use the XLA path"
         )
+    # sample-axis pad first (zero-dist duplicates: exact no-ops, see
+    # pad_sample_axis), then the ray-axis pad to the grid block
+    tail = 1e-3 if rcfg.variant == "train" else 1.0
+    z_vals, dists, n_sample_real = pad_sample_axis(z_vals, sample_chunk, tail)
+    n_sample = z_vals.shape[1]
     block = ray_tile * tiles_per_program
     n_progs = (n + block - 1) // block
     pad = n_progs * block - n
     o = jnp.pad(origins, ((0, pad), (0, 0)))
     d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
     z = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
-    # dists tail pad: 1e-3 for the train variant (train.py:246-247),
-    # 1.0 for the legacy/gif variant (Wrapper.py:161-162)
-    tail = 1e-3 if rcfg.variant == "train" else 1.0
-    dists = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], tail)], axis=1
-    )
+    dists = jnp.pad(dists, ((0, pad), (0, 0)))
 
     if mcfg.pos_encoding:
         check_fast_sin_envelope(mcfg)
@@ -497,7 +525,9 @@ def _fused_render_impl(
         *packed_params,
     )
     if emit_weights:
-        return out[0][:n], out[1][:n]
+        # padded sample columns carry exactly-zero weights; trim them so
+        # consumers (sample_pdf mids over the CALLER's z) see the real width
+        return out[0][:n], out[1][:n, :n_sample_real]
     return out[:n]
 
 

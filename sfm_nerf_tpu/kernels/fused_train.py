@@ -51,6 +51,7 @@ from sfm_nerf_tpu.kernels.fused_render import (
     _arch_layers,
     check_fast_sin_envelope,
     fast_sin,
+    pad_sample_axis,
     pe_trig_matrices_ext,
     tri_inclusive,
 )
@@ -544,13 +545,19 @@ def _make_bwd_kernel(mcfg, rcfg, ray_tile, sample_chunk, n_sample,
 
 
 def _common_prep(origins, directions, z_vals, rcfg, ray_tile,
-                 tiles_per_program):
+                 tiles_per_program, sample_chunk):
     # kernels are f32 throughout; coerce here so callers under x64 (tests)
     # or a f64 sample_pdf don't trip the VMEM ref dtype check
     origins = origins.astype(f32)
     directions = directions.astype(f32)
     z_vals = z_vals.astype(f32)
     n = origins.shape[0]
+    # sample-axis pad to the chunk multiple: zero-dist duplicate samples
+    # are exact no-ops in forward AND backward (pad_sample_axis), so any
+    # --n_sample runs in-kernel instead of the 4x-slower XLA fallback
+    tail = 1e-3 if rcfg.variant == "train" else 1.0
+    z_vals, dists, n_sample_real = pad_sample_axis(
+        z_vals, sample_chunk, tail)
     n_sample = z_vals.shape[1]
     block = ray_tile * tiles_per_program
     n_progs = (n + block - 1) // block
@@ -559,11 +566,8 @@ def _common_prep(origins, directions, z_vals, rcfg, ray_tile,
     d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=0.0)
     d = d.at[n:, 2].set(1.0) if pad else d
     z = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
-    tail = 1e-3 if rcfg.variant == "train" else 1.0
-    dists = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], tail)], axis=1
-    )
-    return o, d, z, dists, n, n_progs, block, n_sample
+    dists = jnp.pad(dists, ((0, pad), (0, 0)))
+    return o, d, z, dists, n, n_progs, block, n_sample, n_sample_real
 
 
 @functools.partial(
@@ -574,8 +578,9 @@ def _common_prep(origins, directions, z_vals, rcfg, ray_tile,
 def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
                      ray_tile=16, sample_chunk=128, tiles_per_program=8,
                      interpret=False):
-    o, d, z, dists, n, n_progs, block, n_sample = _common_prep(
-        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
+    o, d, z, dists, n, n_progs, block, n_sample, _ = _common_prep(
+        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program,
+        sample_chunk)
     n_chunks = n_sample // sample_chunk
     assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
     (pe_mat, pe_phase), (d_mat, d_phase) = _pe_mats(mcfg)
@@ -609,8 +614,9 @@ def _fused_train_fwd(packed, origins, directions, z_vals, mcfg, rcfg,
 def _fused_train_bwd(packed, origins, directions, z_vals, tb, g, mcfg, rcfg,
                      ray_tile=16, sample_chunk=128, tiles_per_program=8,
                      interpret=False):
-    o, d, z, dists, n, n_progs, block, n_sample = _common_prep(
-        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
+    o, d, z, dists, n, n_progs, block, n_sample, _ = _common_prep(
+        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program,
+        sample_chunk)
     n_chunks = n_sample // sample_chunk
     g_pad = jnp.pad(g, ((0, n_progs * block - n), (0, 0)))
     (pe_mat, pe_phase), (d_mat, d_phase) = _pe_mats(mcfg)
@@ -818,8 +824,9 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
                      tiles_per_program=16, vmem_mb=100, interpret=False,
                      emit_weights=False):
     """One launch: (rgb[, weights], grads-wrt-packed) for the MSE objective."""
-    o, d, z, dists, n, n_progs, block, n_sample = _common_prep(
-        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program)
+    o, d, z, dists, n, n_progs, block, n_sample, n_sample_real = _common_prep(
+        origins, directions, z_vals, rcfg, ray_tile, tiles_per_program,
+        sample_chunk)
     n_chunks = n_sample // sample_chunk
     assert n_chunks <= 8, "chunk loop is unrolled; keep n_sample/sample_chunk small"
     pad_n = n_progs * block - n
@@ -870,7 +877,9 @@ def _fused_step_impl(packed, origins, directions, z_vals, target,
     )(o, d, z, dists, t, wcol, jnp.asarray(pe_mat), jnp.asarray(pe_phase),
       jnp.asarray(d_mat), jnp.asarray(d_phase), jnp.asarray(tri_h), *packed)
     if emit_weights:
-        return rgb[:n], rest[0][:n], tuple(rest[1:])
+        # padded sample columns carry exactly-zero weights; trim to the
+        # caller's real sample width (sample_pdf mids use the caller's z)
+        return rgb[:n], rest[0][:n, :n_sample_real], tuple(rest[1:])
     return rgb[:n], tuple(rest)
 
 

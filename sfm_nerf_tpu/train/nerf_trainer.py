@@ -56,26 +56,26 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     config; outside it make_loss_fn silently falls back to the XLA autodiff
     path.  Envelope: active OR legacy arch (the shipped-checkpoint layout
     — converted .pth nets fine-tune through the kernel; the no-PE ablation
-    runs with zero trig columns), sample count a multiple of the kernel's
-    128-sample chunk, 'train' compositor (white background — our standard-NeRF
-    ADDITION, absent in the reference compositor — supported: the kernels
-    accumulate the weight sum and shift the compositing cotangent by
-    -sum(g)), accelerator backend.  Hierarchical
-    sampling (n_importance > 0) is covered by the MERGED step kernel when
-    the fine pass's n_sample + n_importance is also a 128 multiple (coarse
-    kernel emits the weight histogram, sample_pdf + sort run in XLA between
-    the two kernel launches)."""
+    runs with zero trig columns), ANY sample count (non-multiples of the
+    128-sample chunk are padded with exact no-op samples,
+    fused_render.pad_sample_axis), 'train' compositor (white background —
+    our standard-NeRF ADDITION, absent in the reference compositor —
+    supported: the kernels accumulate the weight sum and shift the
+    compositing cotangent by -sum(g)), accelerator backend.  Hierarchical
+    sampling (n_importance > 0) is covered by the MERGED step kernel
+    (coarse kernel emits the weight histogram, sample_pdf + sort run in
+    XLA between the two kernel launches)."""
     mcfg, rcfg = cfg.model, cfg.render
     chunk = rcfg.fused_sample_chunk
-    # the kernels unroll the chunk loop statically (fused_train.py asserts
-    # n_chunks <= 8) — configs beyond that must fall back, not crash
-    chunks_ok = (
-        rcfg.n_sample % chunk == 0 and rcfg.n_sample // chunk <= 8
-    )
+    # non-multiple sample counts are padded to the chunk multiple with
+    # exact no-op samples (pad_sample_axis) — only the unrolled chunk-loop
+    # cap remains (fused_train.py asserts n_chunks <= 8); configs beyond
+    # it must fall back, not crash
+    ceil_chunks = lambda s: -(-s // chunk)
+    chunks_ok = ceil_chunks(rcfg.n_sample) <= 8
     hier_ok = rcfg.n_importance == 0 or (
         rcfg.fused_merged_step
-        and (rcfg.n_sample + rcfg.n_importance) % chunk == 0
-        and (rcfg.n_sample + rcfg.n_importance) // chunk <= 8
+        and ceil_chunks(rcfg.n_sample + rcfg.n_importance) <= 8
     )
     return (
         rcfg.use_fused_kernel
@@ -252,7 +252,8 @@ def make_multi_train_step(
 def _fused_render_env_ok(cfg: NeRFPipelineConfig) -> bool:
     """Shared fused-INFERENCE envelope (make_render_image[_aux]): both
     archs (active + the legacy layout every shipped reference .pth
-    serializes), both compositor variants, n_sample lane-aligned, PE
+    serializes), both compositor variants, any n_sample (padded to the
+    128-lane chunk with exact no-op samples), PE
     frequencies inside fast_sin's Cody-Waite range (the no-PE ablation has
     no trig phases at all), white background only where weights telescope
     ('train' variant), and a real accelerator backend (CPU falls back to
@@ -261,7 +262,8 @@ def _fused_render_env_ok(cfg: NeRFPipelineConfig) -> bool:
     return (
         rcfg.use_fused_kernel
         and mcfg.arch in ("active", "legacy")
-        and rcfg.n_sample % 128 == 0
+        # any n_sample: non-multiples are padded with exact no-op samples
+        # (pad_sample_axis) to the 128-lane chunk
         and (not mcfg.pos_encoding
              or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
         and not (rcfg.white_background and rcfg.variant != "train")
@@ -277,13 +279,9 @@ def _fused_render_routes(cfg: NeRFPipelineConfig) -> Tuple[bool, bool]:
     rcfg = cfg.render
     env = _fused_render_env_ok(cfg)
     use_fused = env and rcfg.n_importance == 0
-    use_fused_hier = (
-        env
-        and rcfg.n_importance > 0
-        # the fine pass evaluates the coarse∪fine union, so the merged
-        # sample count must be lane-aligned too
-        and (rcfg.n_sample + rcfg.n_importance) % 128 == 0
-    )
+    # the fine pass's coarse∪fine union is sample-padded like everything
+    # else (pad_sample_axis), so no alignment condition remains here
+    use_fused_hier = env and rcfg.n_importance > 0
     return use_fused, use_fused_hier
 
 

@@ -115,8 +115,14 @@ def test_fused_flag_reaches_training_with_envelope_fallback():
             return nt.fused_train_supported(
                 dataclasses.replace(cfg, render=rcfg))
         assert engaged(cfg.render)
-        assert not engaged(dataclasses.replace(cfg.render, n_importance=64))
-        assert not engaged(dataclasses.replace(cfg.render, n_sample=192))
+        # non-128-multiples are IN the envelope since sample padding
+        # (pad_sample_axis appends exact no-op samples)
+        assert engaged(dataclasses.replace(cfg.render, n_sample=192))
+        assert engaged(dataclasses.replace(cfg.render, n_importance=64))
+        # the unrolled chunk loop still caps total samples at 8 chunks
+        assert not engaged(dataclasses.replace(cfg.render, n_sample=2000))
+        assert not engaged(
+            dataclasses.replace(cfg.render, n_sample=900, n_importance=200))
         assert not engaged(dataclasses.replace(cfg.render, variant="legacy"))
         # white background is INSIDE the envelope (kernels composite the
         # background term and its cotangent since round 2)

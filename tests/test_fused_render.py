@@ -411,3 +411,41 @@ def test_render_image_aux_fused_interpret(monkeypatch):
     for a, b in zip(out_f, out_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-3)
+
+
+@pytest.mark.parametrize("variant", ["train", "legacy"])
+def test_fused_kernel_sample_padding(variant):
+    """n_sample NOT a chunk multiple: zero-dist duplicate padding must be
+    an exact no-op for BOTH compositor variants, and the weights output
+    must come back trimmed to the caller's width."""
+    from sfm_nerf_tpu.kernels.fused_render import fused_render_rays_weights
+    from sfm_nerf_tpu.ops.render import composite
+
+    mcfg = NeRFModelConfig(arch="active", hidden=32, n_pos_freq=4,
+                           n_dir_freq=2)
+    rcfg = RenderConfig(n_sample=24, near=2.0, far=6.0, perturb=False,
+                        variant=variant)                # 24 % 16 != 0
+    params = init_nerf_params(jax.random.key(0), mcfg)
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), params)
+    rng = np.random.default_rng(3)
+    n_rays = 32
+    o = jnp.asarray(rng.uniform(-1, 1, (n_rays, 3)), jnp.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = stratified_samples(None, n_rays, rcfg).astype(jnp.float32)
+
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    expected, w_xla, _ = composite(density, rgb, z, rcfg)
+
+    packed = pack_active_params(params, dtype=jnp.float32)
+    out, w = fused_render_rays_weights(
+        packed, o, d, z, mcfg, rcfg,
+        ray_tile=32, sample_chunk=16, tiles_per_program=1, interpret=True,
+    )
+    assert w.shape == z.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_xla),
+                               rtol=5e-4, atol=1e-6)

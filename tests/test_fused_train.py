@@ -397,3 +397,42 @@ def test_recompute_path_legacy_arch_grads_match_xla():
     gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
     gk = jax.grad(loss)(params, mcfg, rcfg, o, d, z, target)
     _assert_grads_match(gx, gk)
+
+
+def test_sample_padding_matches_xla():
+    """n_sample NOT a chunk multiple: pad_sample_axis appends zero-dist
+    duplicate samples, which must be EXACT no-ops — loss and grads equal
+    the unpadded XLA computation (merged AND recompute kernels)."""
+    mcfg, rcfg, params, o, d, z, target = setup(n_sample=24)  # 24 % 16 != 0
+    lx = float(xla_loss(params, mcfg, rcfg, o, d, z, target))
+    lm = float(merged_loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lm, lx, rtol=1e-4)
+    lk = float(kernel_loss(params, mcfg, rcfg, o, d, z, target))
+    np.testing.assert_allclose(lk, lx, rtol=1e-4)
+    gx = jax.grad(xla_loss)(params, mcfg, rcfg, o, d, z, target)
+    gm = jax.grad(merged_loss)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_close(gx, gm)
+    gk = jax.grad(kernel_loss)(params, mcfg, rcfg, o, d, z, target)
+    _assert_grads_close(gx, gk)
+
+
+def test_sample_padding_hierarchical_weights_width():
+    """The coarse kernel's emitted weights must come back at the CALLER's
+    sample width (pad columns trimmed) and equal the XLA compositor's
+    weights, so sample_pdf sees the same histogram either way."""
+    from sfm_nerf_tpu.kernels.fused_train import fused_mse_loss_weights
+    from sfm_nerf_tpu.ops.render import composite
+
+    mcfg, rcfg, params, o, d, z, target = setup(n_sample=24)
+    packed = pack_active_params(params, jnp.float32)
+    loss, w = fused_mse_loss_weights(
+        packed, o, d, z, target, mcfg, rcfg,
+        ray_tile=16, sample_chunk=16, tiles_per_program=1, interpret=True,
+    )
+    assert w.shape == z.shape
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    density, rgb = nerf_apply(params, pts, dirs, mcfg)
+    _, w_xla, _ = composite(density, rgb, z, rcfg)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_xla),
+                               rtol=5e-4, atol=1e-6)
