@@ -66,16 +66,23 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     (coarse kernel emits the weight histogram, sample_pdf + sort run in
     XLA between the two kernel launches)."""
     mcfg, rcfg = cfg.model, cfg.render
-    chunk = rcfg.fused_sample_chunk
+    # gate on the chunk the SELECTED path actually runs: the two-kernel
+    # recompute path hardcodes its 128-sample chunk (make_loss_fn's VMEM
+    # budget note), so fused_sample_chunk only governs the merged step —
+    # gating on it here would admit configs the recompute kernels then
+    # assert on at trace time instead of falling back
+    chunk = rcfg.fused_sample_chunk if rcfg.fused_merged_step else 128
     # non-multiple sample counts are padded to the chunk multiple with
-    # exact no-op samples (pad_sample_axis) — only the unrolled chunk-loop
-    # cap remains (fused_train.py asserts n_chunks <= 8); configs beyond
-    # it must fall back, not crash
-    ceil_chunks = lambda s: -(-s // chunk)
-    chunks_ok = ceil_chunks(rcfg.n_sample) <= 8
+    # exact no-op samples (pad_sample_axis) — the unrolled chunk-loop cap
+    # remains (fused_train.py asserts n_chunks <= 8), and the PAD RATIO
+    # is bounded: padded samples run the full MLP, so padding eats into
+    # the kernel's ~3.2x training advantage — beyond 3x the XLA fallback
+    # wins (e.g. --n_sample 32 would pad to 128 = 4x the work)
+    padded = lambda s: -(-s // chunk) * chunk
+    ok = lambda s: padded(s) // chunk <= 8 and padded(s) <= 3 * s
+    chunks_ok = ok(rcfg.n_sample)
     hier_ok = rcfg.n_importance == 0 or (
-        rcfg.fused_merged_step
-        and ceil_chunks(rcfg.n_sample + rcfg.n_importance) <= 8
+        rcfg.fused_merged_step and ok(rcfg.n_sample + rcfg.n_importance)
     )
     return (
         rcfg.use_fused_kernel
@@ -249,11 +256,19 @@ def make_multi_train_step(
     return multi_step
 
 
+def _pad_ratio_ok(n_sample: int, num: int, den: int) -> bool:
+    """True when padding ``n_sample`` to the 128-lane chunk keeps
+    padded/real <= num/den (integer arithmetic — e.g. 192 -> 256 is
+    exactly 4/3 and must pass the inference gate)."""
+    padded = -(-n_sample // 128) * 128
+    return den * padded <= num * n_sample
+
+
 def _fused_render_env_ok(cfg: NeRFPipelineConfig) -> bool:
     """Shared fused-INFERENCE envelope (make_render_image[_aux]): both
     archs (active + the legacy layout every shipped reference .pth
-    serializes), both compositor variants, any n_sample (padded to the
-    128-lane chunk with exact no-op samples), PE
+    serializes), both compositor variants, any n_sample whose no-op pad
+    to the 128-lane chunk stays within the kernel's speed margin, PE
     frequencies inside fast_sin's Cody-Waite range (the no-PE ablation has
     no trig phases at all), white background only where weights telescope
     ('train' variant), and a real accelerator backend (CPU falls back to
@@ -262,8 +277,12 @@ def _fused_render_env_ok(cfg: NeRFPipelineConfig) -> bool:
     return (
         rcfg.use_fused_kernel
         and mcfg.arch in ("active", "legacy")
-        # any n_sample: non-multiples are padded with exact no-op samples
-        # (pad_sample_axis) to the 128-lane chunk
+        # any n_sample runs (non-multiples padded with exact no-op samples,
+        # pad_sample_axis) but the PAD RATIO must stay inside the render
+        # kernel's ~1.36x advantage over XLA: padded samples run the full
+        # MLP, so beyond 4/3 padding the fused route is net SLOWER (e.g.
+        # --n_sample 64 pads to 128 = 2x the work = ~0.68x XLA)
+        and _pad_ratio_ok(rcfg.n_sample, 4, 3)
         and (not mcfg.pos_encoding
              or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
         and not (rcfg.white_background and rcfg.variant != "train")
@@ -280,8 +299,13 @@ def _fused_render_routes(cfg: NeRFPipelineConfig) -> Tuple[bool, bool]:
     env = _fused_render_env_ok(cfg)
     use_fused = env and rcfg.n_importance == 0
     # the fine pass's coarse∪fine union is sample-padded like everything
-    # else (pad_sample_axis), so no alignment condition remains here
-    use_fused_hier = env and rcfg.n_importance > 0
+    # else (pad_sample_axis); its pad ratio must hold the same net-speedup
+    # bound as the env gate's coarse width
+    use_fused_hier = (
+        env
+        and rcfg.n_importance > 0
+        and _pad_ratio_ok(rcfg.n_sample + rcfg.n_importance, 4, 3)
+    )
     return use_fused, use_fused_hier
 
 

@@ -123,6 +123,18 @@ def test_fused_flag_reaches_training_with_envelope_fallback():
         assert not engaged(dataclasses.replace(cfg.render, n_sample=2000))
         assert not engaged(
             dataclasses.replace(cfg.render, n_sample=900, n_importance=200))
+        # pad-overhead bound: padded/real > 3 means the padded MLP work
+        # eats the whole fused-training advantage — XLA must win
+        assert engaged(dataclasses.replace(cfg.render, n_sample=64))
+        assert not engaged(dataclasses.replace(cfg.render, n_sample=32))
+        # the two-kernel recompute path hardcodes its 128-sample chunk, so
+        # a bigger fused_sample_chunk must not admit configs that path's
+        # kernels assert on at trace time (1100 -> 9 chunks of 128)
+        assert not engaged(dataclasses.replace(
+            cfg.render, fused_merged_step=False, fused_sample_chunk=256,
+            n_sample=1100))
+        assert engaged(dataclasses.replace(
+            cfg.render, fused_sample_chunk=256, n_sample=1100))
         assert not engaged(dataclasses.replace(cfg.render, variant="legacy"))
         # white background is INSIDE the envelope (kernels composite the
         # background term and its cotangent since round 2)
@@ -138,6 +150,37 @@ def test_fused_flag_reaches_training_with_envelope_fallback():
         jax.default_backend = orig
     # on the CPU test backend the envelope always rejects
     assert not nt.fused_train_supported(cfg)
+
+
+def test_fused_render_route_pad_ratio_gate():
+    """Inference routes only take the fused kernel while the sample pad
+    keeps padded/real <= 4/3 — the render kernel's advantage over XLA is
+    ~1.36x, so heavier padding would make eval renders net SLOWER."""
+    import dataclasses
+
+    import jax
+
+    from sfm_nerf_tpu.train import nerf_trainer as nt
+
+    mod = load_module("Phase2/train.py")
+    cfg = mod.build_config(mod.configParser().parse_args(["--fused"]))
+    orig = jax.default_backend
+    jax.default_backend = lambda: "tpu"
+    try:
+        def routes(**kw):
+            return nt._fused_render_routes(dataclasses.replace(
+                cfg, render=dataclasses.replace(cfg.render, **kw)))
+        assert routes(n_sample=256) == (True, False)
+        assert routes(n_sample=192) == (True, False)   # exactly 4/3: in
+        assert routes(n_sample=64) == (False, False)   # 2x padding: out
+        # hierarchical: the fine pass's union width holds the same bound
+        assert routes(n_sample=256, n_importance=128) == (False, True)
+        assert routes(n_sample=256, n_importance=32)[1]   # 288 -> 384: 4/3
+        assert not routes(n_sample=256, n_importance=16)[1]  # 272 -> 384
+        # ... and a too-padded coarse width kills both routes
+        assert routes(n_sample=64, n_importance=64) == (False, False)
+    finally:
+        jax.default_backend = orig
 
 
 def test_wrapper_train_uses_legacy_schedule(monkeypatch):
