@@ -144,14 +144,16 @@ def load_calibration(calib_file: str) -> np.ndarray:
 
 
 def load_images(path: str, num_imgs: int) -> List[np.ndarray]:
+    """Load ``1.png .. {num_imgs}.png`` (reference layout).  An unreadable
+    frame stays in the list as ``None`` — silently SKIPPING it would shift
+    every later index and make image-indexed consumers (match overlays,
+    point-cloud colors) sample the wrong frames."""
     import cv2
 
-    images = []
-    for i in range(1, num_imgs + 1):
-        img = cv2.imread(os.path.join(path, f"{i}.png"))
-        if img is not None:
-            images.append(img)
-    return images
+    return [
+        cv2.imread(os.path.join(path, f"{i}.png"))
+        for i in range(1, num_imgs + 1)
+    ]
 
 
 def parse_matching_files(

@@ -382,61 +382,16 @@ class SfMPipeline:
         return np.asarray(C), np.asarray(R)
 
     # ------------------------------------------------------------------
-    def _retriangulate_all(self, K, camera_info, tracks, fidx_to_3d,
-                           cam_ids) -> None:
-        """Re-triangulate every mapped feature from its first/last
-        registered views under the CURRENT camera poses (batched per view
-        pair), updating ``fidx_to_3d`` in place."""
+    def _triangulate_feature_groups(self, K, camera_info, tracks, groups,
+                                    fidx_to_3d, on_new=None) -> int:
+        """Triangulate each ``(i, j) -> [feature]`` group from views i/j
+        under the current poses (batched per view pair) and write the
+        results into ``fidx_to_3d``.  Writes are finite+cheirality-gated:
+        a degenerate result (near-zero baseline -> inf/NaN; or the point
+        lands behind either camera) keeps the previous estimate / stays
+        unmapped.  Returns the number of NEWLY mapped features;
+        ``on_new`` fires for each."""
         cfg = self.cfg
-        Kj = jnp.asarray(K)
-        groups: Dict[Tuple[int, int], list] = {}
-        for f in list(fidx_to_3d):
-            views = [c for c in cam_ids if c in tracks[f]]
-            if len(views) >= 2:
-                groups.setdefault((views[0], views[-1]), []).append(f)
-        for (i, j), fs in groups.items():
-            p1 = np.asarray([tracks[f][i][:2] for f in fs])
-            p2 = np.asarray([tracks[f][j][:2] for f in fs])
-            Ri = camera_info[i]["R"]
-            Ci = np.asarray(camera_info[i]["C"]).reshape(3)
-            Rj = camera_info[j]["R"]
-            Cj = np.asarray(camera_info[j]["C"]).reshape(3)
-            _, Xn = triangulate_pair_bucketed(
-                K, Ri, Ci, Rj, Cj, p1, p2, n_iters=cfg.tri_refine_iters,
-            )
-            # keep the previous estimate for degenerate re-triangulations
-            # (near-zero baseline -> inf/NaN; or the point lands behind
-            # either camera) — every other triangulation site gates on
-            # cheirality, this one must too
-            Rin, Rjn = np.asarray(Ri), np.asarray(Rj)
-            z1 = (Xn - Ci) @ Rin[2]
-            z2 = (Xn - Cj) @ Rjn[2]
-            ok = np.isfinite(Xn).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
-            for f, x, good in zip(fs, Xn, ok):
-                if good:
-                    fidx_to_3d[f] = x
-
-    # ------------------------------------------------------------------
-    def _map_unmapped_from_tracks(self, K, camera_info, tracks, fidx_to_3d,
-                                  on_new=None) -> int:
-        """Triangulate UNMAPPED features directly from their TRACK
-        observations in two registered views (first/last), cheirality-
-        gated.  Matching files namespace features by their FIRST image
-        (io/sfm_data.py module docstring), so a feature first seen by a
-        still-unregistered image never appears in a refined pair between
-        two registered cameras — orderings that don't start at image 1
-        (--init_pair auto / --view_order greedy) need this pass to
-        un-strand those images (ADDITION; the reference's fixed order
-        never hits the case)."""
-        cfg = self.cfg
-        reg = sorted(camera_info)
-        groups: Dict[Tuple[int, int], list] = {}
-        for f, track in enumerate(tracks):
-            if f in fidx_to_3d:
-                continue
-            views = [c for c in reg if c in track]
-            if len(views) >= 2:
-                groups.setdefault((views[0], views[-1]), []).append(f)
         added = 0
         for (i, j), fs in groups.items():
             p1 = np.asarray([tracks[f][i][:2] for f in fs])
@@ -454,11 +409,49 @@ class SfMPipeline:
             ok = np.isfinite(Xn).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
             for f, x, good in zip(fs, Xn, ok):
                 if good:
+                    if f not in fidx_to_3d:
+                        added += 1
+                        if on_new is not None:
+                            on_new(f)
                     fidx_to_3d[f] = x
-                    added += 1
-                    if on_new is not None:
-                        on_new(f)
         return added
+
+    # ------------------------------------------------------------------
+    def _retriangulate_all(self, K, camera_info, tracks, fidx_to_3d,
+                           cam_ids) -> None:
+        """Re-triangulate every mapped feature from its first/last
+        registered views under the CURRENT camera poses, updating
+        ``fidx_to_3d`` in place (gated — see _triangulate_feature_groups)."""
+        groups: Dict[Tuple[int, int], list] = {}
+        for f in list(fidx_to_3d):
+            views = [c for c in cam_ids if c in tracks[f]]
+            if len(views) >= 2:
+                groups.setdefault((views[0], views[-1]), []).append(f)
+        self._triangulate_feature_groups(
+            K, camera_info, tracks, groups, fidx_to_3d)
+
+    # ------------------------------------------------------------------
+    def _map_unmapped_from_tracks(self, K, camera_info, tracks, fidx_to_3d,
+                                  on_new=None) -> int:
+        """Triangulate UNMAPPED features directly from their TRACK
+        observations in two registered views (first/last), cheirality-
+        gated.  Matching files namespace features by their FIRST image
+        (io/sfm_data.py module docstring), so a feature first seen by a
+        still-unregistered image never appears in a refined pair between
+        two registered cameras — orderings that don't start at image 1
+        (--init_pair auto / --view_order greedy) need this pass to
+        un-strand those images (ADDITION; the reference's fixed order
+        never hits the case)."""
+        reg = sorted(camera_info)
+        groups: Dict[Tuple[int, int], list] = {}
+        for f, track in enumerate(tracks):
+            if f in fidx_to_3d:
+                continue
+            views = [c for c in reg if c in track]
+            if len(views) >= 2:
+                groups.setdefault((views[0], views[-1]), []).append(f)
+        return self._triangulate_feature_groups(
+            K, camera_info, tracks, groups, fidx_to_3d, on_new=on_new)
 
     # ------------------------------------------------------------------
     def run(self) -> Dict:
@@ -515,7 +508,13 @@ class SfMPipeline:
             init_pair = self._select_init_pair(refined, K)
         a, b = init_pair
         F12, m12 = refined[init_pair]
-        have_imgs = len(images) >= max(a, b)
+        # load_images keeps unreadable frames as None placeholders so these
+        # 1-based indexes stay aligned; both frames must have decoded
+        have_imgs = (
+            len(images) >= max(a, b)
+            and images[a - 1] is not None
+            and images[b - 1] is not None
+        )
         if have_imgs:
             art.save_match_visualization(
                 images[a - 1], images[b - 1], m12, cfg.output_dir,
@@ -634,9 +633,24 @@ class SfMPipeline:
                     K, Rj, Cj, R, C, p_j, p_i,
                     n_iters=cfg.tri_refine_iters,
                 )
+                # finite+cheirality gate, like every other triangulation
+                # site (the reference inserts ungated, Wrapper.py:743-751,
+                # but a degenerate pair's inf/NaN/behind-camera points
+                # would inflate the greedy support counter — an ADDITION
+                # with no reference counterpart — and feed BA unconstrained
+                # blocks; gated-out features stay unmapped and get another
+                # chance from later pairs / the track-completion pass)
+                Rjn, Rn = np.asarray(Rj), np.asarray(R)
+                Cjn = np.asarray(Cj).reshape(3)
+                Cn = np.asarray(C).reshape(3)
+                z1 = (Xnew - Cjn) @ Rjn[2]
+                z2 = (Xnew - Cn) @ Rn[2]
+                ok_new = (
+                    np.isfinite(Xnew).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
+                )
                 for n, row in enumerate(arr):
                     f_new = int(row[-1])
-                    if f_new not in fidx_to_3d:
+                    if ok_new[n] and f_new not in fidx_to_3d:
                         fidx_to_3d[f_new] = Xnew[n]
                         _count_support(f_new)
             print(f"Registered Camera: {i}")
@@ -672,9 +686,16 @@ class SfMPipeline:
                 # direction by that pair's relative rotation and bias the
                 # averaged centers consistently (no outlier gate can see it)
                 Cs, Rs = decompose_essential(Eij, "hz")
+                # pow2-bucketed like every other per-pair dispatch (one
+                # compile per size bucket, not per pair's match count —
+                # remote compiles cost minutes); cyclic repeat keeps the
+                # cheirality vote proportional to the real distribution
+                nm = len(mij)
+                bucket = pow2_bucket(nm)
+                pb1 = np.resize(np.asarray(mij[:, 0:2]), (bucket, 2))
+                pb2 = np.resize(np.asarray(mij[:, 2:4]), (bucket, 2))
                 _, C_rel, R_rel, _, _ = disambiguate_pose(
-                    Kj0, Cs, Rs,
-                    jnp.asarray(mij[:, 0:2]), jnp.asarray(mij[:, 2:4]),
+                    Kj0, Cs, Rs, jnp.asarray(pb1), jnp.asarray(pb2),
                 )
                 pairs.append((col[i], col[j]))
                 rels.append(np.asarray(R_rel))
@@ -684,17 +705,12 @@ class SfMPipeline:
             # graph containing the anchor — a disconnected component's
             # eigenvector blocks are independent (measured: 131-170 deg
             # garbage that would overwrite every camera)
-            parent = list(range(len(cam_ids)))
+            from sfm_nerf_tpu.sfm.tracks import _UnionFind
 
-            def find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
+            uf = _UnionFind(len(cam_ids))
             for a, b in pairs:
-                parent[find(a)] = find(b)
-            connected = len({find(n) for n in range(len(cam_ids))}) == 1
+                uf.union(a, b)
+            connected = len({uf.find(n) for n in range(len(cam_ids))}) == 1
             if not connected:
                 print(
                     "Rotation averaging skipped: pose graph disconnected"
@@ -879,8 +895,8 @@ class SfMPipeline:
                 rms_before = float(np.sqrt(2 * float(res.initial_cost) / n_obs))
             cams0 = np.asarray(res.camera_params)
             pts0 = np.asarray(res.points)
-            if ba_round == cfg.ba_rounds - 1:
-                break
+            if ba_round >= cfg.ba_rounds - 1:   # >=: ba_rounds=0 runs one
+                break                           # round with NO prune after
             # prune observations whose reprojection error exceeds threshold
             Rs_r, Cs_r = RC_from_camera_params(res.camera_params)
             errs = np.stack([
@@ -891,10 +907,17 @@ class SfMPipeline:
             ])
             # adaptive threshold: never prune below the bulk of the current
             # error distribution (a poorly-converged round would otherwise
-            # gut the observation set — observed: 91% pruned at a fixed 3px)
-            med = float(np.median(errs[vis_work > 0]))
+            # gut the observation set — observed: 91% pruned at a fixed 3px).
+            # NaN-safe like the pre-BA gate above: an unconstrained point's
+            # block can go NaN inside BA (frozen cheirality mask zeroes its
+            # residuals) — nanmedian keeps the threshold finite and
+            # `~(<=)` DROPS non-finite errors instead of silently
+            # disabling every remaining prune round
+            med = float(np.nanmedian(errs[vis_work > 0]))
+            if not np.isfinite(med):
+                med = 0.0
             thresh = max(cfg.ba_prune_px, 3.0 * med)
-            drop = (errs > thresh) & (vis_work > 0)
+            drop = ~(errs <= thresh) & (vis_work > 0)
             if drop.sum() == 0 or drop.sum() > 0.5 * n_obs:
                 break
             print(
@@ -931,7 +954,8 @@ class SfMPipeline:
         for f in fidx_to_3d:
             c = (180, 180, 180)
             for img_id, (u, v) in sorted(tracks[f].items()):
-                if 1 <= img_id <= len(images):
+                if 1 <= img_id <= len(images) \
+                        and images[img_id - 1] is not None:
                     img = images[img_id - 1]
                     ui = int(np.clip(round(u), 0, img.shape[1] - 1))
                     vi = int(np.clip(round(v), 0, img.shape[0] - 1))
@@ -949,7 +973,9 @@ class SfMPipeline:
             )))
             for c in range(n_cam)
         ])
-        vmask = vis_work > 0
+        # finite-only: an unconstrained point's NaN block must not poison
+        # the reported mean (its residuals were masked out of the cost)
+        vmask = (vis_work > 0) & np.isfinite(errs)
         if vmask.sum():
             e = errs[vmask]
             self.stats["ba"]["final_err_px"] = {

@@ -139,3 +139,21 @@ def test_native_matches_python_fuzz(tmp_path):
         nat = _parse_matching_files_native(root, n_imgs)
         assert nat is not None, f"native parse failed on trial {trial}"
         assert_same(py, nat)
+
+
+def test_load_images_keeps_unreadable_frames_as_placeholders(tmp_path):
+    """A missing/corrupt frame must stay in the list as None — silently
+    skipping it would shift every later index, and image-indexed
+    consumers (match overlays, PLY colors) would sample the wrong
+    frames (sfm/pipeline.py gates on `is not None`)."""
+    import cv2
+
+    from sfm_nerf_tpu.io.sfm_data import load_images
+
+    img = np.full((8, 8, 3), 64, np.uint8)
+    cv2.imwrite(str(tmp_path / "1.png"), img)
+    cv2.imwrite(str(tmp_path / "3.png"), img + 10)   # 2.png missing
+    images = load_images(str(tmp_path), 3)
+    assert len(images) == 3
+    assert images[0] is not None and images[1] is None
+    assert images[2] is not None and int(images[2][0, 0, 0]) == 74
