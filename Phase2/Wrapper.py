@@ -75,6 +75,20 @@ def configParser():
                              "(reference Wrapper.py:220 — lr decays to ~0 "
                              "within a few thousand iters; kept as the "
                              "default for parity with this entry point)")
+    parser.add_argument('--modern_render', action='store_true',
+                        help="use train.py's near=2/far=6 'train' "
+                             "compositor instead of this legacy loop's "
+                             "near=1/far=10 legacy compositor (reference "
+                             "render() defaults, Wrapper.py:129,148-162; "
+                             "kept as the default so a model trained HERE "
+                             "matches what gif mode renders)")
+    parser.add_argument('--eval_split', default='train',
+                        choices=['train', 'test'],
+                        help="split --mode test evaluates; 'train' by "
+                             "default — the reference Wrapper hardcodes "
+                             "mode='train' for data loading "
+                             "(Wrapper.py:513) so its test() scores the "
+                             "TRAIN split (train.py defaults to 'test')")
     return parser
 
 
@@ -265,6 +279,16 @@ def main(args):
     if not getattr(args, "modern_schedule", False):
         t_args.lrate_decay_steps = 1000
         t_args.lrate_decay = 0.1
+    # Legacy-loop RENDER parity: the reference Wrapper trains AND tests
+    # over near=1/far=10 with the legacy (inclusive) compositor
+    # (render() defaults, Wrapper.py:129,148-162) — train.py's 2/6
+    # 'train' compositor would train a model this CLI's own gif mode
+    # (near=1/far=10 legacy) then samples outside of.  --modern_render
+    # opts into the train.py values.
+    if not getattr(args, "modern_render", False):
+        t_args.near = 1.0
+        t_args.far = 10.0
+        t_args.render_variant = "legacy"
     train_mod.main(t_args)
 
 

@@ -16,6 +16,11 @@ def main():
     parser.add_argument("--images_path", default="image")
     parser.add_argument("--out", default=None, help="default: <images_path>/output.gif")
     parser.add_argument("--fps", type=float, default=2)
+    parser.add_argument("--rgb", action="store_true",
+                        help="frames are RGB-correct PNGs (rendered with "
+                             "Wrapper.py --rgb_frames); default preserves "
+                             "the reference's cv2-BGR read so BGR frames "
+                             "round-trip to a correct gif")
     args = parser.parse_args()
 
     imgs = glob.glob(os.path.join(args.images_path, "*.png"))
@@ -25,7 +30,12 @@ def main():
     out = args.out or os.path.join(args.images_path, "output.gif")
     with imageio.get_writer(out, mode="I", fps=args.fps) as writer:
         for p in imgs:
-            writer.append_data(cv2.imread(p))
+            frame = cv2.imread(p)
+            if args.rgb:
+                # cv2 read BGR-swapped the RGB-correct frame; swap back so
+                # imageio (RGB writer) emits true colors
+                frame = frame[..., ::-1]
+            writer.append_data(frame)
     print(f"wrote {out}")
 
 

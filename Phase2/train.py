@@ -83,6 +83,14 @@ def configParser():
                         help="train steps fused into one device call via "
                              "lax.scan (amortizes dispatch latency on "
                              "remote/tunneled TPU attachments)")
+    parser.add_argument('--eval_split', default='test',
+                        choices=['test', 'train'],
+                        help="dataset split --mode test evaluates; "
+                             "Wrapper.py's delegation defaults this to "
+                             "'train' (the reference Wrapper hardcodes "
+                             "mode='train' for data loading, "
+                             "Wrapper.py:513, so ITS test() scores the "
+                             "train split)")
     parser.add_argument('--save_depth', action='store_true',
                         help="test mode: also save depth / disparity / "
                              "accumulated-opacity maps per test view "
@@ -106,7 +114,12 @@ def build_config(args):
         TrainConfig,
     )
 
-    model_name = args.data_path.split("/")[-2]
+    # reference rule first (split("/")[-2] assumes a trailing slash,
+    # train.py:781) with the trailing-slash-agnostic fallback Wrapper.py
+    # already uses — a bare `--data_path lego` is 'a bug, not behavior'
+    model_name = (args.data_path.split("/")[-2] if args.data_path.count("/")
+                  else args.data_path.rstrip("/"))
+    model_name = model_name or args.data_path.rstrip("/").split("/")[-1]
     return NeRFPipelineConfig(
         model=NeRFModelConfig(
             n_pos_freq=int(args.n_pos_freq),
@@ -273,7 +286,8 @@ def main(args):
     print("Loading data...")
     from sfm_nerf_tpu.io.blender import load_blender_dataset
 
-    mode = "train" if args.mode == "train" else "test"
+    mode = ("train" if args.mode == "train"
+            else getattr(args, "eval_split", "test"))
     images, poses, cam = load_blender_dataset(
         args.data_path, mode, downscale=int(args.downscale)
     )
@@ -294,6 +308,14 @@ def main(args):
     elif args.mode == "test":
         print("Start testing")
         run_test(cfg, images, poses, cam, save_depth=bool(args.save_depth))
+    else:
+        # loud, nonzero exit: the reference's if/elif silently exits 0 on
+        # any other mode (incl. the help string's 'val'), which scripts
+        # mistake for a completed run — a bug, not behavior
+        raise SystemExit(
+            f"--mode {args.mode!r} is not implemented (use train or test; "
+            "'val' has no implementation in the reference either)"
+        )
 
 
 def cli():

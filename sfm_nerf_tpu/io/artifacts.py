@@ -68,7 +68,9 @@ def save_3d_points_plot(
     ax.set_xlabel("X"), ax.set_ylabel("Y"), ax.set_zlabel("Z")
     ax.set_title(title)
     ax.legend()
-    m = max(np.abs(X).max(), 1e-6)
+    # zero-size reductions have no identity (a degenerate init pair can
+    # leave no surviving candidates) — siblings guard with `if len(...)`
+    m = max(np.abs(X).max() if len(X) else 1.0, 1e-6)
     ax.set_xlim(-m, m), ax.set_ylim(-m, m), ax.set_zlim(-m, m)
     plt.tight_layout()
     path = os.path.join(out_dir, "3d_points_visualization.png")

@@ -88,15 +88,27 @@ def load_blender_dataset(
 
         raw = decode_images_native(fps)
     if raw is not None:
-        images = raw.astype(np.float32) / 255.0
+        # downscale BEFORE the float conversion: slicing first keeps peak
+        # memory at the uint8 size, and np.ascontiguousarray drops the
+        # full-resolution base array a strided view would otherwise pin
+        # for the whole run (~16x retained memory at downscale=4)
         if downscale > 1:
-            images = images[:, ::downscale, ::downscale]
+            raw = np.ascontiguousarray(raw[:, ::downscale, ::downscale])
+        images = raw.astype(np.float32) / 255.0
     else:
         import imageio.v2 as imageio
 
         images = []
         for fp in fps:
-            img = imageio.imread(fp).astype(np.float32) / 255.0
+            img = imageio.imread(fp)
+            # normalize by the DTYPE's range, not a hardcoded 255: a
+            # 16-bit PNG would otherwise land in [0, 257] on this
+            # fallback while the native path (decode_images_native)
+            # normalizes it to [0, 1] — same dataset, platform-dependent
+            # numerics
+            denom = (np.iinfo(img.dtype).max
+                     if np.issubdtype(img.dtype, np.integer) else 1.0)
+            img = img.astype(np.float32) / denom
             if img.shape[-1] == 4:
                 img = img[..., :3]
             if downscale > 1:

@@ -29,10 +29,12 @@ _native_lib = None
 
 def _load_native() -> Optional[ctypes.CDLL]:
     """Load (building on first use) the C++ matching parser; None if the
-    toolchain is unavailable — callers fall back to the Python parser."""
+    toolchain is unavailable — callers fall back to the Python parser.
+    A build/load failure is STICKY (sentinel False): without it every
+    parse/decode/ply call would re-spawn the failing g++ subprocesses."""
     global _native_lib
     if _native_lib is not None:
-        return _native_lib
+        return _native_lib or None
     so = os.path.join(_NATIVE_DIR, "libmatching_parser.so")
     src = os.path.join(_NATIVE_DIR, "matching_parser.cpp")
     src_img = os.path.join(_NATIVE_DIR, "image_decode.cpp")
@@ -50,10 +52,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 glob.glob(os.path.join(pkg_dir, "_libmatching_parser*"))
             )
             if not hits:
+                _native_lib = False
                 return None
             so = hits[0]
         elif not os.path.exists(so) or newest_src > os.path.getmtime(so):
             if not srcs:
+                _native_lib = False
                 return None
             try:
                 # full build (needs libpng for the image decoder)
@@ -103,8 +107,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
             pass
         _native_lib = lib
     except Exception:
-        _native_lib = None
-    return _native_lib
+        _native_lib = False     # sticky failure: don't re-run g++ per call
+    return _native_lib or None
 
 
 def decode_images_native(paths: List[str]) -> Optional[np.ndarray]:

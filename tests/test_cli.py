@@ -217,6 +217,45 @@ def test_wrapper_train_uses_legacy_schedule(monkeypatch):
     assert captured["steps"] == 50000
 
 
+def test_wrapper_delegation_uses_legacy_render_and_train_split(monkeypatch):
+    """The legacy Wrapper's train/test delegation must keep the reference
+    Wrapper's render setup — near=1/far=10 + legacy compositor (render()
+    defaults, reference Wrapper.py:129,148-162; what gif mode samples) —
+    and its train-split evaluation quirk (mode='train' hardcoded for data
+    loading, Wrapper.py:513).  --modern_render / --eval_split opt out."""
+    mod = load_module("Phase2/Wrapper.py")
+    captured = {}
+
+    import importlib.util as ilu
+    real_sfl = ilu.spec_from_file_location
+
+    def fake_main(t_args):
+        captured.update(near=t_args.near, far=t_args.far,
+                        variant=t_args.render_variant,
+                        eval_split=t_args.eval_split)
+
+    def fake_spec(name, path):
+        spec = real_sfl(name, path)
+        real_exec = spec.loader.exec_module
+
+        def exec_and_patch(m):
+            real_exec(m)
+            m.main = fake_main
+        spec.loader.exec_module = exec_and_patch
+        return spec
+
+    monkeypatch.setattr(ilu, "spec_from_file_location", fake_spec)
+    mod.main(mod.configParser().parse_args(["--mode", "test"]))
+    assert captured == {"near": 1.0, "far": 10.0, "variant": "legacy",
+                        "eval_split": "train"}
+
+    mod.main(mod.configParser().parse_args(
+        ["--mode", "test", "--modern_render", "--eval_split", "test"]))
+    assert (captured["near"], captured["far"]) == (2.0, 6.0)
+    assert captured["variant"] == "train"
+    assert captured["eval_split"] == "test"
+
+
 def test_run_test_emits_artifacts(tmp_path):
     """Drive the eval path (mode=test) end-to-end on a tiny checkpoint:
     artifact filenames (reference train.py:663-676 parity) + PSNR/SSIM
