@@ -61,7 +61,18 @@ def make_multihost_mesh(
     Single-process fallback: dcn axis of length 1, identical math to
     ``make_mesh`` (so the same step function serves both).
     """
-    if num_processes is not None and num_processes > 1 or coordinator_address:
+    import os
+
+    # honor the standard env vars the docstring promises: with no explicit
+    # arguments, jax.distributed.initialize() resolves
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID itself —
+    # silently skipping init here would leave each process training
+    # independently with process_count() == 1
+    if (
+        (num_processes is not None and num_processes > 1)
+        or coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
         from jax._src import distributed as _dist
 
         if getattr(_dist.global_state, "client", None) is None:

@@ -29,11 +29,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sfm_nerf_tpu.config import NeRFPipelineConfig
-from sfm_nerf_tpu.models import nerf_apply
-from sfm_nerf_tpu.models.nerf import cast_params_bf16
-from sfm_nerf_tpu.ops.rays import sample_ray_batch
-from sfm_nerf_tpu.ops.render import render_rays
-from sfm_nerf_tpu.utils.metrics import mse
 
 
 def make_dp_train_step(
@@ -92,7 +87,9 @@ def make_dp_train_step(
         out_specs=(rep, rep, rep),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(0, 1))
+    # no donation: fit()'s interrupt-save reads params/opt_state while a
+    # dispatch is in flight (see make_train_step in train/nerf_trainer.py)
+    return jax.jit(mapped)
 
 
 def mlp_param_shardings(params, mesh: Mesh, model_axis: str = "model"):
@@ -106,6 +103,12 @@ def mlp_param_shardings(params, mesh: Mesh, model_axis: str = "model"):
     ``params``.
     """
     tp = mesh.shape[model_axis]
+    if set(params.keys()) == {"coarse", "fine"}:
+        # hierarchical pair: each sub-MLP gets its own alternating layout
+        return {
+            k: mlp_param_shardings(params[k], mesh, model_axis)
+            for k in params
+        }
     names = sorted(params.keys())
     shardings = {}
     for i, name in enumerate(names):
@@ -139,28 +142,33 @@ def make_spmd_train_step(
     and inserts collectives (scaling-book recipe: annotate, let XLA insert,
     profile).
     """
-    mcfg, rcfg = cfg.model, cfg.render
-    n_rays = cfg.train.n_rays_batch
+    import dataclasses
+
+    from sfm_nerf_tpu.train.nerf_trainer import make_loss_fn
+
     data_axis = cfg.parallel.data_axis
     p_shard = mlp_param_shardings(params_template, mesh, cfg.parallel.model_axis)
     rep = NamedSharding(mesh, P())
     batch_spec = NamedSharding(mesh, P(data_axis, None))
 
-    bf16 = cfg.train.compute_dtype == "bfloat16"
+    if cfg.render.use_fused_kernel:
+        # the fused Pallas kernels have not been validated under GSPMD
+        # model-sharded params — run this path through XLA (the envelope
+        # gate can't see mesh context, so force it off here, loudly)
+        print("spmd step: fused kernels not supported under tp sharding; "
+              "using the XLA path")
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(
+                cfg.render, use_fused_kernel=False))
+    # the SHARED loss (same source as the single-device and dp steps —
+    # they drifted apart once, see make_loss_fn's docstring; this builder
+    # used to re-implement it and crashed on hierarchical configs), with
+    # the ray batch constrained onto the data axis
+    loss_fn = make_loss_fn(cfg, batch_sharding=batch_spec)
 
-    def loss_fn(params, key_sample, key_render, images, poses, K):
-        o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
-        o = jax.lax.with_sharding_constraint(o, batch_spec)
-        d = jax.lax.with_sharding_constraint(d, batch_spec)
-        target = jax.lax.with_sharding_constraint(target, batch_spec)
-        p_c = cast_params_bf16(params) if bf16 else params
-        model_fn = lambda p, dd: nerf_apply(p_c, p, dd, mcfg)
-        rgb = render_rays(model_fn, o, d, rcfg, key_render)
-        return mse(rgb, target)
-
+    # no donation: interrupt-save contract (see make_train_step)
     @functools.partial(
         jax.jit,
-        donate_argnums=(0, 1),
         in_shardings=(p_shard, None, rep, rep, rep, rep),
         out_shardings=(p_shard, None, rep),
     )

@@ -102,11 +102,15 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     )
 
 
-def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
+def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None,
+                 batch_sharding=None):
     """THE per-batch loss: on-device ray sampling -> render -> MSE, with the
     compute_dtype cast applied.  Single source of truth shared by the
-    single-device, scan-fused, and data-parallel step builders (they drifted
-    apart once — the dp step silently dropped the bf16 cast).
+    single-device, scan-fused, data-parallel, AND GSPMD step builders (they
+    drifted apart once — the dp step silently dropped the bf16 cast; the
+    spmd step later re-implemented the flat case and crashed on
+    hierarchical).  ``batch_sharding`` (a NamedSharding), when given,
+    constrains the sampled ray batch onto it — the GSPMD step's data axis.
 
     With ``render.n_importance > 0`` the params pytree is
     {'coarse': ..., 'fine': ...} and the loss is the vanilla-NeRF sum of
@@ -118,6 +122,10 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None):
 
     def loss_fn(params, key_sample, key_render, images, poses, K):
         o, d, target = sample_ray_batch(key_sample, images, poses, K, n_rays)
+        if batch_sharding is not None:
+            o = jax.lax.with_sharding_constraint(o, batch_sharding)
+            d = jax.lax.with_sharding_constraint(d, batch_sharding)
+            target = jax.lax.with_sharding_constraint(target, batch_sharding)
         if fused_train:
             # fused Pallas kernels (custom VJP); grads flow through the
             # differentiable packing to the pytree
@@ -205,7 +213,12 @@ def make_train_step(
     """
     loss_fn = make_loss_fn(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    # NO buffer donation on any train step: the interrupt-save contract
+    # (fit()'s KeyboardInterrupt handler) must read params/opt_state while
+    # a dispatch is in flight — donated inputs are already deleted then
+    # ("Array has been deleted").  The cost is one extra live copy of a
+    # few-MB pytree; NeRF params never approach HBM scale.
+    @jax.jit
     def train_step(params, opt_state, key, images, poses, K):
         key_sample, key_render = jax.random.split(key)
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -235,10 +248,18 @@ def make_multi_train_step(
     """
     loss_fn = make_loss_fn(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    # no donation — see make_train_step (interrupt-save contract)
+    @jax.jit
     def multi_step(params, opt_state, key, images, poses, K):
         def body(carry, k):
             params, opt_state = carry
+            if inner_step is not None:
+                # caller-provided single step (instrumented / custom
+                # objective) traced into the scan body
+                params, opt_state, loss = inner_step(
+                    params, opt_state, k, images, poses, K
+                )
+                return (params, opt_state), loss
             key_sample, key_render = jax.random.split(k)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, key_sample, key_render, images, poses, K
@@ -497,8 +518,36 @@ class NeRFTrainer:
         else:
             self.params = init_nerf_params(key0, cfg.model)
         self.opt_state = self.tx.init(self.params)
+        # an injected step disables the scan-fused fast path: fit() would
+        # otherwise run most iterations through a default step the caller
+        # never sees (instrumentation / custom objectives)
+        self._injected = train_step is not None
+        self._dp = False
         if train_step is not None:
             self.train_step = train_step
+        elif cfg.parallel.tp > 1:
+            # GSPMD dp x tp: params model-sharded (Megatron alternating),
+            # rays data-sharded; routed from the public ParallelConfig.tp
+            # field (it was silently ignored before)
+            from sfm_nerf_tpu.parallel import make_mesh
+            from sfm_nerf_tpu.parallel.train_step import (
+                make_spmd_train_step, mlp_param_shardings,
+            )
+
+            mesh = make_mesh(
+                dp=cfg.parallel.dp, tp=cfg.parallel.tp,
+                data_axis=cfg.parallel.data_axis,
+                model_axis=cfg.parallel.model_axis,
+            )
+            self.mesh = mesh
+            self._dp = True   # per-step dispatch; no scan fast path
+            self.params = jax.device_put(
+                self.params, mlp_param_shardings(
+                    self.params, mesh, cfg.parallel.model_axis))
+            self.opt_state = self.tx.init(self.params)
+            self.train_step = make_spmd_train_step(
+                cfg, self.tx, mesh, self.params)
+            print(f"GSPMD dp x tp over {mesh.shape} devices")
         elif cfg.parallel.dp > 1 or (
             cfg.parallel.dp == 0 and len(jax.devices()) > 1
         ):
@@ -507,13 +556,16 @@ class NeRFTrainer:
             from sfm_nerf_tpu.parallel import make_mesh
             from sfm_nerf_tpu.parallel.train_step import make_dp_train_step
 
-            mesh = make_mesh(dp=cfg.parallel.dp, tp=1)
+            mesh = make_mesh(
+                dp=cfg.parallel.dp, tp=1,
+                data_axis=cfg.parallel.data_axis,
+                model_axis=cfg.parallel.model_axis,
+            )
             self.mesh = mesh
             self._dp = True
             self.train_step = make_dp_train_step(cfg, self.tx, mesh)
             print(f"data-parallel over {mesh.shape} devices")
         else:
-            self._dp = False
             self.train_step = make_train_step(cfg, self.tx)
         self.render_image = make_render_image(cfg)
         self.start_iter = 0
@@ -641,13 +693,17 @@ class NeRFTrainer:
         self._key = jax.random.key(cfg.train.seed + 1)
         self._loss = jnp.asarray(0.0)
         self._steps_done = 0
-        self._it = self.start_iter
+        # the last iteration whose update is REFLECTED in self.params —
+        # what an interrupt checkpoint must stamp (resume = step + 1)
+        self._done_through = self.start_iter - 1
         t_start = time.time()
         spc = max(1, cfg.train.steps_per_call)
         multi_step = None
         # (scan-fused fast path is single-device; the dp step dispatches
-        # per-step — its work is already batched across chips)
-        if spc > 1 and not getattr(self, "_dp", False):
+        # per-step — its work is already batched across chips — and an
+        # injected train_step must see EVERY iteration, not 1-in-spc)
+        if spc > 1 and not getattr(self, "_dp", False) \
+                and not getattr(self, "_injected", False):
             multi_step = make_multi_train_step(cfg, self.tx, spc)
         iterator = range(self.start_iter, max_iters)
         if progress:
@@ -665,11 +721,20 @@ class NeRFTrainer:
             )
         except KeyboardInterrupt:
             # fault-tolerance parity with the reference's legacy loop
-            # (Phase2/Wrapper.py:288-293): interrupt -> checkpoint -> exit
-            print("KeyboardInterrupt: saving checkpoint before exit")
-            self.save(self._it, float(self._loss))
-            if self._orbax is not None:
-                self._orbax.wait()   # commit the async write before exit
+            # (Phase2/Wrapper.py:288-293): interrupt -> checkpoint -> exit.
+            # Stamp the last iteration whose update self.params actually
+            # holds (an in-flight step's iteration hasn't run — stamping
+            # it would make resume skip it); train steps do NOT donate
+            # their params/opt_state buffers precisely so this save can
+            # read them while a dispatch is in flight.
+            if self._done_through >= 0:
+                print("KeyboardInterrupt: saving checkpoint before exit")
+                self.save(self._done_through, float(self._loss))
+                if self._orbax is not None:
+                    self._orbax.wait()   # commit the async write first
+            else:
+                print("KeyboardInterrupt before any completed step; "
+                      "nothing to checkpoint")
             raise
 
         final_loss = float(self._loss)
@@ -693,9 +758,10 @@ class NeRFTrainer:
     ):
         key = self._key
         for it in it_iter:
-            self._it = it
             # Fused multi-step fast path: jump in scan-sized blocks whenever
-            # no host-side event (log/val/ckpt) falls inside the block.
+            # no host-side event (log/val/CHECKPOINT) falls inside the block
+            # — a save_ckpt_iter boundary inside a block would otherwise be
+            # silently skipped, losing the fault-tolerance checkpoints.
             def no_boundary_in_block(every: int) -> bool:
                 if not every:
                     return True
@@ -707,6 +773,7 @@ class NeRFTrainer:
                 and it + spc <= max_iters
                 and no_boundary_in_block(cfg.train.log_every)
                 and no_boundary_in_block(cfg.train.val_every)
+                and no_boundary_in_block(cfg.train.save_ckpt_iter)
             ):
                 key, sub = jax.random.split(key)
                 self.params, self.opt_state, losses = multi_step(
@@ -716,6 +783,7 @@ class NeRFTrainer:
                 self._key = key
                 self._loss = losses[-1]
                 self._steps_done += spc
+                self._done_through = it + spc - 1
                 for _ in range(spc - 1):
                     next(it_iter, None)
                 continue
@@ -727,8 +795,9 @@ class NeRFTrainer:
             self._key = key
             self._loss = loss
             self._steps_done += 1
+            self._done_through = it
 
-            if it % cfg.train.log_every == 0:
+            if cfg.train.log_every and it % cfg.train.log_every == 0:
                 loss_f = float(loss)
                 self._last_losses.append(loss_f)
                 if progress and hasattr(iterator, "set_description"):

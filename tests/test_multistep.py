@@ -69,3 +69,46 @@ def test_trainer_fast_path_step_count(tmp_path):
     assert stats["steps"] == 101
     # log cadence preserved: loss sampled at every it%100==0 boundary
     assert len(trainer._last_losses) == 2  # it=0 and it=100
+
+def test_fast_path_hits_ckpt_boundaries_and_log_every_zero(tmp_path):
+    """save_ckpt_iter boundaries inside a scan block must break the fast
+    path (they were silently skipped — the fault-tolerance checkpoints
+    never got written), and log_every=0 is a supported 'off' sentinel on
+    the slow path too (it used to ZeroDivisionError)."""
+    import dataclasses
+
+    from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+
+    cfg, images, poses, cam = _setup(tmp_path, spc=4)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, save_ckpt_iter=10, log_every=0, max_iters=24))
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    stats = trainer.fit(progress=False)
+    assert stats["steps"] == 24
+    names = sorted(os.listdir(cfg.checkpoint_path))
+    # boundaries 10 and 20 fall inside [8,12) / [20,24) blocks and must
+    # still produce checkpoints (plus the final one)
+    assert any("10" in n for n in names), names
+    assert any("20" in n for n in names), names
+    latest = ckpt_lib.latest_checkpoint(cfg.checkpoint_path,
+                                        prefer_final=True)
+    assert latest is not None
+
+
+def test_injected_train_step_sees_every_iteration(tmp_path):
+    """A caller-injected train_step disables the scan fast path — the
+    instrumented step must run ALL iterations, not 1-in-steps_per_call."""
+    cfg, images, poses, cam = _setup(tmp_path, spc=4)
+    calls = {"n": 0}
+
+    base = make_train_step(cfg, make_optimizer(cfg))
+
+    def counting_step(*args):
+        calls["n"] += 1
+        return base(*args)
+
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix,
+                          train_step=counting_step)
+    stats = trainer.fit(max_iters=8, progress=False)
+    assert stats["steps"] == 8
+    assert calls["n"] == 8

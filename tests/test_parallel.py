@@ -381,3 +381,55 @@ def test_sharded_ba_matches_single_device():
             atol=1e-5)
         np.testing.assert_allclose(
             np.asarray(sh.points), np.asarray(ref.points), atol=1e-5)
+
+
+def test_spmd_step_hierarchical(scene):
+    """GSPMD step on a hierarchical (coarse/fine) config: the shared
+    make_loss_fn must serve it (the old inline loss crashed at build time
+    with KeyError 'w' in mlp_param_shardings on the {'coarse','fine'}
+    pytree), and each sub-MLP gets the alternating tp layout."""
+    import dataclasses
+
+    images, poses, K = scene
+    cfg = small_cfg(n_rays=512, tp=2)
+    cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, n_importance=8))
+    tx = make_optimizer(cfg)
+    mesh = make_mesh(dp=4, tp=2)
+    key0 = jax.random.key(0)
+    params = {
+        "coarse": init_nerf_params(key0, cfg.model),
+        "fine": init_nerf_params(jax.random.fold_in(key0, 1), cfg.model),
+    }
+    shardings = mlp_param_shardings(params, mesh)
+    assert set(shardings.keys()) == {"coarse", "fine"}
+    params = jax.device_put(params, shardings)
+    opt_state = tx.init(params)
+    step = make_spmd_train_step(cfg, tx, mesh, params)
+    key = jax.random.key(7)
+    params, opt_state, loss = step(params, opt_state, key, images, poses, K)
+    assert np.isfinite(float(loss))
+
+
+def test_trainer_routes_parallel_config_tp(scene, tmp_path):
+    """ParallelConfig.tp > 1 through the PUBLIC NeRFTrainer surface must
+    build the GSPMD step (it used to be silently ignored — tp was a
+    no-op)."""
+    import dataclasses
+    import os
+
+    from sfm_nerf_tpu.train.nerf_trainer import NeRFTrainer
+
+    images, poses, K = scene
+    cfg = small_cfg(n_rays=512, tp=2)
+    cfg = dataclasses.replace(
+        cfg,
+        parallel=dataclasses.replace(cfg.parallel, dp=4, tp=2),
+        checkpoint_path=os.path.join(str(tmp_path), "ckpt"),
+        load_checkpoint=False,
+    )
+    trainer = NeRFTrainer(cfg, np.asarray(images), np.asarray(poses),
+                          np.asarray(K))
+    stats = trainer.fit(max_iters=3, progress=False)
+    assert stats["steps"] == 3
+    assert np.isfinite(stats["final_loss"])
