@@ -310,6 +310,48 @@ def render_rays_hierarchical_aux(
     return out_f, depth, disp, acc_f
 
 
+def render_rays_hierarchical_chunked_aux(
+    coarse_fn,
+    fine_fn,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: RenderConfig,
+    n_importance: int,
+    key: Optional[jax.Array] = None,
+    chunk_rays: int = 2048,
+):
+    """render_rays_hierarchical_chunked with auxiliary maps: returns flat
+    (rgb (N,3), depth (N,), disp (N,), acc (N,)) — the hierarchical
+    sibling of render_rays_chunked_aux (it used to live inline in the
+    trainer's aux renderer, diverging from these helpers' padding)."""
+    n_rays = origins.shape[0]
+    n_chunks = (n_rays + chunk_rays - 1) // chunk_rays
+    o, d = _chunk_rays(origins, directions, chunk_rays)
+
+    def body(args):
+        if key is not None:
+            oc, dc, kc = args
+        else:
+            oc, dc = args
+            kc = None
+        return render_rays_hierarchical_aux(
+            coarse_fn, fine_fn, oc, dc, cfg, n_importance, kc
+        )
+
+    if key is not None:
+        keys = jax.random.split(key, n_chunks)
+        rgb, depth, disp, acc = jax.lax.map(body, (o, d, keys))
+    else:
+        rgb, depth, disp, acc = jax.lax.map(body, (o, d))
+    flat = n_chunks * chunk_rays
+    return (
+        rgb.reshape(flat, 3)[:n_rays],
+        depth.reshape(flat)[:n_rays],
+        disp.reshape(flat)[:n_rays],
+        acc.reshape(flat)[:n_rays],
+    )
+
+
 def render_rays_hierarchical_chunked(
     coarse_fn,
     fine_fn,

@@ -93,27 +93,23 @@ def make_sharded_render_image(
             check_vma=False,
         )
 
-    @functools.partial(jax.jit, static_argnums=(3, 4))
-    def render_keyless(params, K, pose, height: int, width: int):
+    # keyed and keyless variants share ONE body (the pad/patch/call/trim
+    # dance must not diverge between them); they stay separate jit entries
+    # because the key changes the traced arity
+    def _render_body(with_key, params, K, pose, height, width, *key):
         o, d = image_rays(K, pose, height, width)
         n = height * width
         pad = (-n) % dp
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=0.0)
         d = d.at[n:, 2].set(1.0) if pad else d
-        rgb = make_mapped(False)(params, o, d)
+        rgb = make_mapped(with_key)(params, o, d, *key)
         return rgb[:n].reshape(height, width, 3)
 
-    @functools.partial(jax.jit, static_argnums=(3, 4))
-    def render_keyed(params, K, pose, height: int, width: int, key):
-        o, d = image_rays(K, pose, height, width)
-        n = height * width
-        pad = (-n) % dp
-        o = jnp.pad(o, ((0, pad), (0, 0)))
-        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=0.0)
-        d = d.at[n:, 2].set(1.0) if pad else d
-        rgb = make_mapped(True)(params, o, d, key)
-        return rgb[:n].reshape(height, width, 3)
+    render_keyless = jax.jit(
+        functools.partial(_render_body, False), static_argnums=(3, 4))
+    render_keyed = jax.jit(
+        functools.partial(_render_body, True), static_argnums=(3, 4))
 
     def render_image(params, K, pose, height: int, width: int, key=None):
         if key is None:

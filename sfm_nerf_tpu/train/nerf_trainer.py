@@ -422,8 +422,7 @@ def make_render_image_aux(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def render_image_aux(params, K, pose, height: int, width: int, key=None):
         from sfm_nerf_tpu.ops.render import (
-            render_rays_chunked_aux, render_rays_hierarchical_aux,
-            weight_maps,
+            render_rays_chunked_aux, weight_maps,
         )
 
         o, d = image_rays(K, pose, height, width)
@@ -448,34 +447,16 @@ def make_render_image_aux(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
             return (rgb.reshape(height, width, 3),
                     depth.reshape(hw), disp.reshape(hw), acc.reshape(hw))
         if rcfg.n_importance > 0:
+            from sfm_nerf_tpu.ops.render import (
+                render_rays_hierarchical_chunked_aux,
+            )
+
             coarse_fn = lambda p, dd: nerf_apply(params["coarse"], p, dd, mcfg)
             fine_fn = lambda p, dd: nerf_apply(params["fine"], p, dd, mcfg)
-            n_rays = height * width
-            n_chunks = (n_rays + chunk_rays - 1) // chunk_rays
-            from sfm_nerf_tpu.ops.render import _chunk_rays
-
-            oc, dc = _chunk_rays(o, d, chunk_rays)
-
-            def body(args):
-                if key is not None:
-                    ob, db, kb = args
-                else:
-                    ob, db = args
-                    kb = None
-                return render_rays_hierarchical_aux(
-                    coarse_fn, fine_fn, ob, db, rcfg, rcfg.n_importance, kb
-                )
-
-            if key is not None:
-                keys = jax.random.split(key, n_chunks)
-                rgb, depth, disp, acc = jax.lax.map(body, (oc, dc, keys))
-            else:
-                rgb, depth, disp, acc = jax.lax.map(body, (oc, dc))
-            flat = n_chunks * chunk_rays
-            rgb = rgb.reshape(flat, 3)[:n_rays]
-            depth = depth.reshape(flat)[:n_rays]
-            disp = disp.reshape(flat)[:n_rays]
-            acc = acc.reshape(flat)[:n_rays]
+            rgb, depth, disp, acc = render_rays_hierarchical_chunked_aux(
+                coarse_fn, fine_fn, o, d, rcfg, rcfg.n_importance, key,
+                chunk_rays,
+            )
         else:
             model_fn = lambda p, dd: nerf_apply(params, p, dd, mcfg)
             rgb, depth, disp, acc = render_rays_chunked_aux(
