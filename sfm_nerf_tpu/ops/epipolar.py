@@ -11,8 +11,13 @@ Algorithmic parity with Phase1/Fundamental.py, re-shaped for TPU:
 - the constraint row layout [x1x2, x1y2, x1, y1x2, y1y2, y1, x2, y2, 1]
   (Fundamental.py:20) and the Sampson variant with pre-normalized epipolar
   lines (Fundamental.py:104-116) are replicated exactly, quirks included;
-- degenerate samples are masked (inlier count forced to -1) instead of the
-  reference's implicit garbage-F-few-inliers behavior.
+- minimal samples are drawn WITHOUT replacement (masked top-k of iid
+  uniforms — a uniform k-subset per hypothesis), matching the reference's
+  ``np.random.choice(..., replace=False)``; a repeated-row sample would
+  solve a rank-deficient system whose null vector is finite garbage that
+  scores normally, so replacement draws silently wasted ~13% of
+  hypotheses at N=200 (92% at a bucketed n_valid=8).  Residual
+  degeneracies (non-finite F) are additionally masked to -inf.
 """
 
 from __future__ import annotations
@@ -26,6 +31,30 @@ import jax.numpy as jnp
 from sfm_nerf_tpu.utils.buckets import pow2_bucket
 
 from sfm_nerf_tpu.ops.linalg import HI, homogenize, smallest_eigvec_of_normal
+
+
+def draw_minimal_samples(key, n_hyp: int, k: int, valid: jnp.ndarray):
+    """(n_hyp, k) duplicate-free minimal-sample indices into the valid
+    rows: the k smallest of iid uniforms per hypothesis is a uniform
+    random k-subset (in random order), and masking padded rows to +inf
+    excludes them exactly — the batched analog of the reference's
+    ``np.random.choice(N, k, replace=False)`` (Fundamental.py:99,
+    PnP.py:166).  Cost: (n_hyp, N) uniforms + one top_k per chunk —
+    drawn INSIDE each scoring chunk so peak memory stays (chunk, N).
+
+    BUCKET-INVARIANT: each hypothesis gets its own key and a 1-D
+    uniform draw, whose elements are prefix-stable in the array length
+    (threefry is counter-based per key; a single 2-D draw is NOT
+    prefix-stable — its counter layout depends on the padded width), so
+    padding the point set to a bucket size cannot change which rows a
+    hypothesis samples."""
+    hyp_keys = jax.random.split(key, n_hyp)
+    u = jax.vmap(
+        lambda hk: jax.random.uniform(hk, (valid.shape[0],))
+    )(hyp_keys)
+    u = jnp.where(valid, u, jnp.inf)
+    _, idx = jax.lax.top_k(-u, k)
+    return idx
 
 
 def normalization_matrix(
@@ -220,12 +249,7 @@ def ransac_fundamental(
     simple threshold counts of the re-estimated winner.
     """
     n_pts = pts1.shape[0]
-    if n_valid is None:
-        valid = None
-        n_draw = n_pts
-    else:
-        valid = jnp.arange(n_pts) < n_valid
-        n_draw = n_valid
+    valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
     if normalize:
         T1 = normalization_matrix(pts1, valid)
         T2 = normalization_matrix(pts2, valid)
@@ -239,28 +263,35 @@ def ransac_fundamental(
 
     n_chunks = (n_iters + chunk - 1) // chunk
     total = n_chunks * chunk
-    idx = jax.random.randint(key, (total, 8), 0, n_draw)
+    draw_mask = (
+        jnp.ones((n_pts,), bool) if valid is None else valid
+    )
+    chunk_keys = jax.random.split(key, n_chunks)
 
     def gate(d):
         return d if valid is None else jnp.where(valid, d, jnp.inf)
 
-    def score_chunk(idx_chunk):
+    def score_chunk(ck):
+        idx_chunk = draw_minimal_samples(ck, chunk, 8, draw_mask)
         s1 = p1[idx_chunk]                 # (chunk, 8, 2)
         s2 = p2[idx_chunk]
         F = eight_point_fast(s1, s2)       # (chunk, 3, 3); Jacobi path
         d = gate(sampson_distance(F, h1, h2))    # (chunk, N)
         score = _ransac_score(d, threshold, scoring)
-        # mask degenerate hypotheses (repeated sample rows -> NaN/Inf F)
+        # belt-and-braces mask: draws are duplicate-free now, but other
+        # degeneracies (collinear samples at pathological precision) can
+        # still produce non-finite F
         ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
         return jnp.where(ok, score, -jnp.inf)
 
-    scores = jax.lax.map(
-        score_chunk, idx.reshape(n_chunks, chunk, 8)
-    ).reshape(total)
+    scores = jax.lax.map(score_chunk, chunk_keys).reshape(total)
     best = jnp.argmax(scores)
 
-    # recompute the winning hypothesis' F and inlier set
-    Fb = eight_point(p1[idx[best]], p2[idx[best]])
+    # recompute the winning hypothesis' draw (deterministic from its
+    # chunk key), then its F and inlier set
+    idx_best = draw_minimal_samples(
+        chunk_keys[best // chunk], chunk, 8, draw_mask)[best % chunk]
+    Fb = eight_point(p1[idx_best], p2[idx_best])
     d = gate(sampson_distance(Fb, h1, h2))
     inliers = d < threshold
 

@@ -181,16 +181,23 @@ def pnp_ransac(
     leave near-ties that platform rounding flips; see
     ops/epipolar.py:_ransac_score."""
     n_pts = X3d.shape[0]
-    maxval = n_pts if n_valid is None else n_valid
     valid = (
         jnp.ones((n_pts,), bool) if n_valid is None
         else jnp.arange(n_pts) < n_valid
     )
     n_chunks = (n_iters + chunk - 1) // chunk
     total = n_chunks * chunk
-    idx = jax.random.randint(key, (total, 6), 0, maxval)
+    chunk_keys = jax.random.split(key, n_chunks)
 
-    def score_chunk(idx_chunk):
+    def score_chunk(ck):
+        # duplicate-free draws (reference: np.random.choice replace=False,
+        # PnP.py:166): a repeated row makes the 12-unknown DLT
+        # underdetermined yet FINITE, so it scored normally — at a
+        # bucketed n_valid=8, 92% of with-replacement 6-draws contained a
+        # repeat, collapsing the effective iteration count ~13x
+        from sfm_nerf_tpu.ops.epipolar import draw_minimal_samples
+
+        idx_chunk = draw_minimal_samples(ck, chunk, 6, valid)
         C, R = linear_pnp_fast(X3d[idx_chunk], x2d[idx_chunk], K)  # Jacobi
         # per-point squared reprojection error under each hypothesis —
         # vmapped: one broadcasted (chunk, N) evaluation, not a sequential
@@ -208,11 +215,13 @@ def pnp_ransac(
         )
         return jnp.where(ok, score, -jnp.inf)
 
-    scores = jax.lax.map(
-        score_chunk, idx.reshape(n_chunks, chunk, 6)
-    ).reshape(total)
+    scores = jax.lax.map(score_chunk, chunk_keys).reshape(total)
     best = jnp.argmax(scores)
-    C, R = linear_pnp(X3d[idx[best]], x2d[idx[best]], K)
+    from sfm_nerf_tpu.ops.epipolar import draw_minimal_samples
+
+    idx_best = draw_minimal_samples(
+        chunk_keys[best // chunk], chunk, 6, valid)[best % chunk]
+    C, R = linear_pnp(X3d[idx_best], x2d[idx_best], K)
     e = reprojection_errors(K, R, C, X3d, x2d)
     inliers = (e < threshold) & valid
     return PnPRansacResult(R, C, inliers, jnp.sum(inliers))

@@ -367,12 +367,7 @@ def render_rays_hierarchical_chunked(
     fine-pass rgb."""
     n_rays = origins.shape[0]
     n_chunks = (n_rays + chunk_rays - 1) // chunk_rays
-    pad = n_chunks * chunk_rays - n_rays
-    o = jnp.pad(origins, ((0, pad), (0, 0)))
-    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=0.0)
-    d = d.at[n_rays:, 2].set(1.0) if pad else d
-    o = o.reshape(n_chunks, chunk_rays, 3)
-    d = d.reshape(n_chunks, chunk_rays, 3)
+    o, d = _chunk_rays(origins, directions, chunk_rays)
 
     def body(args):
         if key is not None:

@@ -47,11 +47,49 @@ def rotation_averaging(
 ) -> jnp.ndarray:
     """Global world-to-camera rotations from pairwise measurements.
 
-    pairs: M (i, j) index pairs (0-based); R_rel: (M, 3, 3) with
-    R_rel[m] = R_j R_i^T.  Returns (n_cams, 3, 3) with the ``anchor``
-    camera's rotation = identity (the usual gauge).  Cameras not touched
-    by any pair come back as identity.
+    pairs: M (i, j) index pairs (0-based, host-side values — the
+    connected-component restriction below needs them concrete);
+    R_rel: (M, 3, 3) with R_rel[m] = R_j R_i^T.  Returns (n_cams, 3, 3)
+    with the ``anchor`` camera's rotation = identity (the usual gauge).
+    Cameras not connected to the anchor come back as identity.
+
+    The solve is RESTRICTED to the anchor's connected component: an
+    isolated camera's exact eigenvalue-1 identity diagonal block would
+    otherwise displace the connected component's (noise-perturbed, < 1)
+    top eigenvectors and corrupt EVERY returned rotation (measured: 151
+    deg errors on the connected cameras with one edge-less camera
+    present, 0.6 deg without).  Other disconnected components are also
+    left at identity — their gauge is unrelated to the anchor's anyway.
     """
+    import numpy as np
+
+    pairs_np = np.asarray(pairs, np.int64).reshape(-1, 2)
+    # union-find: anchor's connected component
+    parent = list(range(n_cams))
+
+    def _find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in pairs_np:
+        parent[_find(int(i))] = _find(int(j))
+    comp = np.array([_find(c) == _find(anchor) for c in range(n_cams)])
+    if not comp.all():
+        keep = np.nonzero(comp)[0]
+        remap = -np.ones(n_cams, np.int64)
+        remap[keep] = np.arange(len(keep))
+        edge_in = comp[pairs_np[:, 0]] & comp[pairs_np[:, 1]]
+        R_sub = rotation_averaging(
+            remap[pairs_np[edge_in]], jnp.asarray(R_rel)[edge_in],
+            len(keep), anchor=int(remap[anchor]),
+        )
+        out = jnp.broadcast_to(
+            jnp.eye(3, dtype=R_sub.dtype), (n_cams, 3, 3)
+        ).at[keep].set(R_sub)
+        return out
+
     pairs = jnp.asarray(pairs, jnp.int32).reshape(-1, 2)
     R_rel = jnp.asarray(R_rel)
     dtype = R_rel.dtype
@@ -60,10 +98,14 @@ def rotation_averaging(
     S = jnp.zeros((3 * N, 3 * N), dtype)
     eye_blocks = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, 3, 3))
     S = _scatter_blocks(S, jnp.arange(N), jnp.arange(N), eye_blocks)
-    # S_ij = R_ij^T, S_ji = R_ij  (symmetric by construction)
+    # S_ij = R_ij^T, S_ji = R_ij (symmetric by construction).  ADD, not
+    # set: a pair measured twice contributes both measurements (their
+    # block sum — consistent with deg counting every edge below); a
+    # last-write-wins set would silently drop one while deg still
+    # counted it
     S = _scatter_blocks(S, pairs[:, 0], pairs[:, 1],
-                        jnp.swapaxes(R_rel, -1, -2))
-    S = _scatter_blocks(S, pairs[:, 1], pairs[:, 0], R_rel)
+                        jnp.swapaxes(R_rel, -1, -2), add=True)
+    S = _scatter_blocks(S, pairs[:, 1], pairs[:, 0], R_rel, add=True)
 
     # degree normalization (D^-1/2 S D^-1/2) evens out uneven graphs
     deg = jnp.ones((N,), dtype)
@@ -90,15 +132,17 @@ def rotation_averaging(
     return project_to_so3(R)
 
 
-def _scatter_blocks(S, rows, cols, blocks):
-    """S[3r:3r+3, 3c:3c+3] = block, vectorized over the index arrays."""
+def _scatter_blocks(S, rows, cols, blocks, add=False):
+    """S[3r:3r+3, 3c:3c+3] = (or +=) block, vectorized over the index
+    arrays; ``add=True`` accumulates duplicate (row, col) pairs instead
+    of dropping all but an unspecified one."""
     r0 = 3 * jnp.asarray(rows, jnp.int32)
     c0 = 3 * jnp.asarray(cols, jnp.int32)
     ri = (r0[:, None, None] + jnp.arange(3)[None, :, None])
     ci = (c0[:, None, None] + jnp.arange(3)[None, None, :])
     ri = jnp.broadcast_to(ri, blocks.shape)
     ci = jnp.broadcast_to(ci, blocks.shape)
-    return S.at[ri, ci].set(blocks)
+    return S.at[ri, ci].add(blocks) if add else S.at[ri, ci].set(blocks)
 
 
 def relative_rotation_residuals(

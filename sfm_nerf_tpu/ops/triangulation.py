@@ -90,10 +90,21 @@ def cheirality_counts(
     points: jnp.ndarray,   # (4, N, 3) triangulated per candidate pose
     Cs: jnp.ndarray,       # (4, 3)
     Rs: jnp.ndarray,       # (4, 3, 3)
+    R1: jnp.ndarray = None,
+    C1: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """#points passing the two-camera depth test per candidate
-    (Triangulation.py:372-401)."""
-    z1_ok = points[..., 2] > 0
+    (Triangulation.py:372-401).  Camera 1 defaults to identity at the
+    origin (the reference's two-view case — it tests raw world z there,
+    which is camera-1 depth ONLY under that default); a registered
+    non-identity camera-1 pose must test depth in ITS frame or the vote
+    picks mirrored candidates."""
+    if R1 is None:
+        z1_ok = points[..., 2] > 0
+    else:
+        c1 = jnp.zeros((3,), points.dtype) if C1 is None else C1.reshape(3)
+        z1_ok = jnp.einsum(
+            "j,pnj->pn", R1[2], points - c1, precision=HI) > 0
     r3 = Rs[:, 2, :]                                 # (4, 3)
     v = points - Cs[:, None, :]
     z2_ok = jnp.einsum("pj,pnj->pn", r3, v, precision=HI) > 0
@@ -120,7 +131,9 @@ def disambiguate_pose(
         return triangulate_linear(K, R1, T1, R, T2, pts1, pts2)
 
     all_points = jax.lax.map(tri, (Cs, Rs))          # (4, N, 3)
-    counts = cheirality_counts(all_points, Cs, Rs)
+    # camera 1's center for its depth test (C1 = -R1^T T1)
+    C1 = -jnp.matmul(R1.T, T1.reshape(3, 1), precision=HI).reshape(3)
+    counts = cheirality_counts(all_points, Cs, Rs, R1=R1, C1=C1)
     best = jnp.argmax(counts)
     return all_points[best], Cs[best], Rs[best], all_points, best
 

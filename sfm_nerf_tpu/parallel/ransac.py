@@ -33,6 +33,7 @@ from jax import shard_map
 from sfm_nerf_tpu.ops.epipolar import (
     RansacResult,
     _ransac_score,
+    draw_minimal_samples,
     eight_point,
     eight_point_fast,
     normalization_matrix,
@@ -67,12 +68,7 @@ def ransac_fundamental_sharded(
     n_dev * chunk`` — pass an n_iters whose chunk count is a MULTIPLE of
     the device count to match the single-device draw sequence exactly."""
     n_pts = pts1.shape[0]
-    if n_valid is None:
-        valid = None
-        n_draw = n_pts
-    else:
-        valid = jnp.arange(n_pts) < n_valid
-        n_draw = n_valid
+    valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
     if normalize:
         T1 = normalization_matrix(pts1, valid)
         T2 = normalization_matrix(pts2, valid)
@@ -88,35 +84,41 @@ def ransac_fundamental_sharded(
     n_chunks = (n_iters + chunk - 1) // chunk
     n_chunks = ((n_chunks + n_dev - 1) // n_dev) * n_dev
     total = n_chunks * chunk
-    idx = jax.random.randint(key, (total, 8), 0, n_draw)
+    draw_mask = jnp.ones((n_pts,), bool) if valid is None else valid
+    # per-chunk keys split exactly as the single-device path, so equal
+    # chunk counts -> identical draws -> bit-equal winner
+    chunk_keys = jax.random.split(key, n_chunks)
 
     def gate(d):
         return d if valid is None else jnp.where(valid, d, jnp.inf)
 
-    def score_shard(idx_shard, p1r, p2r, h1r, h2r, thr):
-        # idx_shard: (n_chunks/n_dev, chunk, 8) — this device's hypotheses
-        def score_chunk(ic):
+    def score_shard(keys_shard, p1r, p2r, h1r, h2r, thr):
+        # keys_shard: (n_chunks/n_dev,) — this device's hypothesis chunks
+        def score_chunk(ck):
+            ic = draw_minimal_samples(ck, chunk, 8, draw_mask)
             F = eight_point_fast(p1r[ic], p2r[ic])  # match the single-device scorer
             d = gate(sampson_distance(F, h1r, h2r))
             score = _ransac_score(d, thr, scoring)
             ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
             return jnp.where(ok, score, -jnp.inf)
 
-        return jax.lax.map(score_chunk, idx_shard).reshape(-1)
+        return jax.lax.map(score_chunk, keys_shard).reshape(-1)
 
     rep = P(*([None] * 2))
     scores = shard_map(
         score_shard,
         mesh=mesh,
-        in_specs=(P(axis, None, None), rep, rep, rep, rep, P()),
+        in_specs=(P(axis), rep, rep, rep, rep, P()),
         out_specs=P(axis),
-    )(idx.reshape(n_chunks, chunk, 8), p1, p2, h1, h2,
-      jnp.asarray(threshold, p1.dtype))
+    )(chunk_keys, p1, p2, h1, h2, jnp.asarray(threshold, p1.dtype))
     best = jnp.argmax(scores)
 
-    # winning hypothesis re-scored + re-estimated on its inliers, exactly
-    # as the single-device path (ops/epipolar.py:208-214)
-    Fb = eight_point(p1[idx[best]], p2[idx[best]])
+    # winning hypothesis re-drawn (deterministic from its chunk key),
+    # re-scored + re-estimated on its inliers, exactly as the
+    # single-device path (ops/epipolar.py)
+    idx_best = draw_minimal_samples(
+        chunk_keys[best // chunk], chunk, 8, draw_mask)[best % chunk]
+    Fb = eight_point(p1[idx_best], p2[idx_best])
     d = gate(sampson_distance(Fb, h1, h2))
     inliers = d < threshold
     F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))

@@ -238,3 +238,23 @@ def test_ransac_bucketed_matches_unpadded():
     recall = (found & inlier_mask).sum() / inlier_mask.sum()
     precision = (found & inlier_mask).sum() / max(found.sum(), 1)
     assert recall > 0.85 and precision > 0.9, (recall, precision)
+
+
+def test_draw_minimal_samples_duplicate_free_and_valid_only():
+    """Minimal-sample draws: no repeats within a hypothesis (the
+    reference's replace=False), padded rows never drawn, and every valid
+    row reachable (coverage over many draws)."""
+    from sfm_nerf_tpu.ops.epipolar import draw_minimal_samples
+
+    n_pts, n_valid, k = 64, 11, 8
+    valid = jnp.arange(n_pts) < n_valid
+    idx = np.asarray(draw_minimal_samples(
+        jax.random.key(0), 4096, k, valid))
+    assert idx.shape == (4096, k)
+    assert (idx < n_valid).all()                      # padded rows excluded
+    for row in idx[:512]:
+        assert len(set(row.tolist())) == k            # duplicate-free
+    # uniform subset: every valid row appears with roughly equal frequency
+    counts = np.bincount(idx.reshape(-1), minlength=n_valid)
+    expected = idx.size / n_valid
+    assert (np.abs(counts - expected) < 0.1 * expected).all()

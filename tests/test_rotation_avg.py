@@ -113,3 +113,39 @@ def test_jit_compatible():
     R_ref = R_true @ R_true[0].T
     for a, b in zip(R, R_ref):
         assert angular_err(a, b) < 1e-4
+
+
+def test_rotation_averaging_isolated_camera_does_not_corrupt():
+    """An edge-less camera's exact eigenvalue-1 identity block used to
+    displace the connected component's top eigenvectors (151-deg errors on
+    the CONNECTED cameras).  The op now restricts the solve to the
+    anchor's component and returns identity elsewhere, as documented."""
+    rng = np.random.default_rng(0)
+    Rs = random_rotations(rng, 4)
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 2), (1, 3)]
+    noise = np.radians(0.5)
+    R_rel = np.stack([
+        perturb(rng, Rs[j] @ Rs[i].T, noise) for i, j in pairs
+    ])
+    # camera 4 exists but has NO edges
+    R_avg = np.asarray(rotation_averaging(pairs, R_rel, 5, anchor=0))
+    for c in range(4):
+        err = angular_err(R_avg[c], Rs[c] @ Rs[0].T)
+        assert err < 2.0, f"camera {c}: {err:.1f} deg"
+    np.testing.assert_allclose(R_avg[4], np.eye(3), atol=1e-12)
+
+
+def test_rotation_averaging_duplicate_edge_accumulates():
+    """A pair measured twice must contribute both measurements (block
+    sum, consistent with the degree count) instead of silently dropping
+    one — identical duplicates therefore match the single-edge result."""
+    rng = np.random.default_rng(1)
+    Rs = random_rotations(rng, 3)
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    R_rel = np.stack([Rs[j] @ Rs[i].T for i, j in pairs])
+    base = np.asarray(rotation_averaging(pairs, R_rel, 3))
+    dup = np.asarray(rotation_averaging(
+        pairs + [(0, 1)], np.concatenate([R_rel, R_rel[:1]]), 3))
+    for c in range(3):
+        err = angular_err(base[c], dup[c])
+        assert err < 0.01, f"camera {c}: {err:.3f} deg"

@@ -117,3 +117,54 @@ def test_reprojection_errors_zero_for_truth():
         jnp.asarray(K), jnp.asarray(R2), jnp.asarray(C2),
         jnp.asarray(scene["points"]), jnp.asarray(scene["obs"][1])))
     assert e.max() < 1e-12
+
+
+def test_disambiguate_pose_non_identity_camera1():
+    """The cheirality vote must test camera-1 depth in CAMERA 1's frame:
+    with a strongly rotated registered camera 1, the old world-z test
+    scored the true candidate 0 and picked a mirrored pose."""
+    from sfm_nerf_tpu.ops.triangulation import disambiguate_pose
+
+    rng = np.random.default_rng(5)
+    # camera 1 rotated ~150 deg about x, positioned so the scene is in
+    # FRONT of it but at NEGATIVE world z
+    th = np.radians(150.0)
+    c, s = np.cos(th), np.sin(th)
+    R1 = np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+    C1 = np.array([0.0, 0.0, 0.0])
+    # points along camera 1's optical axis (R1's third row direction)
+    depth = rng.uniform(4.0, 8.0, (120, 1))
+    lateral = rng.uniform(-1.0, 1.0, (120, 2))
+    X = C1 + depth * R1[2] + lateral[:, :1] * R1[0] + lateral[:, 1:] * R1[1]
+    assert (X[:, 2] < 0).all()      # world-z test would reject every point
+    # camera 2: small baseline along camera 1's x axis, same orientation
+    C2 = C1 + 0.8 * R1[0]
+    R2 = R1.copy()
+    K = np.array([[800.0, 0, 400.0], [0, 800.0, 300.0], [0, 0, 1.0]])
+
+    def proj(R, C):
+        P = K @ R @ np.hstack([np.eye(3), -C[:, None]])
+        x = (P @ np.hstack([X, np.ones((len(X), 1))]).T).T
+        return x[:, :2] / x[:, 2:3]
+
+    pts1, pts2 = proj(R1, C1), proj(R2, C2)
+    flip = np.diag([1.0, -1.0, -1.0])
+    # candidates in camera-1-relative convention (as decompose_essential
+    # yields): C_rel, R_rel with world C = C1 + R1^T C_rel, R = R_rel R1
+    C_rel = R1 @ (C2 - C1)
+    R_rel = R2 @ R1.T
+    Cs_world = np.stack([
+        C1 + R1.T @ C_rel, C1 - R1.T @ C_rel,
+        C1 + R1.T @ C_rel, C1 - R1.T @ C_rel,
+    ])
+    Rs_world = np.stack([R_rel @ R1, R_rel @ R1,
+                         flip @ R_rel @ R1, flip @ R_rel @ R1])
+    T1 = -R1 @ C1
+    Xw, Cw, Rw, _, best = disambiguate_pose(
+        jnp.asarray(K), jnp.asarray(Cs_world), jnp.asarray(Rs_world),
+        jnp.asarray(pts1), jnp.asarray(pts2),
+        R1=jnp.asarray(R1), T1=jnp.asarray(T1),
+    )
+    assert int(best) == 0
+    np.testing.assert_allclose(np.asarray(Cw), C2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Xw), X, atol=1e-4)
