@@ -33,6 +33,13 @@ def main():
                              "devices (bit-equal to single-device when "
                              "it divides the chunk count; wants a "
                              "multi-chip mesh)")
+    parser.add_argument("--ransac_confidence", type=float, default=0.0,
+                        help="> 0 (e.g. 0.999): adaptive early termination "
+                             "for F-RANSAC and PnP RANSAC at this "
+                             "confidence — iteration flags become caps, "
+                             "~25x fewer hypotheses scored at the bundled "
+                             "data's inlier ratios. 0 keeps the "
+                             "reference's fixed 50000/10000 iterations")
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
     parser.add_argument("--ba_max_iters", type=int, default=50)
@@ -133,6 +140,7 @@ def main():
         ransac_threshold=args.ransac_threshold,
         ransac_scoring=args.ransac_scoring,
         ransac_devices=args.ransac_devices,
+        ransac_confidence=args.ransac_confidence,
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,

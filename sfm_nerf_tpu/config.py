@@ -164,6 +164,12 @@ class SfMConfig:
     # WHEN the device count divides ceil(n_iters/chunk) — otherwise the
     # chunk count rounds up and extra hypotheses are drawn)
     ransac_devices: int = 1
+    # > 0: adaptive early termination (H&Z Alg. 4.5) for F-RANSAC and PnP
+    # RANSAC at this confidence — ransac_iters/pnp_iters become CAPS, and
+    # at the bundled data's inlier ratios ~25x fewer hypotheses are
+    # scored.  0 (default) keeps the reference's fixed iteration counts.
+    # Mutually exclusive with ransac_devices > 1.
+    ransac_confidence: float = 0.0
     # PnP RANSAC (Phase1/PnP.py:160)
     pnp_iters: int = 10000
     pnp_threshold: float = 10.0      # squared px reprojection error

@@ -11,13 +11,17 @@ Algorithmic parity with Phase1/Fundamental.py, re-shaped for TPU:
 - the constraint row layout [x1x2, x1y2, x1, y1x2, y1y2, y1, x2, y2, 1]
   (Fundamental.py:20) and the Sampson variant with pre-normalized epipolar
   lines (Fundamental.py:104-116) are replicated exactly, quirks included;
-- minimal samples are drawn WITHOUT replacement (masked top-k of iid
-  uniforms — a uniform k-subset per hypothesis), matching the reference's
+- minimal samples are drawn WITHOUT replacement (vectorized sparse
+  Fisher-Yates, see draw_minimal_samples), matching the reference's
   ``np.random.choice(..., replace=False)``; a repeated-row sample would
   solve a rank-deficient system whose null vector is finite garbage that
   scores normally, so replacement draws silently wasted ~13% of
   hypotheses at N=200 (92% at a bucketed n_valid=8).  Residual
   degeneracies (non-finite F) are additionally masked to -inf.
+- ``ransac_fundamental_adaptive`` adds the H&Z Alg. 4.5 confidence-based
+  early exit (host-driven at chunk granularity; the device program stays
+  static-shaped) — the production alternative to the reference's fixed
+  50,000 iterations.
 """
 
 from __future__ import annotations
@@ -33,28 +37,56 @@ from sfm_nerf_tpu.utils.buckets import pow2_bucket
 from sfm_nerf_tpu.ops.linalg import HI, homogenize, smallest_eigvec_of_normal
 
 
-def draw_minimal_samples(key, n_hyp: int, k: int, valid: jnp.ndarray):
-    """(n_hyp, k) duplicate-free minimal-sample indices into the valid
-    rows: the k smallest of iid uniforms per hypothesis is a uniform
-    random k-subset (in random order), and masking padded rows to +inf
-    excludes them exactly — the batched analog of the reference's
+def draw_minimal_samples(key, n_hyp: int, k: int, n_pts: int, n_valid=None):
+    """(n_hyp, k) duplicate-free minimal-sample indices into rows
+    ``[0, n_valid)`` — the batched analog of the reference's
     ``np.random.choice(N, k, replace=False)`` (Fundamental.py:99,
-    PnP.py:166).  Cost: (n_hyp, N) uniforms + one top_k per chunk —
-    drawn INSIDE each scoring chunk so peak memory stays (chunk, N).
+    PnP.py:166).  A repeated-row sample would solve a rank-deficient
+    system whose null vector is finite garbage that scores normally, so
+    with-replacement draws silently wasted ~13% of hypotheses at N=200
+    (92% at a bucketed n_valid=8).
 
-    BUCKET-INVARIANT: each hypothesis gets its own key and a 1-D
-    uniform draw, whose elements are prefix-stable in the array length
-    (threefry is counter-based per key; a single 2-D draw is NOT
-    prefix-stable — its counter layout depends on the padded width), so
-    padding the point set to a bucket size cannot change which rows a
-    hypothesis samples."""
-    hyp_keys = jax.random.split(key, n_hyp)
-    u = jax.vmap(
-        lambda hk: jax.random.uniform(hk, (valid.shape[0],))
-    )(hyp_keys)
-    u = jnp.where(valid, u, jnp.inf)
-    _, idx = jax.lax.top_k(-u, k)
-    return idx
+    Vectorized SPARSE FISHER-YATES: per hypothesis, k randints
+    ``j_i ~ U[i, n_valid)`` plus an O(k^2) register-resident virtual-swap
+    map (the classic ``m[j] = m.get(i, i)`` reservoir trick, unrolled —
+    k <= 8, so the "map" is k compare/selects per lookup).  Exactly
+    uniform over k-permutations, hence over k-subsets.  Cost is
+    independent of the point-set size N; the first masked-top-k
+    implementation generated (n_hyp, N) uniforms per chunk and cost 43x
+    more at the 1024-bucket (57 ms vs 1.3 ms per 1024-hypothesis chunk
+    on CPU — it dominated the whole refine stage, 362 s vs 70 s recorded
+    pipeline total).
+
+    BUCKET-INVARIANT BY CONSTRUCTION: the draw shape depends only on
+    (n_hyp, k) and the values only on ``n_valid``, so padding the point
+    set to a bucket size cannot change which rows a hypothesis samples.
+    Valid rows must form a PREFIX (rows [0, n_valid)) — which is how
+    every bucketed wrapper pads.  Degenerate ``n_valid < k`` draws from
+    the first k rows (the minimal solve is underdetermined there anyway;
+    the reference's np.random.choice would raise)."""
+    nv = jnp.asarray(n_pts if n_valid is None else n_valid, jnp.int32)
+    nv = jnp.maximum(nv, k)
+    lo = jnp.arange(k, dtype=jnp.int32)
+    j = jax.random.randint(key, (n_hyp, k), lo, nv)
+
+    def lookup(pos, mpos, mval):
+        # current a[pos] under the recorded swaps; later slots win (they
+        # are more recent writes), never-written slots hold pos == -1
+        v = pos
+        for t in range(k):
+            v = jnp.where(mpos[:, t] == pos, mval[:, t], v)
+        return v
+
+    mpos = jnp.full((n_hyp, k), -1, jnp.int32)
+    mval = jnp.zeros((n_hyp, k), jnp.int32)
+    outs = []
+    for i in range(k):
+        ji = j[:, i]
+        outs.append(lookup(ji, mpos, mval))          # out[i] = a[j]
+        ai = lookup(jnp.full_like(ji, i), mpos, mval)
+        mpos = mpos.at[:, i].set(ji)                 # a[j] = a[i]
+        mval = mval.at[:, i].set(ai)
+    return jnp.stack(outs, axis=-1)
 
 
 def normalization_matrix(
@@ -210,6 +242,37 @@ class RansacResult(NamedTuple):
     best_iter: jnp.ndarray    # scalar int (winning hypothesis index)
 
 
+def _ransac_prep(pts1, pts2, normalize, valid):
+    """Shared head of every F-RANSAC entry point: Hartley-normalize (or
+    not) and homogenize.  Returns (T1, T2, p1, p2, h1, h2)."""
+    if normalize:
+        T1 = normalization_matrix(pts1, valid)
+        T2 = normalization_matrix(pts2, valid)
+        h1 = jnp.matmul(homogenize(pts1), T1.T, precision=HI)
+        h2 = jnp.matmul(homogenize(pts2), T2.T, precision=HI)
+        p1, p2 = h1[..., :2], h2[..., :2]
+    else:
+        T1 = T2 = jnp.eye(3, dtype=pts1.dtype)
+        p1, p2 = pts1, pts2
+        h1, h2 = homogenize(pts1), homogenize(pts2)
+    return T1, T2, p1, p2, h1, h2
+
+
+def _ransac_winner(idx_best, T1, T2, p1, p2, h1, h2, threshold,
+                   normalize, valid):
+    """Shared tail of every F-RANSAC entry point: LAPACK-grade re-solve of
+    the winning minimal sample, inlier set, all-inlier re-estimation
+    (Fundamental.py:133-137), denormalization."""
+    Fb = eight_point(p1[idx_best], p2[idx_best])
+    d = sampson_distance(Fb, h1, h2)
+    d = d if valid is None else jnp.where(valid, d, jnp.inf)
+    inliers = d < threshold
+    F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))
+    if normalize:
+        F = jnp.matmul(jnp.matmul(T2.T, F, precision=HI), T1, precision=HI)
+    return F, inliers
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_iters", "normalize", "chunk", "scoring")
 )
@@ -250,29 +313,17 @@ def ransac_fundamental(
     """
     n_pts = pts1.shape[0]
     valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
-    if normalize:
-        T1 = normalization_matrix(pts1, valid)
-        T2 = normalization_matrix(pts2, valid)
-        h1 = jnp.matmul(homogenize(pts1), T1.T, precision=HI)
-        h2 = jnp.matmul(homogenize(pts2), T2.T, precision=HI)
-        p1, p2 = h1[..., :2], h2[..., :2]
-    else:
-        T1 = T2 = jnp.eye(3, dtype=pts1.dtype)
-        p1, p2 = pts1, pts2
-        h1, h2 = homogenize(pts1), homogenize(pts2)
+    T1, T2, p1, p2, h1, h2 = _ransac_prep(pts1, pts2, normalize, valid)
 
     n_chunks = (n_iters + chunk - 1) // chunk
     total = n_chunks * chunk
-    draw_mask = (
-        jnp.ones((n_pts,), bool) if valid is None else valid
-    )
     chunk_keys = jax.random.split(key, n_chunks)
 
     def gate(d):
         return d if valid is None else jnp.where(valid, d, jnp.inf)
 
     def score_chunk(ck):
-        idx_chunk = draw_minimal_samples(ck, chunk, 8, draw_mask)
+        idx_chunk = draw_minimal_samples(ck, chunk, 8, n_pts, n_valid)
         s1 = p1[idx_chunk]                 # (chunk, 8, 2)
         s2 = p2[idx_chunk]
         F = eight_point_fast(s1, s2)       # (chunk, 3, 3); Jacobi path
@@ -290,15 +341,142 @@ def ransac_fundamental(
     # recompute the winning hypothesis' draw (deterministic from its
     # chunk key), then its F and inlier set
     idx_best = draw_minimal_samples(
-        chunk_keys[best // chunk], chunk, 8, draw_mask)[best % chunk]
-    Fb = eight_point(p1[idx_best], p2[idx_best])
-    d = gate(sampson_distance(Fb, h1, h2))
-    inliers = d < threshold
-
-    F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))
-    if normalize:
-        F = jnp.matmul(jnp.matmul(T2.T, F, precision=HI), T1, precision=HI)
+        chunk_keys[best // chunk], chunk, 8, n_pts, n_valid)[best % chunk]
+    F, inliers = _ransac_winner(
+        idx_best, T1, T2, p1, p2, h1, h2, threshold, normalize, valid)
     return RansacResult(F, inliers, jnp.sum(inliers), best)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "normalize", "scoring")
+)
+def _ransac_fundamental_score_chunk(
+    ck, pts1, pts2, threshold, n_valid,
+    chunk: int = 1024, normalize: bool = True, scoring: str = "msac",
+):
+    """One hypothesis chunk of F-RANSAC, compiled standalone for the
+    adaptive (early-terminating) driver: draws ``chunk`` minimal samples
+    from ``ck``, scores them, and returns the chunk's
+    (best score, argmax-in-chunk, inlier count of the chunk best) — the
+    count feeds the host-side confidence stopping rule.  Identical math to
+    ``ransac_fundamental``'s in-loop scorer (same draw stream for the same
+    per-chunk key), one compile per (bucket, chunk) shape."""
+    n_pts = pts1.shape[0]
+    valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
+    T1, T2, p1, p2, h1, h2 = _ransac_prep(pts1, pts2, normalize, valid)
+
+    idx_chunk = draw_minimal_samples(ck, chunk, 8, n_pts, n_valid)
+    F = eight_point_fast(p1[idx_chunk], p2[idx_chunk])
+    d = sampson_distance(F, h1, h2)                   # (chunk, N)
+    d = d if valid is None else jnp.where(valid, d, jnp.inf)
+    score = _ransac_score(d, threshold, scoring)
+    ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
+    score = jnp.where(ok, score, -jnp.inf)
+    b = jnp.argmax(score)
+    count = jnp.sum(d[b] < threshold)
+    return score[b], b, count
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "normalize"))
+def _ransac_fundamental_finalize(
+    ck, best_in_chunk, pts1, pts2, threshold, n_valid,
+    chunk: int = 1024, normalize: bool = True,
+):
+    """Winner re-estimation for the adaptive driver: recompute the winning
+    chunk's draw from its key and run the shared LAPACK-grade tail."""
+    n_pts = pts1.shape[0]
+    valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
+    T1, T2, p1, p2, h1, h2 = _ransac_prep(pts1, pts2, normalize, valid)
+    idx_best = draw_minimal_samples(
+        ck, chunk, 8, n_pts, n_valid)[best_in_chunk]
+    F, inliers = _ransac_winner(
+        idx_best, T1, T2, p1, p2, h1, h2, threshold, normalize, valid)
+    return F, inliers, jnp.sum(inliers)
+
+
+def adaptive_trials_needed(
+    n_inliers: int, n_points: int, sample_size: int, confidence: float
+) -> float:
+    """Classic adaptive-RANSAC stopping bound (Hartley & Zisserman
+    Alg. 4.5; what COLMAP/OpenCV do): the number of minimal-sample draws
+    for a ``confidence`` chance that at least one is all-inlier, given the
+    best-so-far inlier ratio.  Returns +inf when the ratio rounds to 0."""
+    import math
+
+    w = min(max(n_inliers / max(n_points, 1), 0.0), 0.999999)
+    p_all_inlier = w ** sample_size
+    if p_all_inlier <= 0.0:
+        return float("inf")
+    if p_all_inlier >= 1.0:
+        return 0.0
+    return math.log(max(1.0 - confidence, 1e-300)) / math.log1p(
+        -p_all_inlier)
+
+
+def ransac_fundamental_adaptive(
+    key: jax.Array,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    confidence: float = 0.999,
+    max_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+    n_valid: Optional[int] = None,
+    scoring: str = "msac",
+    min_iters: Optional[int] = None,
+) -> Tuple[RansacResult, int]:
+    """F-RANSAC with the standard confidence-based early exit — the
+    production alternative to the reference's FIXED 50,000 iterations
+    (Fundamental.py:95-129): stop once the draws made would contain an
+    all-inlier sample with probability ``confidence`` under the
+    best-so-far inlier ratio.  At the bundled data's ~50-70% inlier
+    ratios this is 400-1800 draws instead of 50,000 (~25x less scoring
+    work) with the same winner quality.
+
+    Host-driven at CHUNK granularity: each chunk is one compiled device
+    launch (``_ransac_fundamental_score_chunk``, reused across pairs via
+    shape bucketing) and only three scalars come back per launch, so the
+    early exit costs no compiled-graph dynamism — the TPU program stays
+    static-shaped.  The per-chunk key stream is the split used by
+    ``ransac_fundamental``, so a run that stops after ``c`` chunks scores
+    EXACTLY the first ``c * chunk`` hypotheses of the fixed path's draw
+    sequence (same key): an adaptive run is a prefix of the fixed run.
+
+    Returns ``(result, iters_scored)``.
+    """
+    import numpy as np
+
+    n_chunks = max(1, (max_iters + chunk - 1) // chunk)
+    chunk_keys = jax.random.split(key, n_chunks)
+    if min_iters is None:
+        min_iters = min(2 * chunk, n_chunks * chunk)
+    nv = pts1.shape[0] if n_valid is None else int(n_valid)
+    nv_arr = None if n_valid is None else jnp.asarray(n_valid)
+
+    best_score, best_iter = -np.inf, 0
+    needed = float(max_iters)
+    done = 0
+    for c in range(n_chunks):
+        s, b, cnt = _ransac_fundamental_score_chunk(
+            chunk_keys[c], pts1, pts2, threshold, nv_arr,
+            chunk=chunk, normalize=normalize, scoring=scoring,
+        )
+        s = float(s)
+        done += chunk
+        if s > best_score:
+            best_score = s
+            best_iter = c * chunk + int(b)
+            needed = adaptive_trials_needed(int(cnt), nv, 8, confidence)
+        if done >= max(needed, min_iters):
+            break
+
+    F, inliers, n_inl = _ransac_fundamental_finalize(
+        chunk_keys[best_iter // chunk], best_iter % chunk,
+        pts1, pts2, threshold, nv_arr, chunk=chunk, normalize=normalize,
+    )
+    res = RansacResult(F, inliers, n_inl, jnp.asarray(best_iter))
+    return res, done
 
 
 def ransac_fundamental_bucketed(
@@ -311,6 +489,8 @@ def ransac_fundamental_bucketed(
     scoring: str = "msac",
     mesh=None,
     axis: str = "data",
+    confidence: float = 0.0,
+    iters_out: Optional[list] = None,
 ) -> RansacResult:
     """Host wrapper: pad the match count to the next power of two and call
     the jitted core with the true count — one compile per bucket instead of
@@ -319,7 +499,13 @@ def ransac_fundamental_bucketed(
 
     ``mesh``: optional device mesh — routes to the hypothesis-sharded core
     (parallel/ransac.py) with the same bucket policy, so the pad+slice
-    logic lives HERE for both paths."""
+    logic lives HERE for both paths.
+
+    ``confidence > 0``: route to ``ransac_fundamental_adaptive`` with
+    ``n_iters`` as the cap (mutually exclusive with ``mesh`` — adaptive
+    already cuts the work ~25x, sharding the remainder isn't worth the
+    divergent draw sequence).  ``iters_out``: optional list the adaptive
+    path appends its scored-iteration count to (for stage logging)."""
     import numpy as np
 
     n = len(pts1_np)
@@ -327,6 +513,23 @@ def ransac_fundamental_bucketed(
     pad = bucket - n
     p1 = jnp.asarray(np.pad(np.asarray(pts1_np, np.float64), ((0, pad), (0, 0))))
     p2 = jnp.asarray(np.pad(np.asarray(pts2_np, np.float64), ((0, pad), (0, 0))))
+    if confidence > 0.0:
+        if mesh is not None:
+            raise ValueError(
+                "adaptive RANSAC (confidence > 0) and hypothesis sharding "
+                "(mesh) are mutually exclusive — drop --ransac_devices or "
+                "--ransac_confidence"
+            )
+        res, used = ransac_fundamental_adaptive(
+            key, p1, p2, confidence=confidence, max_iters=n_iters,
+            threshold=threshold, normalize=normalize, chunk=chunk,
+            n_valid=n, scoring=scoring,
+        )
+        if iters_out is not None:
+            iters_out.append(used)
+        return RansacResult(
+            res.F, res.inliers[:n], res.n_inliers, res.best_iter
+        )
     if mesh is not None:
         from sfm_nerf_tpu.parallel.ransac import ransac_fundamental_sharded
 

@@ -197,7 +197,7 @@ def pnp_ransac(
         # repeat, collapsing the effective iteration count ~13x
         from sfm_nerf_tpu.ops.epipolar import draw_minimal_samples
 
-        idx_chunk = draw_minimal_samples(ck, chunk, 6, valid)
+        idx_chunk = draw_minimal_samples(ck, chunk, 6, n_pts, n_valid)
         C, R = linear_pnp_fast(X3d[idx_chunk], x2d[idx_chunk], K)  # Jacobi
         # per-point squared reprojection error under each hypothesis —
         # vmapped: one broadcasted (chunk, N) evaluation, not a sequential
@@ -220,11 +220,120 @@ def pnp_ransac(
     from sfm_nerf_tpu.ops.epipolar import draw_minimal_samples
 
     idx_best = draw_minimal_samples(
-        chunk_keys[best // chunk], chunk, 6, valid)[best % chunk]
+        chunk_keys[best // chunk], chunk, 6, n_pts, n_valid)[best % chunk]
     C, R = linear_pnp(X3d[idx_best], x2d[idx_best], K)
     e = reprojection_errors(K, R, C, X3d, x2d)
     inliers = (e < threshold) & valid
     return PnPRansacResult(R, C, inliers, jnp.sum(inliers))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "scoring"))
+def _pnp_ransac_score_chunk(
+    ck, X3d, x2d, K, threshold, n_valid,
+    chunk: int = 512, scoring: str = "msac",
+):
+    """One hypothesis chunk of PnP RANSAC for the adaptive driver —
+    identical math to ``pnp_ransac``'s in-loop scorer (same draw stream
+    for the same per-chunk key).  Returns (best score, argmax-in-chunk,
+    inlier count of the chunk best); mirrors
+    ops/epipolar.py:_ransac_fundamental_score_chunk."""
+    from sfm_nerf_tpu.ops.epipolar import _ransac_score, draw_minimal_samples
+
+    n_pts = X3d.shape[0]
+    valid = (
+        jnp.ones((n_pts,), bool) if n_valid is None
+        else jnp.arange(n_pts) < n_valid
+    )
+    idx_chunk = draw_minimal_samples(ck, chunk, 6, n_pts, n_valid)
+    C, R = linear_pnp_fast(X3d[idx_chunk], x2d[idx_chunk], K)
+    e = jax.vmap(
+        lambda Ci, Ri: reprojection_errors(K, Ri, Ci, X3d, x2d)
+    )(C, R)                                           # (chunk, N)
+    e = jnp.where(valid, e, jnp.inf)
+    score = _ransac_score(e, threshold, scoring)
+    ok = (
+        jnp.all(jnp.isfinite(C), axis=-1)
+        & jnp.all(jnp.isfinite(R.reshape(R.shape[0], -1)), axis=-1)
+    )
+    score = jnp.where(ok, score, -jnp.inf)
+    b = jnp.argmax(score)
+    count = jnp.sum(e[b] < threshold)
+    return score[b], b, count
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _pnp_ransac_finalize(
+    ck, best_in_chunk, X3d, x2d, K, threshold, n_valid, chunk: int = 512,
+):
+    """Winner re-solve (LAPACK-grade linear_pnp) for the adaptive driver."""
+    from sfm_nerf_tpu.ops.epipolar import draw_minimal_samples
+
+    n_pts = X3d.shape[0]
+    valid = (
+        jnp.ones((n_pts,), bool) if n_valid is None
+        else jnp.arange(n_pts) < n_valid
+    )
+    idx_best = draw_minimal_samples(
+        ck, chunk, 6, n_pts, n_valid)[best_in_chunk]
+    C, R = linear_pnp(X3d[idx_best], x2d[idx_best], K)
+    e = reprojection_errors(K, R, C, X3d, x2d)
+    inliers = (e < threshold) & valid
+    return R, C, inliers, jnp.sum(inliers)
+
+
+def pnp_ransac_adaptive(
+    key: jax.Array,
+    X3d: jnp.ndarray,
+    x2d: jnp.ndarray,
+    K: jnp.ndarray,
+    confidence: float = 0.999,
+    max_iters: int = 10000,
+    threshold: float = 10.0,
+    chunk: int = 512,
+    n_valid=None,
+    scoring: str = "msac",
+    min_iters=None,
+):
+    """PnP RANSAC with the confidence-based early exit (H&Z Alg. 4.5) —
+    the production alternative to the reference's fixed iteration count
+    (PnP.py:160-180).  Same host-driven chunk structure, stopping rule,
+    and prefix-of-the-fixed-path draw-stream property as
+    ops/epipolar.py:ransac_fundamental_adaptive (sample size 6).
+
+    Returns ``(result, iters_scored)``."""
+    import numpy as np
+
+    from sfm_nerf_tpu.ops.epipolar import adaptive_trials_needed
+
+    n_chunks = max(1, (max_iters + chunk - 1) // chunk)
+    chunk_keys = jax.random.split(key, n_chunks)
+    if min_iters is None:
+        min_iters = min(2 * chunk, n_chunks * chunk)
+    nv = X3d.shape[0] if n_valid is None else int(n_valid)
+    nv_arr = None if n_valid is None else jnp.asarray(n_valid)
+
+    best_score, best_iter = -np.inf, 0
+    needed = float(max_iters)
+    done = 0
+    for c in range(n_chunks):
+        s, b, cnt = _pnp_ransac_score_chunk(
+            chunk_keys[c], X3d, x2d, K, threshold, nv_arr,
+            chunk=chunk, scoring=scoring,
+        )
+        s = float(s)
+        done += chunk
+        if s > best_score:
+            best_score = s
+            best_iter = c * chunk + int(b)
+            needed = adaptive_trials_needed(int(cnt), nv, 6, confidence)
+        if done >= max(needed, min_iters):
+            break
+
+    R, C, inliers, n_inl = _pnp_ransac_finalize(
+        chunk_keys[best_iter // chunk], best_iter % chunk,
+        X3d, x2d, K, threshold, nv_arr, chunk=chunk,
+    )
+    return PnPRansacResult(R, C, inliers, n_inl), done
 
 
 def pnp_ransac_bucketed(
@@ -234,11 +343,16 @@ def pnp_ransac_bucketed(
     threshold: float = 10.0,
     chunk: int = 512,
     scoring: str = "msac",
+    confidence: float = 0.0,
+    iters_out=None,
 ) -> PnPRansacResult:
     """Host wrapper: pad the correspondence count to the next power of two
     and call the jitted core with the true count — one accelerator compile
     per size bucket instead of one per registered camera (remote compiles
-    cost minutes; mirrors ransac_fundamental_bucketed)."""
+    cost minutes; mirrors ransac_fundamental_bucketed).
+
+    ``confidence > 0`` routes to ``pnp_ransac_adaptive`` with ``n_iters``
+    as the cap; ``iters_out`` (optional list) receives the scored count."""
     import numpy as np
 
     n = len(X3d_np)
@@ -246,11 +360,20 @@ def pnp_ransac_bucketed(
     pad = bucket - n
     X = np.pad(np.asarray(X3d_np), ((0, pad), (0, 0)), mode="edge")
     x = np.pad(np.asarray(x2d_np), ((0, pad), (0, 0)), mode="edge")
-    res = pnp_ransac(
-        key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
-        n_iters=n_iters, threshold=threshold, chunk=chunk,
-        n_valid=jnp.asarray(n), scoring=scoring,
-    )
+    if confidence > 0.0:
+        res, used = pnp_ransac_adaptive(
+            key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
+            confidence=confidence, max_iters=n_iters, threshold=threshold,
+            chunk=chunk, n_valid=n, scoring=scoring,
+        )
+        if iters_out is not None:
+            iters_out.append(used)
+    else:
+        res = pnp_ransac(
+            key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
+            n_iters=n_iters, threshold=threshold, chunk=chunk,
+            n_valid=jnp.asarray(n), scoring=scoring,
+        )
     return PnPRansacResult(res.R, res.C, res.inliers[:n], res.n_inliers)
 
 

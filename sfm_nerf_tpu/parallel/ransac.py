@@ -84,7 +84,6 @@ def ransac_fundamental_sharded(
     n_chunks = (n_iters + chunk - 1) // chunk
     n_chunks = ((n_chunks + n_dev - 1) // n_dev) * n_dev
     total = n_chunks * chunk
-    draw_mask = jnp.ones((n_pts,), bool) if valid is None else valid
     # per-chunk keys split exactly as the single-device path, so equal
     # chunk counts -> identical draws -> bit-equal winner
     chunk_keys = jax.random.split(key, n_chunks)
@@ -95,7 +94,7 @@ def ransac_fundamental_sharded(
     def score_shard(keys_shard, p1r, p2r, h1r, h2r, thr):
         # keys_shard: (n_chunks/n_dev,) — this device's hypothesis chunks
         def score_chunk(ck):
-            ic = draw_minimal_samples(ck, chunk, 8, draw_mask)
+            ic = draw_minimal_samples(ck, chunk, 8, n_pts, n_valid)
             F = eight_point_fast(p1r[ic], p2r[ic])  # match the single-device scorer
             d = gate(sampson_distance(F, h1r, h2r))
             score = _ransac_score(d, thr, scoring)
@@ -117,7 +116,7 @@ def ransac_fundamental_sharded(
     # re-scored + re-estimated on its inliers, exactly as the
     # single-device path (ops/epipolar.py)
     idx_best = draw_minimal_samples(
-        chunk_keys[best // chunk], chunk, 8, draw_mask)[best % chunk]
+        chunk_keys[best // chunk], chunk, 8, n_pts, n_valid)[best % chunk]
     Fb = eight_point(p1[idx_best], p2[idx_best])
     d = gate(sampson_distance(Fb, h1, h2))
     inliers = d < threshold

@@ -115,6 +115,7 @@ class SfMPipeline:
                     f"{cfg.ransac_devices} before the first jax import"
                 )
             mesh = make_mesh(dp=cfg.ransac_devices, tp=1)
+        adaptive_iters: list = []
         for (i, j), arr in sorted(matches_dict.items()):
             # bucketed: one accelerator compile per size bucket, not per
             # pair; mesh=None -> single-device core, else hypothesis-sharded
@@ -122,12 +123,17 @@ class SfMPipeline:
                 self._next_key(), arr[:, 0:2], arr[:, 2:4],
                 n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
                 normalize=cfg.normalize, scoring=cfg.ransac_scoring,
-                mesh=mesh,
+                mesh=mesh, confidence=cfg.ransac_confidence,
+                iters_out=adaptive_iters,
             )
             inliers = np.asarray(res.inliers)
+            used = (
+                f" ({adaptive_iters[-1]}/{cfg.ransac_iters} iters)"
+                if adaptive_iters else ""
+            )
             print(
                 f"RANSAC: Found {int(res.n_inliers)} inliers out of "
-                f"{len(arr)} matches."
+                f"{len(arr)} matches.{used}"
             )
             refined[(i, j)] = (np.asarray(res.F), arr[inliers])
             for row in arr[~inliers]:
@@ -358,7 +364,7 @@ class SfMPipeline:
         res = pnp_ransac_bucketed(
             self._next_key(), obj_points, img_points, K,
             n_iters=cfg.pnp_iters, threshold=cfg.pnp_threshold,
-            scoring=cfg.ransac_scoring,
+            scoring=cfg.ransac_scoring, confidence=cfg.ransac_confidence,
         )
         if int(res.n_inliers) < 6:
             print(f"Not enough inliers for reliable PnP with image {i}")

@@ -157,3 +157,49 @@ def test_triangulate_pair_bucketed_matches_unbucketed():
         K, R1, C1, R2, C2, p1, p2, n_iters=15)
     np.testing.assert_array_equal(np.asarray(X_lin), Xl_b)
     np.testing.assert_array_equal(np.asarray(X_opt), Xo_b)
+
+
+def test_pnp_ransac_adaptive_early_stop_and_pose():
+    """Adaptive PnP RANSAC stops far below the cap and recovers the pose
+    to the fixed path's tolerance."""
+    from sfm_nerf_tpu.ops.pnp import pnp_ransac_adaptive
+
+    X, x, K, R_true, C_true = cam_setup(noise=0.5)
+    rng = np.random.default_rng(1)
+    x_corrupt = x.copy()
+    out_idx = rng.choice(len(x), 60, replace=False)
+    x_corrupt[out_idx] += rng.uniform(-60, 60, (60, 2))
+    res, used = pnp_ransac_adaptive(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(x_corrupt),
+        jnp.asarray(K), confidence=0.999, max_iters=10000,
+        threshold=10.0, chunk=256,
+    )
+    assert used <= 1024, used
+    assert np.linalg.norm(np.asarray(res.R) - R_true) < 0.05
+    assert np.linalg.norm(np.asarray(res.C) - C_true) < 0.3
+    true_mask = np.ones(len(x), bool)
+    true_mask[out_idx] = False
+    found = np.asarray(res.inliers)
+    precision = (found & true_mask).sum() / max(found.sum(), 1)
+    assert precision > 0.9
+
+
+def test_pnp_ransac_adaptive_bucketed_matches_unpadded():
+    from sfm_nerf_tpu.ops.pnp import pnp_ransac_adaptive, pnp_ransac_bucketed
+
+    X, x, K, _, _ = cam_setup(noise=0.5)
+    key = jax.random.key(2)
+    iters_out = []
+    res_b = pnp_ransac_bucketed(
+        key, X, x, K, n_iters=10000, threshold=10.0, chunk=256,
+        confidence=0.999, iters_out=iters_out,
+    )
+    res_u, used = pnp_ransac_adaptive(
+        key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
+        confidence=0.999, max_iters=10000, threshold=10.0, chunk=256,
+    )
+    assert iters_out == [used]
+    np.testing.assert_allclose(
+        np.asarray(res_b.R), np.asarray(res_u.R), rtol=1e-9)
+    np.testing.assert_array_equal(
+        np.asarray(res_b.inliers), np.asarray(res_u.inliers))
