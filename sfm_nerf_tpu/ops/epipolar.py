@@ -81,9 +81,11 @@ def draw_minimal_samples(key, n_hyp: int, k: int, n_pts: int, n_valid=None):
     mval = jnp.zeros((n_hyp, k), jnp.int32)
     outs = []
     for i in range(k):
-        ji = j[:, i]
+        # randint is int64 under x64 — cast at the write sites (values are
+        # < 2^31 row indices) so the int32 swap-map scatters stay exact
+        ji = j[:, i].astype(jnp.int32)
         outs.append(lookup(ji, mpos, mval))          # out[i] = a[j]
-        ai = lookup(jnp.full_like(ji, i), mpos, mval)
+        ai = lookup(jnp.full_like(ji, i), mpos, mval).astype(jnp.int32)
         mpos = mpos.at[:, i].set(ji)                 # a[j] = a[i]
         mval = mval.at[:, i].set(ai)
     return jnp.stack(outs, axis=-1)
