@@ -72,29 +72,30 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     if disabled).  An explicitly-passed/env directory is used verbatim
     (the caller owns its lifecycle).
 
-    CPU-only processes never enable the DEFAULT cache: the cache exists
-    for the remote-TPU compile cost (minutes/program), CPU compiles are
-    seconds — and this jaxlib's CPU ``executable.serialize()`` can
-    SEGFAULT nondeterministically in long processes (observed twice in
-    full-suite runs, faulthandler pointing at put/get_executable_and_time;
-    a fresh-dir repro of the same test sequence wrote 35 entries fine, so
-    it is state-dependent, not entry corruption).  An explicit
-    SFM_NERF_JAX_CACHE / JAX_COMPILATION_CACHE_DIR still opts in."""
+    The default cache is enabled on EVERY backend, including CPU: a warm
+    ``Phase1/Wrapper.py --platform cpu`` run drops 149 s -> 42 s (the
+    cold run spends 118 s of 159 s inside backend_compile, cProfile'd) —
+    the SfM driver dispatches ~490 programs per run.  CPU caching was
+    briefly default-off here after two full-suite segfaults inside
+    ``executable.serialize()``; those were later root-caused to
+    vm.max_map_count exhaustion (the suite holds ~63k JIT mappings and
+    serialization maps more — see tests/conftest.py), not to the cache:
+    every caller of this function is a bounded CLI/bench process holding
+    a few hundred programs, two orders of magnitude below that ceiling.
+    Opt out with SFM_NERF_JAX_CACHE=0."""
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return os.environ["JAX_COMPILATION_CACHE_DIR"]
     env = os.environ.get("SFM_NERF_JAX_CACHE")
     if env == "0":
         return None
-    import jax
 
     if cache_dir is None and not env:
-        if jax.default_backend() == "cpu":
-            return None
         cache_dir = os.path.join(
             _ROOT, f"jax-{_host_fingerprint(_backend_version())}"
         )
     elif cache_dir is None:
         cache_dir = env
+    import jax
 
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -117,16 +117,17 @@ def test_compilation_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):
     assert cc.enable_compilation_cache() == str(tmp_path / "explicit")
     monkeypatch.delenv("SFM_NERF_JAX_CACHE")
 
-    # CPU-only process (this test env): the DEFAULT cache stays off —
-    # jaxlib's CPU executable serialization can segfault in long processes
+    # explicit opt-out
+    monkeypatch.setenv("SFM_NERF_JAX_CACHE", "0")
     assert cc.enable_compilation_cache() is None
+    monkeypatch.delenv("SFM_NERF_JAX_CACHE")
 
-    # on an accelerator backend the default path embeds the fingerprint,
-    # including the backend runtime build (libtpu rolls change it: a
-    # cached executable from another build is rejected or divergent)
+    # the default path embeds the fingerprint on EVERY backend (CPU
+    # included — a warm Phase1 CPU run is 3.6x faster cached), and the
+    # fingerprint includes the backend runtime build (libtpu rolls change
+    # it: a cached executable from another build is rejected or divergent)
     import jax
 
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     try:
         got = cc.enable_compilation_cache()
         fp_ver = cc._host_fingerprint(cc._backend_version())
@@ -134,6 +135,7 @@ def test_compilation_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):
         assert cc._backend_version()  # real backend reports a build string
         assert fp_ver != fp  # the runtime build participates
     finally:
-        # don't leave the cache enabled for the rest of the suite (the
-        # serialize-segfault hazard this gate exists to avoid)
+        # the suite itself stays uncached: it holds O(10k) JIT mappings
+        # near the vm.max_map_count ceiling (see conftest) and cache
+        # serialization maps more
         jax.config.update("jax_compilation_cache_dir", None)
