@@ -110,9 +110,9 @@ def main():
         # outright when the tunnel is wedged) — a CPU run must never
         # depend on TPU reachability
         jax.config.update("jax_platforms", "cpu")
-    # cache enablement initializes the backend (it asks which platform is
-    # default), so it must come after the platform choice; it is a no-op
-    # on CPU-only processes
+    # cache enablement initializes the backend (it asks the runtime for
+    # its build string), so it must come after the platform choice; the
+    # cache is on for EVERY backend (warm CPU runs are 3.6x faster)
     from sfm_nerf_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     resolved = jax.devices()[0].platform

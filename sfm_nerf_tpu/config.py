@@ -221,3 +221,13 @@ class SfMConfig:
     seed: int = 0
     output_dir: str = "."
     show: bool = False               # headless by default (no cv2.imshow)
+
+    def __post_init__(self):
+        # fail at CONFIG time, not minutes later inside the first bucketed
+        # RANSAC call (ops/epipolar.py re-checks as a backstop)
+        if self.ransac_confidence > 0.0 and self.ransac_devices > 1:
+            raise ValueError(
+                "adaptive RANSAC (ransac_confidence > 0) and hypothesis "
+                "sharding (ransac_devices > 1) are mutually exclusive — "
+                "drop --ransac_devices or --ransac_confidence"
+            )

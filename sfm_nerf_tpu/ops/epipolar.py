@@ -275,6 +275,27 @@ def _ransac_winner(idx_best, T1, T2, p1, p2, h1, h2, threshold,
     return F, inliers
 
 
+def _score_chunk_body(ck, p1, p2, h1, h2, threshold, scoring, n_pts,
+                      n_valid, valid, chunk):
+    """THE F-RANSAC chunk scorer — the single body behind the fixed path
+    (``ransac_fundamental``'s lax.map), the adaptive driver
+    (``_ransac_fundamental_score_chunk``), and the hypothesis-sharded path
+    (parallel/ransac.py).  One copy is what keeps the documented
+    adaptive-is-a-prefix-of-the-fixed-run and sharded-bit-equality
+    properties robust to future edits (both are also pinned by tests).
+    Returns ``(scores (chunk,), gated Sampson distances (chunk, N))``."""
+    idx_chunk = draw_minimal_samples(ck, chunk, 8, n_pts, n_valid)
+    F = eight_point_fast(p1[idx_chunk], p2[idx_chunk])  # Jacobi path
+    d = sampson_distance(F, h1, h2)                     # (chunk, N)
+    d = d if valid is None else jnp.where(valid, d, jnp.inf)
+    score = _ransac_score(d, threshold, scoring)
+    # belt-and-braces mask: draws are duplicate-free now, but other
+    # degeneracies (collinear samples at pathological precision) can
+    # still produce non-finite F
+    ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
+    return jnp.where(ok, score, -jnp.inf), d
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_iters", "normalize", "chunk", "scoring")
 )
@@ -321,21 +342,11 @@ def ransac_fundamental(
     total = n_chunks * chunk
     chunk_keys = jax.random.split(key, n_chunks)
 
-    def gate(d):
-        return d if valid is None else jnp.where(valid, d, jnp.inf)
-
     def score_chunk(ck):
-        idx_chunk = draw_minimal_samples(ck, chunk, 8, n_pts, n_valid)
-        s1 = p1[idx_chunk]                 # (chunk, 8, 2)
-        s2 = p2[idx_chunk]
-        F = eight_point_fast(s1, s2)       # (chunk, 3, 3); Jacobi path
-        d = gate(sampson_distance(F, h1, h2))    # (chunk, N)
-        score = _ransac_score(d, threshold, scoring)
-        # belt-and-braces mask: draws are duplicate-free now, but other
-        # degeneracies (collinear samples at pathological precision) can
-        # still produce non-finite F
-        ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
-        return jnp.where(ok, score, -jnp.inf)
+        scores, _ = _score_chunk_body(
+            ck, p1, p2, h1, h2, threshold, scoring, n_pts, n_valid,
+            valid, chunk)
+        return scores
 
     scores = jax.lax.map(score_chunk, chunk_keys).reshape(total)
     best = jnp.argmax(scores)
@@ -360,20 +371,16 @@ def _ransac_fundamental_score_chunk(
     adaptive (early-terminating) driver: draws ``chunk`` minimal samples
     from ``ck``, scores them, and returns the chunk's
     (best score, argmax-in-chunk, inlier count of the chunk best) — the
-    count feeds the host-side confidence stopping rule.  Identical math to
-    ``ransac_fundamental``'s in-loop scorer (same draw stream for the same
-    per-chunk key), one compile per (bucket, chunk) shape."""
+    count feeds the host-side confidence stopping rule.  Shares
+    ``_score_chunk_body`` with the fixed path (same draw stream for the
+    same per-chunk key), one compile per (bucket, chunk) shape."""
     n_pts = pts1.shape[0]
     valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
     T1, T2, p1, p2, h1, h2 = _ransac_prep(pts1, pts2, normalize, valid)
 
-    idx_chunk = draw_minimal_samples(ck, chunk, 8, n_pts, n_valid)
-    F = eight_point_fast(p1[idx_chunk], p2[idx_chunk])
-    d = sampson_distance(F, h1, h2)                   # (chunk, N)
-    d = d if valid is None else jnp.where(valid, d, jnp.inf)
-    score = _ransac_score(d, threshold, scoring)
-    ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
-    score = jnp.where(ok, score, -jnp.inf)
+    score, d = _score_chunk_body(
+        ck, p1, p2, h1, h2, threshold, scoring, n_pts, n_valid,
+        valid, chunk)
     b = jnp.argmax(score)
     count = jnp.sum(d[b] < threshold)
     return score[b], b, count
@@ -478,7 +485,11 @@ def ransac_fundamental_adaptive(
         pts1, pts2, threshold, nv_arr, chunk=chunk, normalize=normalize,
     )
     res = RansacResult(F, inliers, n_inl, jnp.asarray(best_iter))
-    return res, done
+    # the last chunk may overshoot a non-chunk-multiple cap; report at
+    # most the cap (the fixed path's effective count is identically
+    # ceil-rounded, so a fixed run at n_iters=<reported> regenerates the
+    # same chunk count and draw sequence)
+    return res, min(done, max_iters)
 
 
 def ransac_fundamental_bucketed(

@@ -158,6 +158,47 @@ class PnPRansacResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+def _pnp_score_chunk_body(ck, X3d, x2d, K, threshold, scoring, n_pts,
+                          n_valid, valid, chunk):
+    """THE PnP-RANSAC chunk scorer — the single body behind the fixed path
+    (``pnp_ransac``'s lax.map) and the adaptive driver
+    (``_pnp_ransac_score_chunk``); mirrors
+    ops/epipolar.py:_score_chunk_body.  Returns ``(scores (chunk,),
+    gated squared reprojection errors (chunk, N))``.
+
+    Duplicate-free draws (reference: np.random.choice replace=False,
+    PnP.py:166): a repeated row makes the 12-unknown DLT underdetermined
+    yet FINITE, so it scored normally — at a bucketed n_valid=8, 92% of
+    with-replacement 6-draws contained a repeat, collapsing the effective
+    iteration count ~13x."""
+    from sfm_nerf_tpu.ops.epipolar import _ransac_score, draw_minimal_samples
+
+    idx_chunk = draw_minimal_samples(ck, chunk, 6, n_pts, n_valid)
+    C, R = linear_pnp_fast(X3d[idx_chunk], x2d[idx_chunk], K)  # Jacobi
+    # per-point squared reprojection error under each hypothesis —
+    # vmapped: one broadcasted (chunk, N) evaluation, not a sequential
+    # per-hypothesis scan
+    e = jax.vmap(
+        lambda Ci, Ri: reprojection_errors(K, Ri, Ci, X3d, x2d)
+    )(C, R)                                       # (chunk, N)
+    e = jnp.where(valid, e, jnp.inf)
+    score = _ransac_score(e, threshold, scoring)
+    ok = (
+        jnp.all(jnp.isfinite(C), axis=-1)
+        & jnp.all(jnp.isfinite(R.reshape(R.shape[0], -1)), axis=-1)
+    )
+    return jnp.where(ok, score, -jnp.inf), e
+
+
+def _pnp_winner(idx_best, X3d, x2d, K, threshold, valid):
+    """Shared winner tail: LAPACK-grade re-solve of the winning minimal
+    sample and its inlier set (fixed and adaptive paths)."""
+    C, R = linear_pnp(X3d[idx_best], x2d[idx_best], K)
+    e = reprojection_errors(K, R, C, X3d, x2d)
+    inliers = (e < threshold) & valid
+    return R, C, inliers
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "chunk", "scoring"))
 def pnp_ransac(
     key: jax.Array,
@@ -190,30 +231,10 @@ def pnp_ransac(
     chunk_keys = jax.random.split(key, n_chunks)
 
     def score_chunk(ck):
-        # duplicate-free draws (reference: np.random.choice replace=False,
-        # PnP.py:166): a repeated row makes the 12-unknown DLT
-        # underdetermined yet FINITE, so it scored normally — at a
-        # bucketed n_valid=8, 92% of with-replacement 6-draws contained a
-        # repeat, collapsing the effective iteration count ~13x
-        from sfm_nerf_tpu.ops.epipolar import draw_minimal_samples
-
-        idx_chunk = draw_minimal_samples(ck, chunk, 6, n_pts, n_valid)
-        C, R = linear_pnp_fast(X3d[idx_chunk], x2d[idx_chunk], K)  # Jacobi
-        # per-point squared reprojection error under each hypothesis —
-        # vmapped: one broadcasted (chunk, N) evaluation, not a sequential
-        # per-hypothesis scan
-        e = jax.vmap(
-            lambda Ci, Ri: reprojection_errors(K, Ri, Ci, X3d, x2d)
-        )(C, R)                                       # (chunk, N)
-        from sfm_nerf_tpu.ops.epipolar import _ransac_score
-
-        score = _ransac_score(
-            jnp.where(valid, e, jnp.inf), threshold, scoring)
-        ok = (
-            jnp.all(jnp.isfinite(C), axis=-1)
-            & jnp.all(jnp.isfinite(R.reshape(R.shape[0], -1)), axis=-1)
-        )
-        return jnp.where(ok, score, -jnp.inf)
+        scores, _ = _pnp_score_chunk_body(
+            ck, X3d, x2d, K, threshold, scoring, n_pts, n_valid,
+            valid, chunk)
+        return scores
 
     scores = jax.lax.map(score_chunk, chunk_keys).reshape(total)
     best = jnp.argmax(scores)
@@ -221,9 +242,7 @@ def pnp_ransac(
 
     idx_best = draw_minimal_samples(
         chunk_keys[best // chunk], chunk, 6, n_pts, n_valid)[best % chunk]
-    C, R = linear_pnp(X3d[idx_best], x2d[idx_best], K)
-    e = reprojection_errors(K, R, C, X3d, x2d)
-    inliers = (e < threshold) & valid
+    R, C, inliers = _pnp_winner(idx_best, X3d, x2d, K, threshold, valid)
     return PnPRansacResult(R, C, inliers, jnp.sum(inliers))
 
 
@@ -233,29 +252,17 @@ def _pnp_ransac_score_chunk(
     chunk: int = 512, scoring: str = "msac",
 ):
     """One hypothesis chunk of PnP RANSAC for the adaptive driver —
-    identical math to ``pnp_ransac``'s in-loop scorer (same draw stream
-    for the same per-chunk key).  Returns (best score, argmax-in-chunk,
-    inlier count of the chunk best); mirrors
+    shares ``_pnp_score_chunk_body`` with the fixed path (same draw
+    stream for the same per-chunk key).  Returns (best score,
+    argmax-in-chunk, inlier count of the chunk best); mirrors
     ops/epipolar.py:_ransac_fundamental_score_chunk."""
-    from sfm_nerf_tpu.ops.epipolar import _ransac_score, draw_minimal_samples
-
     n_pts = X3d.shape[0]
     valid = (
         jnp.ones((n_pts,), bool) if n_valid is None
         else jnp.arange(n_pts) < n_valid
     )
-    idx_chunk = draw_minimal_samples(ck, chunk, 6, n_pts, n_valid)
-    C, R = linear_pnp_fast(X3d[idx_chunk], x2d[idx_chunk], K)
-    e = jax.vmap(
-        lambda Ci, Ri: reprojection_errors(K, Ri, Ci, X3d, x2d)
-    )(C, R)                                           # (chunk, N)
-    e = jnp.where(valid, e, jnp.inf)
-    score = _ransac_score(e, threshold, scoring)
-    ok = (
-        jnp.all(jnp.isfinite(C), axis=-1)
-        & jnp.all(jnp.isfinite(R.reshape(R.shape[0], -1)), axis=-1)
-    )
-    score = jnp.where(ok, score, -jnp.inf)
+    score, e = _pnp_score_chunk_body(
+        ck, X3d, x2d, K, threshold, scoring, n_pts, n_valid, valid, chunk)
     b = jnp.argmax(score)
     count = jnp.sum(e[b] < threshold)
     return score[b], b, count
@@ -275,9 +282,7 @@ def _pnp_ransac_finalize(
     )
     idx_best = draw_minimal_samples(
         ck, chunk, 6, n_pts, n_valid)[best_in_chunk]
-    C, R = linear_pnp(X3d[idx_best], x2d[idx_best], K)
-    e = reprojection_errors(K, R, C, X3d, x2d)
-    inliers = (e < threshold) & valid
+    R, C, inliers = _pnp_winner(idx_best, X3d, x2d, K, threshold, valid)
     return R, C, inliers, jnp.sum(inliers)
 
 
@@ -333,7 +338,8 @@ def pnp_ransac_adaptive(
         chunk_keys[best_iter // chunk], best_iter % chunk,
         X3d, x2d, K, threshold, nv_arr, chunk=chunk,
     )
-    return PnPRansacResult(R, C, inliers, n_inl), done
+    # report at most the cap (see ransac_fundamental_adaptive)
+    return PnPRansacResult(R, C, inliers, n_inl), min(done, max_iters)
 
 
 def pnp_ransac_bucketed(

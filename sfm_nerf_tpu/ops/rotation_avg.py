@@ -47,8 +47,14 @@ def rotation_averaging(
 ) -> jnp.ndarray:
     """Global world-to-camera rotations from pairwise measurements.
 
-    pairs: M (i, j) index pairs (0-based, host-side values — the
-    connected-component restriction below needs them concrete);
+    HOST-SIDE DRIVER OP — call it OUTSIDE jit: ``pairs`` must be concrete
+    (the connected-component restriction below is data-dependent
+    control flow; tracing raises TracerArrayConversionError).  This is a
+    deliberate API contract, not an oversight: the op runs once per
+    reconstruction from the host pipeline and its cost is the batched
+    eigh, which is jitted internally.
+
+    pairs: M (i, j) index pairs (0-based, host-side values);
     R_rel: (M, 3, 3) with R_rel[m] = R_j R_i^T.  Returns (n_cams, 3, 3)
     with the ``anchor`` camera's rotation = identity (the usual gauge).
     Cameras not connected to the anchor come back as identity.

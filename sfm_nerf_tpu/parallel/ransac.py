@@ -32,15 +32,11 @@ from jax import shard_map
 
 from sfm_nerf_tpu.ops.epipolar import (
     RansacResult,
-    _ransac_score,
+    _ransac_prep,
+    _ransac_winner,
+    _score_chunk_body,
     draw_minimal_samples,
-    eight_point,
-    eight_point_fast,
-    normalization_matrix,
-    sampson_distance,
-    weighted_eight_point,
 )
-from sfm_nerf_tpu.ops.linalg import HI, homogenize
 
 
 @functools.partial(
@@ -69,37 +65,23 @@ def ransac_fundamental_sharded(
     the device count to match the single-device draw sequence exactly."""
     n_pts = pts1.shape[0]
     valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
-    if normalize:
-        T1 = normalization_matrix(pts1, valid)
-        T2 = normalization_matrix(pts2, valid)
-        h1 = jnp.matmul(homogenize(pts1), T1.T, precision=HI)
-        h2 = jnp.matmul(homogenize(pts2), T2.T, precision=HI)
-        p1, p2 = h1[..., :2], h2[..., :2]
-    else:
-        T1 = T2 = jnp.eye(3, dtype=pts1.dtype)
-        p1, p2 = pts1, pts2
-        h1, h2 = homogenize(pts1), homogenize(pts2)
+    T1, T2, p1, p2, h1, h2 = _ransac_prep(pts1, pts2, normalize, valid)
 
     n_dev = mesh.shape[axis]
     n_chunks = (n_iters + chunk - 1) // chunk
     n_chunks = ((n_chunks + n_dev - 1) // n_dev) * n_dev
-    total = n_chunks * chunk
     # per-chunk keys split exactly as the single-device path, so equal
     # chunk counts -> identical draws -> bit-equal winner
     chunk_keys = jax.random.split(key, n_chunks)
 
-    def gate(d):
-        return d if valid is None else jnp.where(valid, d, jnp.inf)
-
     def score_shard(keys_shard, p1r, p2r, h1r, h2r, thr):
-        # keys_shard: (n_chunks/n_dev,) — this device's hypothesis chunks
+        # keys_shard: (n_chunks/n_dev,) — this device's hypothesis chunks;
+        # the scorer is the shared single-device body (ops/epipolar.py)
         def score_chunk(ck):
-            ic = draw_minimal_samples(ck, chunk, 8, n_pts, n_valid)
-            F = eight_point_fast(p1r[ic], p2r[ic])  # match the single-device scorer
-            d = gate(sampson_distance(F, h1r, h2r))
-            score = _ransac_score(d, thr, scoring)
-            ok = jnp.all(jnp.isfinite(F.reshape(F.shape[0], -1)), axis=-1)
-            return jnp.where(ok, score, -jnp.inf)
+            scores, _ = _score_chunk_body(
+                ck, p1r, p2r, h1r, h2r, thr, scoring, n_pts, n_valid,
+                valid, chunk)
+            return scores
 
         return jax.lax.map(score_chunk, keys_shard).reshape(-1)
 
@@ -113,14 +95,10 @@ def ransac_fundamental_sharded(
     best = jnp.argmax(scores)
 
     # winning hypothesis re-drawn (deterministic from its chunk key),
-    # re-scored + re-estimated on its inliers, exactly as the
-    # single-device path (ops/epipolar.py)
+    # re-scored + re-estimated on its inliers via the shared tail,
+    # exactly as the single-device path (ops/epipolar.py)
     idx_best = draw_minimal_samples(
         chunk_keys[best // chunk], chunk, 8, n_pts, n_valid)[best % chunk]
-    Fb = eight_point(p1[idx_best], p2[idx_best])
-    d = gate(sampson_distance(Fb, h1, h2))
-    inliers = d < threshold
-    F = weighted_eight_point(p1, p2, inliers.astype(p1.dtype))
-    if normalize:
-        F = jnp.matmul(jnp.matmul(T2.T, F, precision=HI), T1, precision=HI)
+    F, inliers = _ransac_winner(
+        idx_best, T1, T2, p1, p2, h1, h2, threshold, normalize, valid)
     return RansacResult(F, inliers, jnp.sum(inliers), best)

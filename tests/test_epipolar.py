@@ -319,9 +319,15 @@ def test_ransac_adaptive_early_stop_and_quality():
 
 def test_ransac_adaptive_is_prefix_of_fixed():
     """Same key => an adaptive run that scores c*chunk hypotheses returns
-    EXACTLY the fixed path's result at n_iters=c*chunk (same chunk-key
-    stream, same winner, same re-estimated F)."""
-    from sfm_nerf_tpu.ops.epipolar import ransac_fundamental_adaptive
+    EXACTLY the FIXED path's result at n_iters=c*chunk: jax.random.split
+    is prefix-stable in the count (split(key, c) == split(key, C)[:c]),
+    so both paths score the identical hypothesis sequence through the
+    shared _score_chunk_body and re-estimate the identical winner.  This
+    pins the PARITY.md-advertised prefix property against divergence
+    between the fixed and adaptive scorers."""
+    from sfm_nerf_tpu.ops.epipolar import (
+        ransac_fundamental, ransac_fundamental_adaptive,
+    )
 
     _, pts1, pts2, _ = two_view_correspondences(noise=0.3, outlier_frac=0.3)
     key = jax.random.key(7)
@@ -331,21 +337,22 @@ def test_ransac_adaptive_is_prefix_of_fixed():
         key, p1, p2, confidence=0.999, max_iters=50000,
         threshold=5e-4, chunk=256,
     )
-    # the fixed path splits its keys as split(key, ceil(n_iters/chunk)):
-    # re-running it with max_iters' chunk count but scoring only the
-    # explored prefix requires the SAME total split, so compare against
-    # the adaptive internals' contract instead: a second adaptive run
-    # capped exactly at `used` must reproduce the result bit-for-bit
-    # (it scores the identical chunks of the identical key stream).
+    assert used % 256 == 0 and used < 50000
+    res_f = ransac_fundamental(
+        key, p1, p2, n_iters=used, threshold=5e-4, chunk=256,
+    )
+    np.testing.assert_array_equal(np.asarray(res_a.F), np.asarray(res_f.F))
+    np.testing.assert_array_equal(
+        np.asarray(res_a.inliers), np.asarray(res_f.inliers))
+    assert int(res_a.best_iter) == int(res_f.best_iter)
+
+    # and a second adaptive run capped exactly at `used` reproduces it
     res_b, used_b = ransac_fundamental_adaptive(
         key, p1, p2, confidence=1.0 - 1e-12, max_iters=used,
         threshold=5e-4, chunk=256,
     )
     assert used_b == used
     np.testing.assert_array_equal(np.asarray(res_a.F), np.asarray(res_b.F))
-    np.testing.assert_array_equal(
-        np.asarray(res_a.inliers), np.asarray(res_b.inliers))
-    assert int(res_a.best_iter) == int(res_b.best_iter)
 
 
 def test_ransac_adaptive_bucketed_matches_unpadded():

@@ -184,6 +184,33 @@ def test_pnp_ransac_adaptive_early_stop_and_pose():
     assert precision > 0.9
 
 
+def test_pnp_ransac_adaptive_is_prefix_of_fixed():
+    """Same key => adaptive PnP result == FIXED pnp_ransac at
+    n_iters=<scored count> (split prefix stability + the shared
+    _pnp_score_chunk_body; mirrors the F-RANSAC prefix test)."""
+    from sfm_nerf_tpu.ops.pnp import pnp_ransac, pnp_ransac_adaptive
+
+    X, x, K, _, _ = cam_setup(noise=0.5)
+    rng = np.random.default_rng(3)
+    x_c = x.copy()
+    out_idx = rng.choice(len(x), 60, replace=False)
+    x_c[out_idx] += rng.uniform(-60, 60, (60, 2))
+    key = jax.random.key(5)
+    res_a, used = pnp_ransac_adaptive(
+        key, jnp.asarray(X), jnp.asarray(x_c), jnp.asarray(K),
+        confidence=0.999, max_iters=10000, threshold=10.0, chunk=256,
+    )
+    assert used % 256 == 0 and used < 10000
+    res_f = pnp_ransac(
+        key, jnp.asarray(X), jnp.asarray(x_c), jnp.asarray(K),
+        n_iters=used, threshold=10.0, chunk=256,
+    )
+    np.testing.assert_array_equal(np.asarray(res_a.R), np.asarray(res_f.R))
+    np.testing.assert_array_equal(np.asarray(res_a.C), np.asarray(res_f.C))
+    np.testing.assert_array_equal(
+        np.asarray(res_a.inliers), np.asarray(res_f.inliers))
+
+
 def test_pnp_ransac_adaptive_bucketed_matches_unpadded():
     from sfm_nerf_tpu.ops.pnp import pnp_ransac_adaptive, pnp_ransac_bucketed
 

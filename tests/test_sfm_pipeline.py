@@ -138,3 +138,15 @@ def test_refine_matches_sharded_equals_single(tmp_path):
         F2, m2 = r_shard[pair]
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_allclose(F1, F2, rtol=1e-8, atol=1e-10)
+
+
+def test_adaptive_and_sharded_are_rejected_at_config_time():
+    """The mutually exclusive flag pair fails in SfMConfig's
+    __post_init__ — not minutes later inside the first bucketed RANSAC
+    call after matching has already run."""
+    import pytest
+
+    from sfm_nerf_tpu.config import SfMConfig
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SfMConfig(ransac_confidence=0.999, ransac_devices=2)
