@@ -25,6 +25,17 @@ jax.config.update("jax_platforms", "cpu")
 # (the reference is float64 NumPy/SciPy throughout Phase1).
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: a warm full suite runs in ~9.5 min vs
+# ~23 min cold (measured; 285 entries, deterministic results, no new
+# segfaults — the historical in-suite SIGSEGV was vm.max_map_count
+# exhaustion, handled below, not cache serialization).  Same opt-out as
+# the CLIs: SFM_NERF_JAX_CACHE=0.
+from sfm_nerf_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -106,6 +106,10 @@ def test_compilation_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):
     error (observed after a container host migration)."""
     import sfm_nerf_tpu.utils.compilation_cache as cc
 
+    # an inherited explicit dir (e.g. a cached CI/suite run) wins by
+    # design — clear it so the DEFAULT path is what's under test
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+
     fp = cc._host_fingerprint()
     assert fp and len(fp) == 12
     # deterministic on the same host
