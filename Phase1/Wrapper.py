@@ -47,6 +47,12 @@ def main():
                         help="shard global BA's point axis over this many "
                              "devices (parallel/ba.py; single-device "
                              "results up to reduction-order rounding)")
+    parser.add_argument("--ba_refine_intrinsics", default="",
+                        help="comma-set of {f,fx,fy,pp,cx,cy,k1,k2}: free "
+                             "the shared intrinsics (focals / principal "
+                             "point / radial distortion) in global BA "
+                             "(e.g. 'f,k1'); default '' keeps the "
+                             "calibrated K fixed like the reference")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--float64", default=True,
                         type=lambda s: s.lower() not in ("0", "false", "no"),
@@ -145,6 +151,7 @@ def main():
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,
         ba_devices=args.ba_devices,
+        ba_refine_intrinsics=args.ba_refine_intrinsics,
         essential_method=args.essential_method,
         global_rotation_init=args.global_rotation_init,
         global_init=args.global_init,

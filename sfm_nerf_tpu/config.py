@@ -194,6 +194,12 @@ class SfMConfig:
     # (parallel/ba.py: point blocks device-local, camera system psummed;
     # matches single-device results to reduction-order rounding)
     ba_devices: int = 1
+    # ADDITION (reference treats K as fixed): comma-set of
+    # {f, fx, fy, pp, cx, cy, k1, k2} — free the shared intrinsics
+    # (focals, principal point, radial distortion) as one extra global
+    # block in the global BA's Schur system ('' = off).  Refined values
+    # are printed and recorded in stats['ba']['intrinsics'].
+    ba_refine_intrinsics: str = ""
     # global rotation averaging before BA (ADDITION: re-initializes all
     # camera rotations jointly from pairwise essentials; the reference's
     # incremental chaining compounds error camera-by-camera)
@@ -231,3 +237,9 @@ class SfMConfig:
                 "sharding (ransac_devices > 1) are mutually exclusive — "
                 "drop --ransac_devices or --ransac_confidence"
             )
+        if self.ba_refine_intrinsics:
+            # validate the token set now, not at the global-BA stage after
+            # the whole reconstruction has run (lazy import: ops pulls jax)
+            from sfm_nerf_tpu.ops.ba import intrinsics_free_mask
+
+            intrinsics_free_mask(self.ba_refine_intrinsics)

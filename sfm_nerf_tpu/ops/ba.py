@@ -64,6 +64,66 @@ def _depth(cam: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     return (jnp.einsum("ij,j->i", R, X, precision=HI) + cam[3:])[2]
 
 
+# intrinsics vector layout for refine_intrinsics (ADDITION — the reference
+# treats K as God-given; production SfM refines it, cf. COLMAP's OPENCV
+# camera model): theta = [fx, fy, cx, cy, k1, k2] with k1/k2 the radial
+# polynomial (1 + k1 r^2 + k2 r^4) on normalized image coordinates.
+_INTR_TOKENS = {
+    "f": (0, 1),       # fx and fy (independent)
+    "fx": (0,), "fy": (1,),
+    "pp": (2, 3),      # principal point
+    "cx": (2,), "cy": (3,),
+    "k1": (4,), "k2": (5,),
+}
+
+
+def intrinsics_free_mask(refine_intrinsics: str) -> Tuple[bool, ...]:
+    """'f,pp,k1' -> 6-tuple of free flags over [fx, fy, cx, cy, k1, k2]."""
+    free = [False] * 6
+    for tok in filter(None, (t.strip() for t in refine_intrinsics.split(","))):
+        if tok not in _INTR_TOKENS:
+            raise ValueError(
+                f"unknown intrinsics token {tok!r}; valid: "
+                f"{sorted(_INTR_TOKENS)}"
+            )
+        for i in _INTR_TOKENS[tok]:
+            free[i] = True
+    return tuple(free)
+
+
+def theta_from_K(K: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) pinhole K -> theta = [fx, fy, cx, cy, k1=0, k2=0]."""
+    z = jnp.zeros((), K.dtype)
+    return jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2], z, z])
+
+
+def K_from_theta(theta: jnp.ndarray) -> jnp.ndarray:
+    """theta -> (3,3) pinhole K (radial terms are not representable)."""
+    fx, fy, cx, cy = theta[0], theta[1], theta[2], theta[3]
+    o, i = jnp.zeros_like(fx), jnp.ones_like(fx)
+    return jnp.stack([
+        jnp.stack([fx, o, cx]),
+        jnp.stack([o, fy, cy]),
+        jnp.stack([o, o, i]),
+    ])
+
+
+def _observe_theta(cam: jnp.ndarray, X: jnp.ndarray,
+                   theta: jnp.ndarray) -> jnp.ndarray:
+    """``_observe`` parameterized by the intrinsics vector (plus the radial
+    polynomial), for refine_intrinsics mode.  With k1=k2=0 the distortion
+    factor is exactly 1.0 so the projection equals the pinhole one."""
+    R = rodrigues(cam[:3])
+    xc = jnp.einsum("ij,j->i", R, X, precision=HI) + cam[3:]
+    z = jnp.maximum(xc[2], 1e-6)
+    x, y = xc[0] / z, xc[1] / z
+    r2 = x * x + y * y
+    d = 1.0 + r2 * (theta[4] + theta[5] * r2)
+    u = theta[0] * (x * d) + theta[2]
+    v = theta[1] * (y * d) + theta[3]
+    return jnp.stack([u, v])
+
+
 class BAResult(NamedTuple):
     camera_params: jnp.ndarray   # (N, 6) refined [rvec, tvec]
     points: jnp.ndarray          # (M, 3) refined
@@ -71,9 +131,15 @@ class BAResult(NamedTuple):
     initial_cost: jnp.ndarray
     n_accepted: jnp.ndarray      # accepted LM steps
     n_residuals: jnp.ndarray     # observations active in the cost (mask0)
+    intrinsics: jnp.ndarray      # (6,) [fx, fy, cx, cy, k1, k2] (refined
+    #                              when refine_intrinsics requested; else
+    #                              the input K's values verbatim)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "loss", "axis_name"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "loss", "axis_name", "refine_intrinsics"),
+)
 def bundle_adjust(
     K: jnp.ndarray,              # (3,3)
     camera_params: jnp.ndarray,  # (N,6) [rvec, tvec] world->cam
@@ -85,15 +151,32 @@ def bundle_adjust(
     loss: str = "linear",        # 'linear' (reference parity) | 'huber'
     huber_delta: float = 3.0,    # px; transition of the robust loss
     axis_name: str | None = None,
+    refine_intrinsics: str = "",
 ) -> BAResult:
     """``axis_name``: when called inside shard_map with the POINT axis (M)
     sharded over that mesh axis, every reduction over points becomes a
     psum, the (small) camera system solves replicated on all devices, and
     the point back-substitution stays device-local — the Schur structure
-    IS the sharding structure (parallel/ba.py wraps this)."""
+    IS the sharding structure (parallel/ba.py wraps this).
+
+    ``refine_intrinsics`` (ADDITION; '' = off, the reference treats K as
+    fixed): comma-set of {f, fx, fy, pp, cx, cy, k1, k2} freeing SHARED
+    intrinsics — focal(s), principal point, radial distortion
+    (1 + k1 r^2 + k2 r^4 on normalized coords) — as one extra 6-wide
+    global block in the same Schur reduction: the reduced system grows
+    from (6N)^2 to (6N+6)^2, the per-point work is two extra small
+    einsums, and the point-axis reductions join the existing single psum,
+    so the sharded path (parallel/ba.py) refines intrinsics with no extra
+    collectives.  Frozen coordinates take d=0 exactly (their Jacobian
+    columns are zeroed and the damped diagonal pins them).  The refined
+    vector is returned in ``BAResult.intrinsics``."""
     n_cam = camera_params.shape[0]
     n_pts = points.shape[0]
     vis = visibility.astype(K.dtype)
+    free = intrinsics_free_mask(refine_intrinsics)
+    refining = any(free)
+    theta0 = theta_from_K(K)
+    free_v = jnp.asarray(free, K.dtype)
 
     def preduce(x):
         """Complete a point-axis reduction across devices."""
@@ -114,10 +197,14 @@ def bundle_adjust(
     if loss not in ("linear", "huber"):
         raise ValueError(f"unknown loss {loss!r}")
 
-    def residual_mask(cams, pts):
-        """(N,M,2) residuals under the frozen visibility+cheirality mask."""
-        obs_fn = jax.vmap(jax.vmap(_observe, (None, 0, None)), (0, None, None))
-        proj = obs_fn(cams, pts, K)                      # (N,M,2)
+    def residual_mask(cams, pts, theta):
+        """(N,M,2) residuals under the frozen visibility+cheirality mask.
+        The refine-off path projects through the ORIGINAL `_observe(.., K)`
+        (bit-identical to the pre-refine implementation); the refining
+        path through `_observe_theta` (same math, associativity aside)."""
+        one = _observe_theta if refining else _observe
+        obs_fn = jax.vmap(jax.vmap(one, (None, 0, None)), (0, None, None))
+        proj = obs_fn(cams, pts, theta if refining else K)    # (N,M,2)
         r = (proj - observations) * mask0[..., None]
         return r, mask0
 
@@ -130,8 +217,8 @@ def bundle_adjust(
         norm = jnp.linalg.norm(r, axis=-1)               # (N,M)
         return jnp.sqrt(jnp.minimum(1.0, huber_delta / (norm + 1e-12)))
 
-    def cost_of(cams, pts):
-        r, _ = residual_mask(cams, pts)
+    def cost_of(cams, pts, theta):
+        r, _ = residual_mask(cams, pts, theta)
         if loss == "linear":
             return preduce(0.5 * jnp.sum(r * r))
         norm = jnp.linalg.norm(r, axis=-1) * (mask0 > 0)
@@ -139,22 +226,26 @@ def bundle_adjust(
         lin = huber_delta * (norm - 0.5 * huber_delta)
         return preduce(jnp.sum(jnp.where(norm <= huber_delta, quad, lin)))
 
-    # jacobians of one (cam, point) observation wrt cam (2x6) and point (2x3)
-    jac_cam = jax.jacfwd(_observe, argnums=0)
-    jac_pt = jax.jacfwd(_observe, argnums=1)
+    # jacobians of one (cam, point) observation wrt cam (2x6), point (2x3),
+    # and (refining only) the shared intrinsics vector (2x6)
+    obs_one = _observe_theta if refining else _observe
+    jac_cam = jax.jacfwd(obs_one, argnums=0)
+    jac_pt = jax.jacfwd(obs_one, argnums=1)
+    jac_th = jax.jacfwd(_observe_theta, argnums=2)
 
     def lm_step(carry, _):
-        cams, pts, lam, cost = carry
-        r, mask = residual_mask(cams, pts)               # (N,M,2), (N,M)
+        cams, pts, theta, lam, cost = carry
+        kparam = theta if refining else K
+        r, mask = residual_mask(cams, pts, theta)        # (N,M,2), (N,M)
         w = irls_weights(r)                              # (N,M)
         r = r * w[..., None]
         wmask = mask * w
 
         A = jax.vmap(jax.vmap(jac_cam, (None, 0, None)), (0, None, None))(
-            cams, pts, K
+            cams, pts, kparam
         ) * wmask[..., None, None]                       # (N,M,2,6)
         B = jax.vmap(jax.vmap(jac_pt, (None, 0, None)), (0, None, None))(
-            cams, pts, K
+            cams, pts, kparam
         ) * wmask[..., None, None]                       # (N,M,2,3)
 
         # normal-equation blocks.  U/g_cam/S_off/rhs reduce over the point
@@ -168,48 +259,94 @@ def bundle_adjust(
         g_cam_p = jnp.einsum("nmri,nmr->ni", A, r, precision=HI)  # (N,6)
         g_pt = jnp.einsum("nmri,nmr->mi", B, r, precision=HI)   # (M,3)
 
+        if refining:
+            # shared-intrinsics block: one more Jacobian per observation,
+            # frozen coordinates' columns zeroed so their update is 0
+            D = jax.vmap(
+                jax.vmap(jac_th, (None, 0, None)), (0, None, None)
+            )(cams, pts, theta) * wmask[..., None, None] * free_v  # (N,M,2,6)
+            Z = jnp.einsum("nmri,nmrj->mij", D, B, precision=HI)   # (M,6,3)
+            Q_p = jnp.einsum("nmri,nmrj->ij", D, D, precision=HI)  # (6,6)
+            Yc_p = jnp.einsum("nmri,nmrj->nij", A, D, precision=HI)  # (N,6,6)
+            g_th_p = jnp.einsum("nmri,nmr->i", D, r, precision=HI)   # (6,)
+
         I6 = jnp.eye(6, dtype=K.dtype)
         I3 = jnp.eye(3, dtype=K.dtype)
         W_d = W + lam * I3
         W_inv = jnp.linalg.inv(W_d)                              # (M,3,3)
 
-        # Schur complement on cameras: S (N,6,N,6); after the bundled
-        # reduction S and rhs are replicated and the (small) camera solve
-        # runs redundantly on every device
+        # Schur complement on cameras (+ the shared-intrinsics block when
+        # refining): after the ONE bundled reduction everything reduced is
+        # replicated and the (small) augmented solve runs redundantly on
+        # every device
         YWi = jnp.einsum("nmij,mjk->nmik", Y, W_inv, precision=HI)
         S_off_p = jnp.einsum("nmik,pmlk->npil", YWi, Y, precision=HI)
         rhs2_p = jnp.einsum("nmik,mk->ni", YWi, g_pt, precision=HI)
-        U, g_cam, S_off, rhs2 = preduce((U_p, g_cam_p, S_off_p, rhs2_p))
+        if refining:
+            ZWi = jnp.einsum("mij,mjk->mik", Z, W_inv, precision=HI)
+            S_cth_p = Yc_p - jnp.einsum(
+                "nmik,mjk->nij", YWi, Z, precision=HI)             # (N,6,6)
+            S_thth_p = Q_p - jnp.einsum(
+                "mik,mjk->ij", ZWi, Z, precision=HI)               # (6,6)
+            rhs_th_p = g_th_p - jnp.einsum(
+                "mik,mk->i", ZWi, g_pt, precision=HI)              # (6,)
+            (U, g_cam, S_off, rhs2, S_cth, S_thth, rhs_th) = preduce(
+                (U_p, g_cam_p, S_off_p, rhs2_p, S_cth_p, S_thth_p, rhs_th_p)
+            )
+        else:
+            U, g_cam, S_off, rhs2 = preduce((U_p, g_cam_p, S_off_p, rhs2_p))
         U_d = U + lam * I6
         S = -S_off
         S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(U_d)
         rhs = g_cam - rhs2
 
         S_flat = S.transpose(0, 2, 1, 3).reshape(6 * n_cam, 6 * n_cam)
-        d_cam = -jnp.linalg.solve(S_flat, rhs.reshape(-1)).reshape(n_cam, 6)
+        if refining:
+            # augment with the 6-wide global block: [[S, S_cth],
+            # [S_cth^T, S_thth + lam I]]; frozen coords have zero rows,
+            # columns, and rhs — the damped diagonal pins their update to 0
+            top = jnp.concatenate(
+                [S_flat, S_cth.reshape(6 * n_cam, 6)], axis=1)
+            bot = jnp.concatenate(
+                [S_cth.reshape(6 * n_cam, 6).T, S_thth + lam * I6], axis=1)
+            S_aug = jnp.concatenate([top, bot], axis=0)
+            rhs_aug = jnp.concatenate([rhs.reshape(-1), rhs_th])
+            d = -jnp.linalg.solve(S_aug, rhs_aug)
+            d_cam = d[: 6 * n_cam].reshape(n_cam, 6)
+            d_th = d[6 * n_cam:] * free_v
+        else:
+            d_cam = -jnp.linalg.solve(
+                S_flat, rhs.reshape(-1)).reshape(n_cam, 6)
+            d_th = jnp.zeros_like(theta)
         # back-substitute points
         rhs_pt = g_pt + jnp.einsum("nmij,ni->mj", Y, d_cam, precision=HI)
+        if refining:
+            rhs_pt = rhs_pt + jnp.einsum(
+                "mij,i->mj", Z, d_th, precision=HI)
         d_pt = -jnp.einsum("mij,mj->mi", W_inv, rhs_pt, precision=HI)
 
         cams_new = cams + d_cam
         pts_new = pts + d_pt
-        cost_new = cost_of(cams_new, pts_new)
+        theta_new = theta + d_th
+        cost_new = cost_of(cams_new, pts_new, theta_new)
         ok = jnp.isfinite(cost_new) & (cost_new < cost)
         cams = jnp.where(ok, cams_new, cams)
         pts = jnp.where(ok, pts_new, pts)
+        theta = jnp.where(ok, theta_new, theta)
         cost = jnp.where(ok, cost_new, cost)
         lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-10, 1e10)
-        return (cams, pts, lam, cost), ok
+        return (cams, pts, theta, lam, cost), ok
 
-    c0 = cost_of(camera_params, points)
-    (cams, pts, _, cost), accepted = jax.lax.scan(
+    c0 = cost_of(camera_params, points, theta0)
+    (cams, pts, theta, _, cost), accepted = jax.lax.scan(
         lm_step,
-        (camera_params, points, jnp.asarray(lambda0, K.dtype), c0),
+        (camera_params, points, theta0, jnp.asarray(lambda0, K.dtype), c0),
         None,
         length=n_iters,
     )
     return BAResult(
-        cams, pts, cost, c0, jnp.sum(accepted), preduce(jnp.sum(mask0))
+        cams, pts, cost, c0, jnp.sum(accepted), preduce(jnp.sum(mask0)),
+        theta,
     )
 
 

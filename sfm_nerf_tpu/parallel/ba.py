@@ -41,7 +41,8 @@ from sfm_nerf_tpu.ops.ba import BAResult, bundle_adjust
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis", "n_iters", "loss")
+    jax.jit,
+    static_argnames=("mesh", "axis", "n_iters", "loss", "refine_intrinsics"),
 )
 def bundle_adjust_sharded(
     K: jnp.ndarray,              # (3,3)
@@ -56,6 +57,7 @@ def bundle_adjust_sharded(
     lambda0: float = 1e-3,
     loss: str = "linear",
     huber_delta: float = 3.0,
+    refine_intrinsics: str = "",
 ) -> BAResult:
     """``bundle_adjust`` with the point axis sharded over ``mesh[axis]``.
 
@@ -94,9 +96,10 @@ def bundle_adjust_sharded(
             bundle_adjust,
             n_iters=n_iters, lambda0=lambda0, loss=loss,
             huber_delta=huber_delta, axis_name=axis,
+            refine_intrinsics=refine_intrinsics,
         ),
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(None, axis), P(None, axis)),
-        out_specs=BAResult(P(), P(axis), P(), P(), P(), P()),
+        out_specs=BAResult(P(), P(axis), P(), P(), P(), P(), P()),
     )(K, camera_params, points, observations, visibility)
     return res._replace(points=res.points[:n_pts])

@@ -889,12 +889,35 @@ class SfMPipeline:
             )
         else:
             ba_fn = bundle_adjust
+
+        def _ba_errs(res):
+            """(N,M) per-observation reprojection error at the BA optimum,
+            under the model BA actually optimized: the refined shared
+            intrinsics (incl. radial terms) when --ba_refine_intrinsics is
+            on, the fixed pinhole K otherwise."""
+            if cfg.ba_refine_intrinsics:
+                from sfm_nerf_tpu.ops.ba import _observe_theta
+
+                proj = jax.vmap(
+                    jax.vmap(_observe_theta, (None, 0, None)),
+                    (0, None, None),
+                )(res.camera_params, res.points, res.intrinsics)
+                return np.linalg.norm(np.asarray(proj) - obs, axis=-1)
+            Rs_r, Cs_r = RC_from_camera_params(res.camera_params)
+            return np.stack([
+                np.sqrt(np.asarray(reprojection_errors(
+                    Kj, Rs_r[c], Cs_r[c], res.points, jnp.asarray(obs[c])
+                )))
+                for c in range(n_cam)
+            ])
+
         for ba_round in range(max(1, cfg.ba_rounds)):
             res = ba_fn(
                 Kj, jnp.asarray(cams0), jnp.asarray(pts0),
                 jnp.asarray(obs), jnp.asarray(vis_work),
                 n_iters=cfg.ba_max_iters,
                 loss=cfg.ba_loss, huber_delta=cfg.ba_huber_delta,
+                refine_intrinsics=cfg.ba_refine_intrinsics,
             )
             n_obs = max(float(res.n_residuals), 1)
             if rms_before is None:
@@ -904,13 +927,7 @@ class SfMPipeline:
             if ba_round >= cfg.ba_rounds - 1:   # >=: ba_rounds=0 runs one
                 break                           # round with NO prune after
             # prune observations whose reprojection error exceeds threshold
-            Rs_r, Cs_r = RC_from_camera_params(res.camera_params)
-            errs = np.stack([
-                np.sqrt(np.asarray(reprojection_errors(
-                    Kj, Rs_r[c], Cs_r[c], res.points, jnp.asarray(obs[c])
-                )))
-                for c in range(n_cam)
-            ])
+            errs = _ba_errs(res)
             # adaptive threshold: never prune below the bulk of the current
             # error distribution (a poorly-converged round would otherwise
             # gut the observation set — observed: 91% pruned at a fixed 3px).
@@ -942,6 +959,18 @@ class SfMPipeline:
             "rms_px_before": rms_before, "rms_px_after": rms_after,
             "n_obs": int(n_obs), "n_cams": n_cam, "n_points": m_pts,
         }
+        if cfg.ba_refine_intrinsics:
+            th = np.asarray(res.intrinsics)
+            self.stats["ba"]["intrinsics"] = th.tolist()
+            print(
+                "BA refined intrinsics "
+                f"({cfg.ba_refine_intrinsics}): fx={th[0]:.2f} "
+                f"fy={th[1]:.2f} cx={th[2]:.2f} cy={th[3]:.2f} "
+                f"k1={th[4]:.5f} k2={th[5]:.5f} "
+                f"(calibration: fx={float(Kj[0, 0]):.2f} "
+                f"fy={float(Kj[1, 1]):.2f} cx={float(Kj[0, 2]):.2f} "
+                f"cy={float(Kj[1, 2]):.2f})"
+            )
 
         Rs, Cs = RC_from_camera_params(res.camera_params)
         Rs, Cs = np.asarray(Rs), np.asarray(Cs)
@@ -972,13 +1001,7 @@ class SfMPipeline:
         art.save_ply(all_points, np.asarray(colors, np.uint8), cfg.output_dir)
         # per-observation error percentiles at the BA optimum (comparable to
         # the reference's Table III mean reprojection errors)
-        Rs_f, Cs_f = RC_from_camera_params(res.camera_params)
-        errs = np.stack([
-            np.sqrt(np.asarray(reprojection_errors(
-                Kj, Rs_f[c], Cs_f[c], res.points, jnp.asarray(obs[c])
-            )))
-            for c in range(n_cam)
-        ])
+        errs = _ba_errs(res)
         # finite-only: an unconstrained point's NaN block must not poison
         # the reported mean (its residuals were masked out of the cost)
         vmask = (vis_work > 0) & np.isfinite(errs)

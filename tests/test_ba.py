@@ -241,3 +241,104 @@ def test_ba_does_not_flip_rig_through_distant_cloud():
          + np.asarray(res.camera_params)[:, None, 3:])[..., 2]
     assert (z > 0).all(), f"{(z <= 0).sum()} observations behind cameras"
     assert float(res.cost) < float(res.initial_cost)
+
+
+def _spherical_rig(n_cams=8, n_pts=400, seed=0,
+                   theta_true=(600.0, 610.0, 320.0, 240.0, 0.05, -0.01),
+                   noise_px=0.3):
+    """Well-conditioned rig for intrinsics recovery: cameras on a sphere
+    around a deep cloud, each looking at the centroid with a random roll
+    (rotation diversity in all axes — make_sfm_scene's yaw-only rig leaves
+    fy/cy near-unobservable and the recovery test meaningless)."""
+    from scipy.spatial.transform import Rotation
+
+    from sfm_nerf_tpu.ops.ba import _observe_theta
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-2, 2, (n_pts, 3)) * [1, 1, 1.2] + [0, 0, 5.0]
+    cams = []
+    for _ in range(n_cams):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        C = np.array([0, 0, 5.0]) + 6.0 * d
+        z = np.array([0, 0, 5.0]) - C
+        z /= np.linalg.norm(z)
+        up = rng.normal(size=3)
+        up -= up @ z * z
+        up /= np.linalg.norm(up)
+        R = np.stack([np.cross(up, z), up, z])
+        cams.append(np.concatenate([Rotation.from_matrix(R).as_rotvec(),
+                                    -R @ C]))
+    cams = np.asarray(cams)
+    th = jnp.asarray(theta_true)
+    proj = jax.vmap(jax.vmap(_observe_theta, (None, 0, None)),
+                    (0, None, None))
+    obs = np.array(proj(jnp.asarray(cams), jnp.asarray(pts), th))
+    obs = obs + rng.normal(0, noise_px, obs.shape)
+    return cams, pts, obs, np.ones((len(cams), n_pts))
+
+
+def test_ba_refine_intrinsics_recovers_truth():
+    """Observations generated with fx=600 fy=610 pp=(320,240) k1=.05
+    k2=-.01; BA initialized with a 5%-wrong focal, shifted pp, and zero
+    distortion recovers all six shared intrinsics to the noise floor."""
+    cams_true, pts, obs, vis = _spherical_rig()
+    rng = np.random.default_rng(1)
+    K0 = np.array([[630.0, 0, 310.0], [0, 580.0, 250.0], [0, 0, 1.0]])
+    res = bundle_adjust(
+        jnp.asarray(K0),
+        jnp.asarray(cams_true + rng.normal(0, 0.01, cams_true.shape)),
+        jnp.asarray(pts + rng.normal(0, 0.05, pts.shape)),
+        jnp.asarray(obs), jnp.asarray(vis),
+        n_iters=80, refine_intrinsics="f,pp,k1,k2",
+    )
+    th = np.asarray(res.intrinsics)
+    assert abs(th[0] - 600.0) < 1.0, th
+    assert abs(th[1] - 610.0) < 1.0, th
+    assert abs(th[2] - 320.0) < 1.0, th
+    assert abs(th[3] - 240.0) < 1.0, th
+    assert abs(th[4] - 0.05) < 3e-3, th
+    assert abs(th[5] + 0.01) < 6e-3, th
+    rms = float(np.sqrt(2 * res.cost / res.n_residuals))
+    assert rms < 0.6, rms   # ~noise floor (0.3 px/axis)
+
+
+def test_ba_refine_frozen_params_stay_exactly():
+    """Refining only 'f' leaves the frozen pp/k coordinates EXACTLY at
+    their initial values (their update solves to 0 by construction)."""
+    cams_true, pts, obs, vis = _spherical_rig(
+        theta_true=(600.0, 610.0, 320.0, 240.0, 0.0, 0.0))
+    K0 = np.array([[620.0, 0, 320.0], [0, 630.0, 240.0], [0, 0, 1.0]])
+    res = bundle_adjust(
+        jnp.asarray(K0), jnp.asarray(cams_true), jnp.asarray(pts),
+        jnp.asarray(obs), jnp.asarray(vis),
+        n_iters=40, refine_intrinsics="f",
+    )
+    th = np.asarray(res.intrinsics)
+    assert abs(th[0] - 600.0) < 1.0 and abs(th[1] - 610.0) < 1.0, th
+    np.testing.assert_array_equal(th[2:], [320.0, 240.0, 0.0, 0.0])
+
+
+def test_ba_refine_off_returns_input_K_verbatim():
+    scene, cams = build_problem()
+    res = bundle_adjust(
+        jnp.asarray(scene["K"]), jnp.asarray(cams),
+        jnp.asarray(scene["points"]), jnp.asarray(scene["obs"]),
+        jnp.asarray(scene["vis"]), n_iters=2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.intrinsics),
+        [800.0, 800.0, 400.0, 300.0, 0.0, 0.0])
+
+
+def test_ba_refine_intrinsics_bad_token_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown intrinsics token"):
+        scene, cams = build_problem()
+        bundle_adjust(
+            jnp.asarray(scene["K"]), jnp.asarray(cams),
+            jnp.asarray(scene["points"]), jnp.asarray(scene["obs"]),
+            jnp.asarray(scene["vis"]), n_iters=1,
+            refine_intrinsics="focal",
+        )

@@ -382,6 +382,16 @@ def test_sharded_ba_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(sh.points), np.asarray(ref.points), atol=1e-5)
 
+    # intrinsics refinement: the extra global block joins the same psum
+    # bundle, so the sharded refined intrinsics must match single-device
+    ref = bundle_adjust(K, cams_n, pts_n, obs, vis, n_iters=15,
+                        refine_intrinsics="f,k1")
+    sh = bundle_adjust_sharded(K, cams_n, pts_n, obs, vis, mesh=mesh,
+                               n_iters=15, refine_intrinsics="f,k1")
+    np.testing.assert_allclose(float(sh.cost), float(ref.cost), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(sh.intrinsics), np.asarray(ref.intrinsics), rtol=1e-7)
+
 
 def test_spmd_step_hierarchical(scene):
     """GSPMD step on a hierarchical (coarse/fine) config: the shared
