@@ -166,6 +166,7 @@ def main():
 
     if args.export_nerf:
         import cv2
+        import numpy as np
 
         from sfm_nerf_tpu.io.sfm_data import load_calibration
         from sfm_nerf_tpu.sfm.to_nerf import export_nerf_dataset
@@ -175,10 +176,31 @@ def main():
             for i in sorted(result["camera_info"])
         }
         h, w = cv2.imread(next(iter(image_paths.values()))).shape[:2]
+        K_exp = load_calibration(
+            os.path.join(args.data_path, "calibration.txt"))
+        refined = result["stats"].get("ba", {}).get("intrinsics")
+        if refined is not None:
+            # --ba_refine_intrinsics ran: export the refined PINHOLE part
+            # (fx, fy, cx, cy) — BA optimized the poses/points under it, so
+            # exporting the stale calibration would mis-aim every NeRF ray.
+            # Radial k1/k2 are NOT representable in transforms.json; warn
+            # if they are significant (undistort the images upstream then).
+            K_exp = np.array([
+                [refined[0], 0.0, refined[2]],
+                [0.0, refined[1], refined[3]],
+                [0.0, 0.0, 1.0],
+            ])
+            if abs(refined[4]) > 5e-3 or abs(refined[5]) > 5e-3:
+                print(
+                    "export_nerf: WARNING — refined radial distortion "
+                    f"(k1={refined[4]:.4f}, k2={refined[5]:.4f}) cannot be "
+                    "expressed in transforms.json; rays at the image border "
+                    "will be slightly mis-aimed"
+                )
         export_nerf_dataset(
             result["camera_info"],
             result["points"],
-            load_calibration(os.path.join(args.data_path, "calibration.txt")),
+            K_exp,
             image_paths,
             args.export_nerf,
             width=w,
