@@ -179,23 +179,25 @@ def main():
         K_exp = load_calibration(
             os.path.join(args.data_path, "calibration.txt"))
         refined = result["stats"].get("ba", {}).get("intrinsics")
+        distortion = None
         if refined is not None:
             # --ba_refine_intrinsics ran: export the refined PINHOLE part
             # (fx, fy, cx, cy) — BA optimized the poses/points under it, so
             # exporting the stale calibration would mis-aim every NeRF ray.
-            # Radial k1/k2 are NOT representable in transforms.json; warn
-            # if they are significant (undistort the images upstream then).
+            # Radial k1/k2 are NOT representable in transforms.json, so the
+            # exporter RESAMPLES the frames to the refined pinhole model
+            # (to_nerf.undistort_image) whenever they are nonzero.
             K_exp = np.array([
                 [refined[0], 0.0, refined[2]],
                 [0.0, refined[1], refined[3]],
                 [0.0, 0.0, 1.0],
             ])
+            distortion = (float(refined[4]), float(refined[5]))
             if abs(refined[4]) > 5e-3 or abs(refined[5]) > 5e-3:
                 print(
-                    "export_nerf: WARNING — refined radial distortion "
-                    f"(k1={refined[4]:.4f}, k2={refined[5]:.4f}) cannot be "
-                    "expressed in transforms.json; rays at the image border "
-                    "will be slightly mis-aimed"
+                    "export_nerf: undistorting exported frames to the "
+                    f"refined pinhole model (k1={refined[4]:.4f}, "
+                    f"k2={refined[5]:.4f})"
                 )
         export_nerf_dataset(
             result["camera_info"],
@@ -206,6 +208,7 @@ def main():
             width=w,
             height=h,
             holdout_every=args.export_holdout_every,
+            distortion=distortion,
         )
 
 

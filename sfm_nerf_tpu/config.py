@@ -90,6 +90,13 @@ class RenderConfig:
                                    # VMEM and make every dot taller
     fused_tiles_per_program: int = 32
     fused_vmem_mb: int = 100       # Mosaic vmem_limit_bytes for the kernel
+    # run the fused kernels in Pallas INTERPRET mode (pure-XLA emulation):
+    # lets the 8-virtual-CPU test mesh execute the EXACT fused code paths
+    # (shard_map composition, custom VJPs, envelope routing) without TPU
+    # hardware — the multi-device fused tests and dryrun_multichip set it.
+    # Interpret mode also lifts the 128-lane sample_chunk alignment, so
+    # tiny test shapes run unpadded.  Never set in production configs.
+    fused_interpret: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,7 +41,8 @@ def make_sharded_render_image(
     dp = mesh.shape[axis]
 
     from sfm_nerf_tpu.train.nerf_trainer import (
-        _fused_hierarchical_render, _fused_render_routes,
+        _fused_hierarchical_render, _fused_render_kwargs,
+        _fused_render_routes,
     )
 
     # same route split as single-chip (one source of truth)
@@ -56,7 +57,8 @@ def make_sharded_render_image(
 
             packed = pack_nerf_params(params, mcfg, jnp.bfloat16)
             z = stratified_samples(key, o.shape[0], rcfg).astype(jnp.float32)
-            return fused_render_rays(packed, o, d, z, mcfg, rcfg)
+            return fused_render_rays(packed, o, d, z, mcfg, rcfg,
+                                     **_fused_render_kwargs(rcfg))
         if use_fused_hier:
             rgb, _, _ = _fused_hierarchical_render(
                 params, o, d, mcfg, rcfg, key)

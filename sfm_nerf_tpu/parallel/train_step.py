@@ -128,6 +128,71 @@ def mlp_param_shardings(params, mesh: Mesh, model_axis: str = "model"):
     return shardings
 
 
+def _make_spmd_fused_step(
+    cfg: NeRFPipelineConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    p_shard,
+    rep,
+) -> Callable:
+    """Fused-kernel SPMD step: params STORED model-sharded, loss computed
+    data-parallel over every mesh axis (see make_spmd_train_step).
+
+    RNG contract matches make_dp_train_step with the full mesh as the data
+    axes: per-chip keys fold_in(key, linearized mesh index) over
+    mesh.axis_names order, so the tested single-device replay oracle covers
+    both builders with one linearization rule."""
+    from sfm_nerf_tpu.train.nerf_trainer import make_loss_fn
+
+    axes = tuple(mesh.axis_names)
+    world = 1
+    for a in axes:
+        world *= mesh.shape[a]
+    if cfg.train.n_rays_batch % world:
+        raise ValueError(
+            f"n_rays_batch={cfg.train.n_rays_batch} not divisible by "
+            f"world={world}"
+        )
+    loss_fn = make_loss_fn(cfg, n_rays=cfg.train.n_rays_batch // world)
+
+    def shard_grads(params, key, images, poses, K):
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        key_local = jax.random.fold_in(key, idx)
+        key_sample, key_render = jax.random.split(key_local)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key_sample, key_render, images, poses, K
+        )
+        return jax.lax.pmean(loss, axes), jax.lax.pmean(grads, axes)
+
+    spec = P()
+    mapped = jax.shard_map(
+        shard_grads,
+        mesh=mesh,
+        in_specs=(spec,) * 5,
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+
+    # no donation: interrupt-save contract (see make_train_step).  The
+    # optimizer update runs OUTSIDE shard_map so updates/opt state keep the
+    # params' tp storage layout (XLA re-shards the pmean'd replicated grads
+    # onto p_shard for the elementwise adam math).
+    @functools.partial(
+        jax.jit,
+        in_shardings=(p_shard, None, rep, rep, rep, rep),
+        out_shardings=(p_shard, None, rep),
+    )
+    def train_step(params, opt_state, key, images, poses, K):
+        loss, grads = mapped(params, key, images, poses, K)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def make_spmd_train_step(
     cfg: NeRFPipelineConfig,
     tx: optax.GradientTransformation,
@@ -142,24 +207,38 @@ def make_spmd_train_step(
     and inserts collectives (scaling-book recipe: annotate, let XLA insert,
     profile).
     """
-    import dataclasses
-
-    from sfm_nerf_tpu.train.nerf_trainer import make_loss_fn
+    from sfm_nerf_tpu.train.nerf_trainer import (
+        fused_train_supported, make_loss_fn,
+    )
 
     data_axis = cfg.parallel.data_axis
     p_shard = mlp_param_shardings(params_template, mesh, cfg.parallel.model_axis)
     rep = NamedSharding(mesh, P())
     batch_spec = NamedSharding(mesh, P(data_axis, None))
 
+    if cfg.render.use_fused_kernel and fused_train_supported(cfg):
+        # Fused kernels under tp-sharded param STORAGE: a Pallas kernel is
+        # a single-chip program — it cannot consume model-sharded weight
+        # operands, and tp buys nothing on a 0.5M-param MLP anyway (the
+        # all-reduce per layer would dwarf the matmul).  So the step keeps
+        # the params' tp storage layout (generality contract of this
+        # builder) but computes the loss DATA-parallel over the FULL mesh
+        # under shard_map: GSPMD all-gathers the packed params to each
+        # chip at the shard_map boundary (~1 MB — noise next to activation
+        # traffic), every chip (model axis included) renders its own ray
+        # slice, and one pmean over all axes reduces the grads.  This uses
+        # tp x dp chips' MXUs instead of leaving the model axis redundant.
+        return _make_spmd_fused_step(cfg, tx, mesh, p_shard, rep)
     if cfg.render.use_fused_kernel:
-        # the fused Pallas kernels have not been validated under GSPMD
-        # model-sharded params — run this path through XLA (the envelope
-        # gate can't see mesh context, so force it off here, loudly)
-        print("spmd step: fused kernels not supported under tp sharding; "
-              "using the XLA path")
-        cfg = dataclasses.replace(
-            cfg, render=dataclasses.replace(
-                cfg.render, use_fused_kernel=False))
+        # requested but outside the fused envelope (arch/chunk/backend):
+        # make_loss_fn falls back to XLA autodiff internally — say so once
+        # here so a pod run can't silently lose the flagship kernels
+        import warnings
+
+        warnings.warn(
+            "spmd step: config requests fused kernels but is outside the "
+            "fused envelope (see fused_train_supported) — using the XLA "
+            "autodiff path", stacklevel=2)
     # the SHARED loss (same source as the single-device and dp steps —
     # they drifted apart once, see make_loss_fn's docstring; this builder
     # used to re-implement it and crashed on hierarchical configs), with

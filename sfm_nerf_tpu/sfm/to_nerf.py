@@ -78,6 +78,58 @@ def near_far_from_points(
     return near, far
 
 
+def undistort_maps(
+    K: np.ndarray, k1: float, k2: float, height: int, width: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pixel maps for resampling a radially distorted image onto the ideal
+    pinhole model: output pixel (u, v) of the UNDISTORTED image reads the
+    source image at (map_x[v,u], map_y[v,u]).
+
+    Model matches ops/ba.py's refinement parameterization (and cv2's
+    k1/k2): distorted_normalized = normalized * (1 + k1 r^2 + k2 r^4) —
+    the forward distortion applied to the ideal coordinates, which is
+    exactly the lookup direction an undistortion REMAP needs (no iterative
+    inversion; cv2.initUndistortRectifyMap computes the same thing)."""
+    K = np.asarray(K, dtype=np.float64)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    vs, us = np.meshgrid(
+        np.arange(height, dtype=np.float64),
+        np.arange(width, dtype=np.float64),
+        indexing="ij",
+    )
+    x = (us - cx) / fx
+    y = (vs - cy) / fy
+    r2 = x * x + y * y
+    scale = 1.0 + k1 * r2 + k2 * r2 * r2
+    return (fx * x * scale + cx).astype(np.float32), \
+        (fy * y * scale + cy).astype(np.float32)
+
+
+def undistort_image(
+    img: np.ndarray, K: np.ndarray, k1: float, k2: float
+) -> np.ndarray:
+    """Resample ``img`` (H, W[, C]) to the ideal pinhole model by bilinear
+    lookup through :func:`undistort_maps`.  Out-of-source samples clamp to
+    the border (matching cv2.remap's BORDER_REPLICATE choice for
+    undistortion, where the affected pixels sit outside the valid FOV
+    anyway).  dtype is preserved (uint8 inputs round)."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    map_x, map_y = undistort_maps(K, k1, k2, h, w)
+    x0 = np.clip(np.floor(map_x).astype(np.int64), 0, w - 2)
+    y0 = np.clip(np.floor(map_y).astype(np.int64), 0, h - 2)
+    tx = np.clip(map_x - x0, 0.0, 1.0)[..., None]
+    ty = np.clip(map_y - y0, 0.0, 1.0)[..., None]
+    flat = img.reshape(h, w, -1).astype(np.float64)
+    out = ((1 - ty) * ((1 - tx) * flat[y0, x0] + tx * flat[y0, x0 + 1])
+           + ty * ((1 - tx) * flat[y0 + 1, x0] + tx * flat[y0 + 1, x0 + 1]))
+    out = out.reshape(img.shape)
+    if np.issubdtype(img.dtype, np.integer):
+        return np.clip(np.rint(out), np.iinfo(img.dtype).min,
+                       np.iinfo(img.dtype).max).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
 def export_nerf_dataset(
     camera_info: Dict[int, dict],
     points: Dict[int, np.ndarray],
@@ -88,11 +140,19 @@ def export_nerf_dataset(
     height: int,
     holdout_every: int = 0,
     near_far: Optional[Tuple[float, float]] = None,
+    distortion: Optional[Tuple[float, float]] = None,
 ) -> dict:
     """Write a Phase2-trainable dataset directory from an SfM result.
 
     Layout: ``out_dir/images/img_{i:03d}.png`` (copies of the source
     frames) + ``transforms_train.json`` / ``transforms_test.json``.
+
+    ``distortion=(k1, k2)`` (from --ba_refine_intrinsics) resamples each
+    exported frame to the ideal pinhole model (:func:`undistort_image`)
+    instead of copying it — transforms.json cannot express radial terms,
+    so without this the border rays of a distorted capture would be
+    knowingly mis-aimed.  ``K`` must then be the refined pinhole part the
+    distortion was estimated against.
 
     ``holdout_every > 0`` sends every Nth registered camera to the test
     split (kept in train too only if that would leave fewer than 2 train
@@ -115,12 +175,21 @@ def export_nerf_dataset(
         near_far = near_far_from_points(camera_info, points)
     near, far = near_far
 
+    undistort = (
+        distortion is not None
+        and (abs(distortion[0]) > 1e-12 or abs(distortion[1]) > 1e-12)
+    )
     frames = []
     for i in cam_ids:
         rel = f"images/img_{i:03d}"
         dst = os.path.join(out_dir, rel + ".png")
         src = image_paths[i]
-        if os.path.abspath(src) != os.path.abspath(dst):
+        if undistort:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(dst, undistort_image(
+                imageio.imread(src), K, distortion[0], distortion[1]))
+        elif os.path.abspath(src) != os.path.abspath(dst):
             shutil.copyfile(src, dst)
         frames.append({
             "file_path": rel,
@@ -153,6 +222,11 @@ def export_nerf_dataset(
         "far": float(far),
         "source": "sfm_nerf_tpu Phase1 reconstruction",
     }
+    if undistort:
+        # provenance: the written frames were RESAMPLED to the pinhole
+        # model above; these are the radial terms that were removed
+        base["undistorted_k1_k2"] = [float(distortion[0]),
+                                     float(distortion[1])]
     for name, split in (("train", train_frames), ("test", test_frames)):
         meta = dict(base, frames=split)
         with open(os.path.join(out_dir, f"transforms_{name}.json"), "w") as f:

