@@ -40,6 +40,12 @@ def main():
                              "~25x fewer hypotheses scored at the bundled "
                              "data's inlier ratios. 0 keeps the "
                              "reference's fixed 50000/10000 iterations")
+    parser.add_argument("--no_ransac_batch_pairs", dest="ransac_batch_pairs",
+                        action="store_false", default=True,
+                        help="disable the pair-axis batched F-RANSAC (one "
+                             "device launch per shape bucket; bit-equal "
+                             "per pair) and run the per-pair host loop "
+                             "instead")
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
     parser.add_argument("--ba_max_iters", type=int, default=50)
@@ -147,6 +153,7 @@ def main():
         ransac_scoring=args.ransac_scoring,
         ransac_devices=args.ransac_devices,
         ransac_confidence=args.ransac_confidence,
+        ransac_batch_pairs=args.ransac_batch_pairs,
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,

@@ -177,6 +177,15 @@ class SfMConfig:
     # scored.  0 (default) keeps the reference's fixed iteration counts.
     # Mutually exclusive with ransac_devices > 1.
     ransac_confidence: float = 0.0
+    # batch every pair's F-RANSAC into ONE device launch per shape bucket
+    # (ops/epipolar.py:ransac_fundamental_pairs_bucketed; bit-equal per
+    # pair to the sequential loop for the same key stream).  The per-pair
+    # host loop pays one relay round-trip per pair — on the tunneled TPU
+    # that RTT dominates the refine stage.  Composes with adaptive
+    # confidence (stage-level exit on the slowest pair); mutually
+    # exclusive with ransac_devices > 1 (hypothesis sharding stays
+    # per-pair).
+    ransac_batch_pairs: bool = True
     # PnP RANSAC (Phase1/PnP.py:160)
     pnp_iters: int = 10000
     pnp_threshold: float = 10.0      # squared px reprojection error

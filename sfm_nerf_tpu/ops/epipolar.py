@@ -562,6 +562,197 @@ def ransac_fundamental_bucketed(
     )
 
 
+# ---------------------------------------------------------------------------
+# Pair-axis batched F-RANSAC: every image pair's RANSAC in ONE device launch.
+#
+# The per-pair host loop (sfm/pipeline.py:refine_all_matches) pays one relay
+# round-trip + dispatch per pair; on the tunneled TPU attachment that RTT —
+# not the compute — dominated the ransac stage (PERFORMANCE.md: 135 s of the
+# 50-camera run).  After shape bucketing the pairs are shape-identical, so
+# the whole stage is ONE vmapped program with a leading pair axis.  Per-pair
+# keys keep each pair's draw stream IDENTICAL to the sequential path
+# (draw_minimal_samples is bucket-invariant and the key stream is per-pair),
+# so batched results are bit-equal to the loop's (pinned by test).
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iters", "normalize", "chunk", "scoring")
+)
+def ransac_fundamental_pairs(
+    keys: jax.Array,          # (P,) per-pair keys (the loop's key stream)
+    pts1: jnp.ndarray,        # (P, N, 2) bucket-padded pixel coords
+    pts2: jnp.ndarray,        # (P, N, 2)
+    n_valid: jnp.ndarray,     # (P,) true match counts
+    n_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+    scoring: str = "msac",
+) -> RansacResult:
+    """Fixed-iteration F-RANSAC over a pair axis — bit-equal per pair to
+    ``ransac_fundamental(keys[p], pts1[p], pts2[p], n_valid=n_valid[p])``
+    (same draws, same scores, same winner), in one launch."""
+    run = lambda k, a, b, nv: ransac_fundamental(
+        k, a, b, n_iters=n_iters, threshold=threshold, normalize=normalize,
+        chunk=chunk, n_valid=nv, scoring=scoring)
+    return jax.vmap(run)(keys, pts1, pts2, n_valid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "normalize", "scoring")
+)
+def _ransac_pairs_score_chunk(
+    cks, pts1, pts2, threshold, n_valid,
+    chunk: int = 1024, normalize: bool = True, scoring: str = "msac",
+):
+    """(P,)-batched `_ransac_fundamental_score_chunk` for the batched
+    adaptive driver: one launch scores chunk hypotheses of EVERY pair."""
+    run = lambda k, a, b, nv: _ransac_fundamental_score_chunk(
+        k, a, b, threshold, nv, chunk=chunk, normalize=normalize,
+        scoring=scoring)
+    return jax.vmap(run)(cks, pts1, pts2, n_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "normalize"))
+def _ransac_pairs_finalize(
+    cks, best_in_chunk, pts1, pts2, threshold, n_valid,
+    chunk: int = 1024, normalize: bool = True,
+):
+    run = lambda k, b, a1, a2, nv: _ransac_fundamental_finalize(
+        k, b, a1, a2, threshold, nv, chunk=chunk, normalize=normalize)
+    return jax.vmap(run)(cks, best_in_chunk, pts1, pts2, n_valid)
+
+
+def ransac_fundamental_pairs_adaptive(
+    keys: jax.Array,
+    pts1: jnp.ndarray,        # (P, N, 2)
+    pts2: jnp.ndarray,
+    n_valid,                  # (P,) ints
+    confidence: float = 0.999,
+    max_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+    scoring: str = "msac",
+) -> Tuple[RansacResult, int]:
+    """Adaptive F-RANSAC over a pair axis: the H&Z confidence exit runs on
+    the SLOWEST pair (chunks are scored for all pairs together, so the
+    stage stops when every pair's bound is met).  Each pair's draw stream
+    is the sequential adaptive path's (prefix-stable key split), so the
+    result per pair is bit-equal to the FIXED path truncated at this run's
+    stop count — pairs whose own bound was met earlier simply score extra
+    chunks, which can only keep or improve their winner.
+
+    Returns ``(batched result, iters scored per pair)``."""
+    import numpy as np
+
+    P = pts1.shape[0]
+    n_chunks = max(1, (max_iters + chunk - 1) // chunk)
+    # (P, n_chunks) per-pair chunk keys — column c is the sequential
+    # path's chunk_keys[c] for that pair's key (split is prefix-stable)
+    chunk_keys = jax.vmap(lambda k: jax.random.split(k, n_chunks))(keys)
+    min_iters = min(2 * chunk, n_chunks * chunk)
+    nv_host = np.asarray(n_valid, np.int64)
+    nv_arr = jnp.asarray(n_valid)
+
+    best_score = np.full(P, -np.inf)
+    best_iter = np.zeros(P, np.int64)
+    needed = np.full(P, float(max_iters))
+    done = 0
+    for c in range(n_chunks):
+        s, b, cnt = _ransac_pairs_score_chunk(
+            chunk_keys[:, c], pts1, pts2, threshold, nv_arr,
+            chunk=chunk, normalize=normalize, scoring=scoring)
+        s, b, cnt = np.asarray(s), np.asarray(b), np.asarray(cnt)
+        done += chunk
+        improved = s > best_score
+        best_score = np.where(improved, s, best_score)
+        best_iter = np.where(improved, c * chunk + b, best_iter)
+        for p in np.flatnonzero(improved):
+            needed[p] = adaptive_trials_needed(
+                int(cnt[p]), int(nv_host[p]), 8, confidence)
+        if done >= max(float(np.max(needed)), min_iters):
+            break
+
+    bc = jnp.asarray(best_iter // chunk, jnp.int32)
+    F, inliers, n_inl = _ransac_pairs_finalize(
+        jnp.take_along_axis(chunk_keys, bc[:, None], axis=1)[:, 0],
+        jnp.asarray(best_iter % chunk), pts1, pts2, threshold, nv_arr,
+        chunk=chunk, normalize=normalize)
+    res = RansacResult(F, inliers, n_inl, jnp.asarray(best_iter))
+    return res, min(done, max_iters)
+
+
+def ransac_fundamental_pairs_bucketed(
+    items,                    # sequence of (key, pts1_np, pts2_np)
+    n_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+    scoring: str = "msac",
+    confidence: float = 0.0,
+    iters_out: Optional[list] = None,
+    max_pairs_per_launch: int = 64,
+):
+    """Host wrapper for the whole refine stage: group pairs by their pow2
+    bucket (same padding rule as ``ransac_fundamental_bucketed``, so draws
+    match the sequential path exactly), run ONE batched launch per bucket
+    group, and return per-item ``RansacResult``s in input order.
+
+    ``confidence > 0`` routes groups through the batched adaptive driver
+    (stage-level early exit on the slowest pair); ``iters_out`` gets one
+    scored-iteration count appended PER ITEM (the group's shared count).
+
+    ``max_pairs_per_launch`` splits oversized bucket groups (a 200-camera
+    run puts hundreds of pairs in one bucket; the per-launch score tensor
+    is pairs x chunk x bucket — 64 pairs at the 1024-bucket is ~0.5 GB
+    f64, a comfortable ceiling that still amortizes the dispatch RTT
+    ~64x).  Per-pair results are unaffected (the pair axis is vmapped)."""
+    import numpy as np
+
+    items = list(items)
+    groups: dict = {}
+    for pos, (k, a, b) in enumerate(items):
+        groups.setdefault(pow2_bucket(len(a)), []).append((pos, k, a, b))
+    out = [None] * len(items)
+    used_per_item = [0] * len(out)
+    split_groups = []
+    for bucket, members in sorted(groups.items()):
+        for s in range(0, len(members), max_pairs_per_launch):
+            split_groups.append((bucket, members[s:s + max_pairs_per_launch]))
+    for bucket, members in split_groups:
+        keys = jnp.stack([k for _, k, _, _ in members])
+        p1 = np.zeros((len(members), bucket, 2))
+        p2 = np.zeros((len(members), bucket, 2))
+        nv = np.zeros(len(members), np.int64)
+        for m, (_, _, a, b) in enumerate(members):
+            p1[m, : len(a)] = np.asarray(a, np.float64)
+            p2[m, : len(b)] = np.asarray(b, np.float64)
+            nv[m] = len(a)
+        p1j, p2j = jnp.asarray(p1), jnp.asarray(p2)
+        if confidence > 0.0:
+            res, used = ransac_fundamental_pairs_adaptive(
+                keys, p1j, p2j, nv, confidence=confidence,
+                max_iters=n_iters, threshold=threshold,
+                normalize=normalize, chunk=chunk, scoring=scoring)
+        else:
+            res, used = ransac_fundamental_pairs(
+                keys, p1j, p2j, jnp.asarray(nv), n_iters=n_iters,
+                threshold=threshold, normalize=normalize, chunk=chunk,
+                scoring=scoring), n_iters
+        F = np.asarray(res.F)
+        inl = np.asarray(res.inliers)
+        n_inl = np.asarray(res.n_inliers)
+        bi = np.asarray(res.best_iter)
+        for m, (pos, _, a, _) in enumerate(members):
+            out[pos] = RansacResult(
+                F[m], inl[m, : len(a)], n_inl[m], bi[m])
+            used_per_item[pos] = used
+    if iters_out is not None:
+        iters_out.extend(used_per_item)
+    return out
+
+
 def essential_from_fundamental(K: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
     """E = K^T F K (Fundamental.py:141-147; no (1,1,0) singular-value cleanup,
     matching the reference's omission — documented in SURVEY §2.1)."""

@@ -116,19 +116,40 @@ class SfMPipeline:
                 )
             mesh = make_mesh(dp=cfg.ransac_devices, tp=1)
         adaptive_iters: list = []
-        for (i, j), arr in sorted(matches_dict.items()):
-            # bucketed: one accelerator compile per size bucket, not per
-            # pair; mesh=None -> single-device core, else hypothesis-sharded
-            res = ransac_fundamental_bucketed(
-                self._next_key(), arr[:, 0:2], arr[:, 2:4],
+        pairs = sorted(matches_dict.items())
+        if cfg.ransac_batch_pairs and mesh is None:
+            # pair-axis batched: the whole stage is one launch per shape
+            # bucket instead of one per pair (bit-equal per pair — the key
+            # stream below is exactly the sequential loop's)
+            from sfm_nerf_tpu.ops.epipolar import (
+                ransac_fundamental_pairs_bucketed,
+            )
+
+            results = ransac_fundamental_pairs_bucketed(
+                [(self._next_key(), arr[:, 0:2], arr[:, 2:4])
+                 for _, arr in pairs],
                 n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
                 normalize=cfg.normalize, scoring=cfg.ransac_scoring,
-                mesh=mesh, confidence=cfg.ransac_confidence,
-                iters_out=adaptive_iters,
+                confidence=cfg.ransac_confidence, iters_out=adaptive_iters,
             )
+        else:
+            results = [
+                # bucketed: one accelerator compile per size bucket, not
+                # per pair; mesh=None -> single-device core, else
+                # hypothesis-sharded
+                ransac_fundamental_bucketed(
+                    self._next_key(), arr[:, 0:2], arr[:, 2:4],
+                    n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
+                    normalize=cfg.normalize, scoring=cfg.ransac_scoring,
+                    mesh=mesh, confidence=cfg.ransac_confidence,
+                    iters_out=adaptive_iters,
+                )
+                for _, arr in pairs
+            ]
+        for ((i, j), arr), res in zip(pairs, results):
             inliers = np.asarray(res.inliers)
             used = (
-                f" ({adaptive_iters[-1]}/{cfg.ransac_iters} iters)"
+                f" ({adaptive_iters[len(refined)]}/{cfg.ransac_iters} iters)"
                 if adaptive_iters else ""
             )
             print(

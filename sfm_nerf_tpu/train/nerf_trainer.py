@@ -763,21 +763,28 @@ class NeRFTrainer:
         key = self._key
         for it in it_iter:
             # Fused multi-step fast path: jump in scan-sized blocks whenever
-            # no host-side event (log/val/CHECKPOINT) falls inside the block
-            # — a save_ckpt_iter boundary inside a block would otherwise be
-            # silently skipped, losing the fault-tolerance checkpoints.
-            def no_boundary_in_block(every: int) -> bool:
+            # no host-side event (log/val/CHECKPOINT) falls STRICTLY INSIDE
+            # the block — a save_ckpt_iter boundary inside a block would
+            # otherwise be silently skipped, losing the fault-tolerance
+            # checkpoints.  A boundary at the block's LAST step is fine:
+            # event handling below runs after the block, on that step's
+            # loss.  (The earlier `r + spc <= every` gate rejected
+            # block-END boundaries too, which forced every other 50-block
+            # into 50 single dispatches at log_every=100/spc=50 — measured
+            # ~2x step-rate loss on the tunneled TPU, where dispatch RTT
+            # dominates.)
+            def no_boundary_inside_block(every: int) -> bool:
                 if not every:
                     return True
                 r = it % every
-                return r != 0 and r + spc <= every
+                return r != 0 and r + spc <= every + 1
 
             if (
                 multi_step is not None
                 and it + spc <= max_iters
-                and no_boundary_in_block(cfg.train.log_every)
-                and no_boundary_in_block(cfg.train.val_every)
-                and no_boundary_in_block(cfg.train.save_ckpt_iter)
+                and no_boundary_inside_block(cfg.train.log_every)
+                and no_boundary_inside_block(cfg.train.val_every)
+                and no_boundary_inside_block(cfg.train.save_ckpt_iter)
             ):
                 key, sub = jax.random.split(key)
                 self.params, self.opt_state, losses = multi_step(
@@ -785,21 +792,24 @@ class NeRFTrainer:
                     self.images, self.poses, self.K,
                 )
                 self._key = key
-                self._loss = losses[-1]
+                loss = losses[-1]
+                self._loss = loss
                 self._steps_done += spc
                 self._done_through = it + spc - 1
                 for _ in range(spc - 1):
                     next(it_iter, None)
-                continue
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, loss = self.train_step(
-                self.params, self.opt_state, sub,
-                self.images, self.poses, self.K,
-            )
-            self._key = key
-            self._loss = loss
-            self._steps_done += 1
-            self._done_through = it
+                it = self._done_through      # event handling for the
+                # block's final step (boundaries only ever land there)
+            else:
+                key, sub = jax.random.split(key)
+                self.params, self.opt_state, loss = self.train_step(
+                    self.params, self.opt_state, sub,
+                    self.images, self.poses, self.K,
+                )
+                self._key = key
+                self._loss = loss
+                self._steps_done += 1
+                self._done_through = it
 
             if cfg.train.log_every and it % cfg.train.log_every == 0:
                 loss_f = float(loss)

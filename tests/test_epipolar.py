@@ -397,3 +397,57 @@ def test_ransac_adaptive_mesh_is_rejected():
             jax.random.key(0), pts1, pts2, confidence=0.999,
             mesh=object(),
         )
+
+
+def test_ransac_pairs_bucketed_bit_equal_to_loop():
+    """Pair-axis batched F-RANSAC (one launch per bucket) is BIT-EQUAL per
+    pair to the sequential bucketed loop for the same key stream — mixed
+    pair sizes exercise the bucket grouping AND the cross-bucket ordering."""
+    from sfm_nerf_tpu.ops.epipolar import (
+        ransac_fundamental_bucketed, ransac_fundamental_pairs_bucketed,
+    )
+
+    sizes = [300, 210, 70, 290]       # buckets 512, 256, 128, 512
+    items = []
+    for s, seed in zip(sizes, range(4)):
+        _, p1, p2, _ = two_view_correspondences(
+            noise=0.4, n=s, outlier_frac=0.25, seed=seed)
+        items.append((jax.random.key(100 + seed), p1, p2))
+
+    batched = ransac_fundamental_pairs_bucketed(
+        items, n_iters=1024, chunk=256)
+    for (key, p1, p2), res in zip(items, batched):
+        ref = ransac_fundamental_bucketed(key, p1, p2, n_iters=1024, chunk=256)
+        np.testing.assert_array_equal(np.asarray(res.F), np.asarray(ref.F))
+        np.testing.assert_array_equal(
+            np.asarray(res.inliers), np.asarray(ref.inliers))
+        assert int(res.n_inliers) == int(ref.n_inliers)
+        assert int(res.best_iter) == int(ref.best_iter)
+
+
+def test_ransac_pairs_adaptive_truncates_to_fixed():
+    """Batched ADAPTIVE pair RANSAC: per pair, the result equals the FIXED
+    path truncated at the batched run's stop count (prefix-stable key
+    split) — and the stage stops early on easy data."""
+    from sfm_nerf_tpu.ops.epipolar import (
+        ransac_fundamental_bucketed, ransac_fundamental_pairs_bucketed,
+    )
+
+    items = []
+    for seed in range(3):
+        _, p1, p2, _ = two_view_correspondences(
+            noise=0.3, n=250, outlier_frac=0.2, seed=10 + seed)
+        items.append((jax.random.key(seed), p1, p2))
+    iters_out = []
+    batched = ransac_fundamental_pairs_bucketed(
+        items, n_iters=8192, chunk=256, confidence=0.999,
+        iters_out=iters_out)
+    assert len(iters_out) == 3
+    assert max(iters_out) < 8192          # the stage exited early
+    for (key, p1, p2), res, used in zip(items, batched, iters_out):
+        ref = ransac_fundamental_bucketed(
+            key, p1, p2, n_iters=used, chunk=256)    # fixed run, truncated
+        np.testing.assert_array_equal(np.asarray(res.F), np.asarray(ref.F))
+        np.testing.assert_array_equal(
+            np.asarray(res.inliers), np.asarray(ref.inliers))
+        assert int(res.best_iter) == int(ref.best_iter)

@@ -112,3 +112,43 @@ def test_injected_train_step_sees_every_iteration(tmp_path):
     stats = trainer.fit(max_iters=8, progress=False)
     assert stats["steps"] == 8
     assert calls["n"] == 8
+
+
+def test_fast_path_blocks_may_end_on_boundaries(tmp_path):
+    """A block whose LAST step lands exactly on a log/ckpt boundary must
+    stay on the fast path (event handling runs after the block).  The old
+    gate rejected block-end boundaries, which forced every other block
+    into spc single dispatches at log_every=2*spc — measured ~2x step-rate
+    loss on the tunneled TPU.  With aligned cadences, only it=0 may
+    single-step."""
+    import dataclasses
+
+    from sfm_nerf_tpu.config import ParallelConfig
+
+    cfg, images, poses, cam = _setup(tmp_path, spc=4)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, save_ckpt_iter=8, log_every=8, max_iters=17),
+        # dp=1: the virtual 8-device conftest would otherwise auto-route to
+        # the per-step-dispatch dp path and never build the scan fast path
+        parallel=ParallelConfig(dp=1),
+    )
+    trainer = NeRFTrainer(cfg, images, poses, cam.camera_matrix)
+    singles = {"n": 0}
+    base = trainer.train_step
+
+    def counting(*args):
+        singles["n"] += 1
+        return base(*args)
+
+    trainer.train_step = counting
+    stats = trainer.fit(progress=False)
+    assert stats["steps"] == 17
+    assert singles["n"] == 1, singles     # only it=0 (r==0) single-steps
+    # events at block-END boundaries fired: logs at it=0,8,16 and
+    # checkpoints at 8 and 16
+    assert len(trainer._last_losses) == 3
+    names = os.listdir(cfg.checkpoint_path)
+    assert any("_000008" in n or "008" in n for n in names), names
+    assert any("_000016" in n or "016" in n for n in names), names
