@@ -70,11 +70,13 @@ def psnr(a, b):
 @requires_reference
 @pytest.mark.parametrize("name", sorted(CHECKPOINTS))
 def test_golden_frame_psnr(name):
+    """200^2 / 128-sample gate (VERDICT r2 weak #4 follow-up: 64^2 goldens
+    had too little structure to catch converter/PE/compositor drift)."""
     import imageio.v2 as imageio
 
-    img = _render(CHECKPOINTS[name], 64, 64, 96)
+    img = _render(CHECKPOINTS[name], 200, 200, 128)
     golden = imageio.imread(
-        os.path.join(GOLDEN_DIR, f"{name}_64_legacy.png")) / 255.0
+        os.path.join(GOLDEN_DIR, f"{name}_200_legacy.png")) / 255.0
     p = psnr(np.clip(img, 0, 1), golden)
     # 8-bit quantization alone is ~52 dB; platform/dtype drift allowed down
     # to 40 dB — a compositor/convention bug lands far below that
