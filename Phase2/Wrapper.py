@@ -55,6 +55,42 @@ def configParser():
     parser.add_argument('--no_fused', dest='fused', action='store_false',
                         help="force the XLA path everywhere instead of "
                              "the fused kernels")
+    parser.add_argument('--orbit', default='spherical',
+                        choices=['spherical', 'lookat'],
+                        help="gif turntable convention: 'spherical' = the "
+                             "reference's Blender-convention pose_spherical "
+                             "(Wrapper.py:444-471; correct for blender-"
+                             "synthetic data like chair/lego); 'lookat' = "
+                             "+z-forward look-at orbit matching this repo's "
+                             "ray math — required for make_synth_scene.py "
+                             "datasets, whose rig pose_spherical faces away "
+                             "from")
+    parser.add_argument('--orbit_radius', default=4.0, type=float,
+                        help="turntable orbit radius (both conventions)")
+    parser.add_argument('--orbit_elev', default=-30.0, type=float,
+                        help="turntable elevation in degrees: pose_spherical "
+                             "phi for --orbit spherical (reference hardcodes "
+                             "-30, Wrapper.py:516), +y elevation angle for "
+                             "--orbit lookat (make_synth_scene rig uses "
+                             "12..48)")
+    parser.add_argument('--orbit_target', default='0,0,0',
+                        help="look-at target point for --orbit lookat, "
+                             "comma-separated (make_synth_scene aims at "
+                             "0,-0.2,0)")
+    parser.add_argument('--near', default=None, type=float,
+                        help="override the gif renderer's near bound "
+                             "(default: the reference legacy renderer's 1.0, "
+                             "Wrapper.py:128; models trained with train.py "
+                             "defaults sampled [2,6])")
+    parser.add_argument('--far', default=None, type=float,
+                        help="override the gif renderer's far bound "
+                             "(default: the reference legacy renderer's "
+                             "10.0)")
+    parser.add_argument('--train_variant', action='store_true',
+                        help="composite gif frames with the exclusive-"
+                             "transmittance 'train' variant instead of the "
+                             "reference's off-by-one legacy renderer — use "
+                             "for checkpoints trained by this repo")
     parser.add_argument('--no_perturb', action='store_true',
                         help="deterministic mid-bin sampling for gif frames "
                              "(the reference's legacy renderer always "
@@ -183,8 +219,11 @@ def run_gif(args):
     cfg = NeRFPipelineConfig(
         model=mcfg,
         render=RenderConfig(
-            n_sample=int(args.n_sample), near=1.0, far=10.0,
-            perturb=not args.no_perturb, variant="legacy",
+            n_sample=int(args.n_sample),
+            near=1.0 if args.near is None else float(args.near),
+            far=10.0 if args.far is None else float(args.far),
+            perturb=not args.no_perturb,
+            variant="train" if args.train_variant else "legacy",
             use_fused_kernel=bool(args.fused),
         ),
     )
@@ -228,7 +267,20 @@ def run_gif(args):
     for count, th in enumerate(
         np.linspace(0.0, 360.0, int(args.n_frames), endpoint=False), start=1
     ):
-        c2w = jnp.asarray(pose_spherical(float(th), -30.0, 4.0))
+        if args.orbit == "lookat":
+            from sfm_nerf_tpu.io.blender import look_at_pose
+
+            el = np.deg2rad(float(args.orbit_elev))
+            r = float(args.orbit_radius)
+            thr = np.deg2rad(float(th))
+            eye = np.array([r * np.cos(el) * np.cos(thr),
+                            r * np.sin(el),
+                            r * np.cos(el) * np.sin(thr)])
+            target = np.array([float(v) for v in args.orbit_target.split(",")])
+            c2w = jnp.asarray(look_at_pose(eye, target))
+        else:
+            c2w = jnp.asarray(pose_spherical(
+                float(th), float(args.orbit_elev), float(args.orbit_radius)))
         if args.plot_rays:
             save_ray_plot(c2w, count)
         key, sub = jax.random.split(key)
@@ -266,7 +318,9 @@ def main(args):
     spec.loader.exec_module(train_mod)
     t_args = train_mod.configParser().parse_args([])
     for k, v in vars(args).items():
-        if hasattr(t_args, k):
+        # --near/--far default to None here (gif-mode override semantics);
+        # don't clobber train.py's 2/6 defaults with None
+        if hasattr(t_args, k) and v is not None:
             setattr(t_args, k, v)
     # Legacy-loop schedule parity (reference Wrapper.py:220): this entry
     # point trains with StepLR(step_size=1000, gamma=0.1), so the learning

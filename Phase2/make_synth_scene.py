@@ -34,7 +34,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from sfm_nerf_tpu.io.blender import derive_focal  # noqa: E402
+from sfm_nerf_tpu.io.blender import derive_focal, look_at_pose  # noqa: E402
 
 CAMERA_ANGLE_X = 0.6911112070083618  # blender-synthetic default FoV
 
@@ -162,21 +162,6 @@ def trace(o: np.ndarray, d: np.ndarray) -> np.ndarray:
     # reference drops alpha from the RGBA lego PNGs (train.py:43), which
     # leaves its GT background black — same effective training target here
     return np.clip(rgb, 0.0, 1.0)
-
-
-def look_at_pose(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
-    """c2w with +z forward.  up = (0,-1,0) so pixel +y (downward in the
-    saved PNG) maps to world -y: rendered frames display ground-side-down
-    under the no-flip ray convention the loader/trainer use."""
-    fwd = target - eye
-    fwd = fwd / np.linalg.norm(fwd)
-    up = np.array([0.0, -1.0, 0.0])
-    right = np.cross(up, fwd)
-    right /= np.linalg.norm(right)
-    up2 = np.cross(fwd, right)
-    c2w = np.eye(4, dtype=np.float64)
-    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up2, fwd, eye
-    return c2w
 
 
 def render_view(c2w: np.ndarray, size: int, chunk_rows: int = 64):

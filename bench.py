@@ -85,10 +85,17 @@ def main():
 
     # BENCH_MERGED=0 selects the two-kernel (recompute-backward) fused path
     use_merged = os.environ.get("BENCH_MERGED", "1") != "0"
+    # BENCH_NIMP > 0 measures the HIERARCHICAL step (coarse/fine model
+    # pair: coarse pass -> inverse-CDF importance resample -> bitonic
+    # merge -> fine pass).  MLP evals per ray = n_sample (coarse) +
+    # n_sample + n_imp (fine); the printed JSON adds samples/s so
+    # hierarchical and flat throughput compare on equal FLOP accounting.
+    n_imp = int(os.environ.get("BENCH_NIMP", 0))
     cfg = NeRFPipelineConfig(
         model=NeRFModelConfig(arch="active"),
         render=RenderConfig(
-            n_sample=n_sample, use_fused_kernel=use_fused,
+            n_sample=n_sample, n_importance=n_imp,
+            use_fused_kernel=use_fused,
             fused_merged_step=use_merged,
             fused_ray_tile=int(os.environ.get("BENCH_RAY_TILE", 4)),
             fused_sample_chunk=int(os.environ.get("BENCH_SAMPLE_CHUNK", 128)),
@@ -108,7 +115,12 @@ def main():
     )
 
     tx = make_optimizer(cfg)
-    params = init_nerf_params(jax.random.key(0), cfg.model)
+    if n_imp > 0:
+        kc, kf = jax.random.split(jax.random.key(0))
+        params = {"coarse": init_nerf_params(kc, cfg.model),
+                  "fine": init_nerf_params(kf, cfg.model)}
+    else:
+        params = init_nerf_params(jax.random.key(0), cfg.model)
     opt_state = tx.init(params)
     step = make_multi_train_step(cfg, tx, steps_per_call)
 
@@ -136,11 +148,14 @@ def main():
         with open(bpath) as f:
             baseline = float(json.load(f)["cpu_reference_rays_per_sec"])
 
+    evals_per_ray = n_sample if n_imp == 0 else 2 * n_sample + n_imp
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 2),
+        "mlp_evals_per_ray": evals_per_ray,
+        "samples_per_sec": round(rays_per_sec * evals_per_ray, 0),
     }))
 
 

@@ -168,3 +168,23 @@ def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarra
         [[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
         dtype=np.float32)
     return swap @ rot_theta @ rot_phi @ c2w
+
+
+def look_at_pose(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """c2w with +z forward — the convention this repo's ray math uses
+    (ops/rays.py, parity with reference Phase2/train.py:68-102).  up =
+    (0,-1,0) so pixel +y (downward in the saved PNG) maps to world -y:
+    rendered frames display ground-side-down under the no-flip ray
+    convention the loader/trainer use.  This is the rig convention of
+    Phase2/make_synth_scene.py datasets; `pose_spherical` above is the
+    reference's Blender-convention turntable and faces AWAY from scenes
+    built with this function (Wrapper.py --orbit selects between them)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(fwd, right)
+    c2w = np.eye(4, dtype=np.float64)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up2, fwd, eye
+    return c2w

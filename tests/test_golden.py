@@ -61,6 +61,56 @@ def _render(path, height, width, n_sample):
     return img.reshape(height, width, 3)
 
 
+SELF_CKPT = os.path.join(
+    os.path.dirname(__file__), "..",
+    "Phase2", "checkpoints", "synth800", "final_model.ckpt.npz")
+
+
+def _render_self(height, width, n_sample):
+    """Render the committed SELF-TRAINED 65k checkpoint (the repo's
+    reference-scale artifact, PERFORMANCE.md round-3) from the synth800
+    rig's own +z-forward look-at geometry — eye at azimuth 0 / elevation
+    30 deg / radius 4 aimed at the scene center, the turntable's first
+    frame (Wrapper.py --orbit lookat)."""
+    from sfm_nerf_tpu.config import RenderConfig
+    from sfm_nerf_tpu.io.blender import look_at_pose
+    from sfm_nerf_tpu.models import nerf_apply
+    from sfm_nerf_tpu.ops.rays import image_rays
+    from sfm_nerf_tpu.ops.render import render_rays_chunked
+    from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+
+    params, _ = ckpt_lib.load_params_untyped(SELF_CKPT)
+    cfg = ckpt_lib.infer_model_config(params)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    f = 0.5 * CAMERA_ANGLE_X * width / np.tan(0.5 * CAMERA_ANGLE_X)
+    K = jnp.asarray([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
+    el = np.deg2rad(30.0)
+    eye = np.array([4.0 * np.cos(el), 4.0 * np.sin(el), 0.0])
+    pose = jnp.asarray(
+        look_at_pose(eye, np.array([0.0, -0.2, 0.0])), jnp.float32)
+    rcfg = RenderConfig(n_sample=n_sample, near=2.0, far=6.0, perturb=False,
+                        variant="train")
+    model_fn = lambda p, d: nerf_apply(params, p, d, cfg)
+    o, d = image_rays(K, pose, height, width)
+    img = np.asarray(render_rays_chunked(model_fn, o, d, rcfg))
+    return img.reshape(height, width, 3)
+
+
+def test_golden_self_trained_frame_psnr():
+    """Golden gate on the self-trained artifact: unlike the reference-.pth
+    gates above this needs no /root/reference, and it pins the npz
+    checkpoint loader + 'train' compositor + look-at geometry."""
+    import imageio.v2 as imageio
+
+    img = _render_self(200, 200, 128)
+    golden = imageio.imread(
+        os.path.join(GOLDEN_DIR, "synth800_200_train.png")) / 255.0
+    p = psnr(np.clip(img, 0, 1), golden)
+    assert p >= 40.0, f"synth800: PSNR vs committed golden = {p:.1f} dB"
+    assert img.std() > 0.02 and img.max() > 0.3
+
+
 def psnr(a, b):
     mse = float(np.mean((np.asarray(a, np.float64)
                          - np.asarray(b, np.float64)) ** 2))
