@@ -49,6 +49,11 @@ def main():
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
     parser.add_argument("--ba_max_iters", type=int, default=50)
+    parser.add_argument("--ba_interval", type=int, default=0,
+                        help="run a light global BA after every this many "
+                             "camera registrations (0 = off; bounds "
+                             "incremental drift at 100+ cameras)")
+    parser.add_argument("--ba_interval_iters", type=int, default=10)
     parser.add_argument("--ba_devices", type=int, default=1,
                         help="shard global BA's point axis over this many "
                              "devices (parallel/ba.py; single-device "
@@ -157,6 +162,8 @@ def main():
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,
+        ba_interval=args.ba_interval,
+        ba_interval_iters=args.ba_interval_iters,
         ba_devices=args.ba_devices,
         ba_refine_intrinsics=args.ba_refine_intrinsics,
         essential_method=args.essential_method,

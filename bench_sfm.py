@@ -153,6 +153,7 @@ def bench_pipeline(args):
         data_path=tmp, num_images=args.pipe_cams, output_dir=out,
         ransac_iters=args.pipe_ransac_iters, pnp_iters=2000,
         ba_max_iters=30, merge_tracks=True,
+        ba_interval=args.pipe_ba_interval,
     )
     t0 = time.time()
     pipe = SfMPipeline(cfg)
@@ -192,6 +193,9 @@ def main():
     ap.add_argument("--pipe_cams", type=int, default=50)
     ap.add_argument("--pipe_points", type=int, default=15000)
     ap.add_argument("--pipe_ransac_iters", type=int, default=4000)
+    ap.add_argument("--pipe_ba_interval", type=int, default=0,
+                    help="intermediate BA every K registrations "
+                         "(SfMConfig.ba_interval)")
     args = ap.parse_args()
 
     # platform choice must precede the cache hookup: enabling the cache

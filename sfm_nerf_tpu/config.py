@@ -206,6 +206,15 @@ class SfMConfig:
     ba_prune_px: float = 3.0         # drop observations above this reproj err
     ba_loss: str = "linear"          # 'linear' (reference parity) | 'huber'
     ba_huber_delta: float = 3.0      # px; robust-loss transition
+    # ADDITION (no reference counterpart): run a light global BA after
+    # every `ba_interval` camera registrations (0 = off).  Incremental
+    # chaining compounds pose error camera-by-camera; at reference scale
+    # (5 cams) the final BA absorbs it, but at 100+ cameras the drifted
+    # initial geometry (measured: 24.7 px RMS at 200 cams) strands the
+    # final BA in a poor basin.  Shapes are pow2-bucketed (cams AND
+    # points) so a growing reconstruction reuses O(log) compiled programs.
+    ba_interval: int = 0
+    ba_interval_iters: int = 10      # LM steps per intermediate BA
     # >1: shard the POINT axis of global BA over that many devices
     # (parallel/ba.py: point blocks device-local, camera system psummed;
     # matches single-device results to reduction-order rounding)

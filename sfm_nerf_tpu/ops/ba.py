@@ -124,6 +124,35 @@ def _observe_theta(cam: jnp.ndarray, X: jnp.ndarray,
     return jnp.stack([u, v])
 
 
+def _inv3x3_lanes(W: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate/det) inverse of (W + lam*I) for W of shape
+    (3, 3, M) — the damped per-point normal blocks, batch axis LAST.
+
+    Keeping M minor-most means every multiply here is an elementwise VPU op
+    over full 128-wide lanes; ``jnp.linalg.inv`` would need the batch
+    leading, i.e. an (M,3,3) layout whose (3,3) minor tile pads 128x on
+    TPU.  W is symmetric positive semi-definite (a Gauss-Newton block
+    J^T J), so det(W + lam*I) >= lam^3 > 0 and the division is safe."""
+    a = W[0, 0] + lam
+    b, c = W[0, 1], W[0, 2]
+    d = W[1, 1] + lam
+    e = W[1, 2]
+    f = W[2, 2] + lam
+    # cofactors of the symmetric damped matrix [[a,b,c],[b,d,e],[c,e,f]]
+    A00 = d * f - e * e
+    A01 = c * e - b * f
+    A02 = b * e - c * d
+    A11 = a * f - c * c
+    A12 = b * c - a * e
+    A22 = a * d - b * b
+    det = a * A00 + b * A01 + c * A02
+    inv = 1.0 / det
+    row0 = jnp.stack([A00, A01, A02])
+    row1 = jnp.stack([A01, A11, A12])
+    row2 = jnp.stack([A02, A12, A22])
+    return jnp.stack([row0, row1, row2]) * inv
+
+
 class BAResult(NamedTuple):
     camera_params: jnp.ndarray   # (N, 6) refined [rvec, tvec]
     points: jnp.ndarray          # (M, 3) refined
@@ -238,58 +267,89 @@ def bundle_adjust(
         kparam = theta if refining else K
         r, mask = residual_mask(cams, pts, theta)        # (N,M,2), (N,M)
         w = irls_weights(r)                              # (N,M)
-        r = r * w[..., None]
-        wmask = mask * w
+        rt = jnp.transpose(r * w[..., None], (2, 0, 1))  # (2,N,M)
+        wmask = mask * w                                 # (N,M)
 
-        A = jax.vmap(jax.vmap(jac_cam, (None, 0, None)), (0, None, None))(
-            cams, pts, kparam
-        ) * wmask[..., None, None]                       # (N,M,2,6)
-        B = jax.vmap(jax.vmap(jac_pt, (None, 0, None)), (0, None, None))(
-            cams, pts, kparam
-        ) * wmask[..., None, None]                       # (N,M,2,3)
+        # TPU layout discipline for the per-observation block tensors.
+        # Mosaic tiles the two MINOR dims of every buffer to the (8,128)
+        # vregister, so any tensor whose minor dims are the tiny Jacobian
+        # block axes (2/3/6) pads 20-43x: the natural (N,M,2,6) einsum
+        # formulation measured 27.6 GB padded for 1.05 GB of data at
+        # (200 cams, 36k pts) — an OOM on a 16 GB chip.  einsum axis
+        # reordering alone does NOT fix it (dot_general re-copies operands
+        # into its own (batch, free, contract) layouts), so:
+        #   - every TINY contraction (over r=2 residual rows or a 3/6
+        #     block axis) is a broadcast-FMA (VPU elementwise multiply
+        #     fused into a reduce; the `_k3_phase` pattern — also exact
+        #     f32, immune to the TPU's bf16 dot demotion);
+        #   - the ONE FLOP-heavy contraction (the Schur product over
+        #     k,m) is a single big MXU matmul over a FREE reshape
+        #     (N,6,3,M) -> (6N, 3M) — which is why Y/YWi live in
+        #     (N,6,3,M) order with the huge M axis minor.
+        A = jnp.transpose(
+            jax.vmap(jax.vmap(jac_cam, (None, 0, None)), (0, None, None))(
+                cams, pts, kparam
+            ), (2, 0, 3, 1),
+        ) * wmask[None, :, None, :]                      # (2,N,6,M)
+        B = jnp.transpose(
+            jax.vmap(jax.vmap(jac_pt, (None, 0, None)), (0, None, None))(
+                cams, pts, kparam
+            ), (2, 0, 3, 1),
+        ) * wmask[None, :, None, :]                      # (2,N,3,M)
 
         # normal-equation blocks.  U/g_cam/S_off/rhs reduce over the point
         # axis — cross-device under sharding; W/Y/g_pt are per-point, i.e.
         # local.  The four point-axis reductions are bundled into ONE psum
         # (pytree collective) so a multi-host mesh pays one small-payload
         # all-reduce latency per LM iteration, not four.
-        U_p = jnp.einsum("nmri,nmrj->nij", A, A, precision=HI)  # (N,6,6)
-        W = jnp.einsum("nmri,nmrj->mij", B, B, precision=HI)    # (M,3,3)
-        Y = jnp.einsum("nmri,nmrj->nmij", A, B, precision=HI)   # (N,M,6,3)
-        g_cam_p = jnp.einsum("nmri,nmr->ni", A, r, precision=HI)  # (N,6)
-        g_pt = jnp.einsum("nmri,nmr->mi", B, r, precision=HI)   # (M,3)
+        U_p = (A[:, :, :, None] * A[:, :, None]).sum((0, 4))   # (N,6,6)
+        W = (B[:, :, :, None] * B[:, :, None]).sum((0, 1))     # (3,3,M)
+        Y = (A[:, :, :, None] * B[:, :, None]).sum(0)          # (N,6,3,M)
+        g_cam_p = (A * rt[:, :, None]).sum((0, 3))             # (N,6)
+        g_pt = (B * rt[:, :, None]).sum((0, 1))                # (3,M)
 
         if refining:
             # shared-intrinsics block: one more Jacobian per observation,
             # frozen coordinates' columns zeroed so their update is 0
-            D = jax.vmap(
-                jax.vmap(jac_th, (None, 0, None)), (0, None, None)
-            )(cams, pts, theta) * wmask[..., None, None] * free_v  # (N,M,2,6)
-            Z = jnp.einsum("nmri,nmrj->mij", D, B, precision=HI)   # (M,6,3)
-            Q_p = jnp.einsum("nmri,nmrj->ij", D, D, precision=HI)  # (6,6)
-            Yc_p = jnp.einsum("nmri,nmrj->nij", A, D, precision=HI)  # (N,6,6)
-            g_th_p = jnp.einsum("nmri,nmr->i", D, r, precision=HI)   # (6,)
+            D = jnp.transpose(
+                jax.vmap(
+                    jax.vmap(jac_th, (None, 0, None)), (0, None, None)
+                )(cams, pts, theta), (2, 0, 3, 1),
+            ) * wmask[None, :, None, :] * free_v[:, None]  # (2,N,6,M)
+            Z = (D[:, :, :, None] * B[:, :, None]).sum((0, 1))   # (6,3,M)
+            Q_p = (D[:, :, :, None] * D[:, :, None]).sum((0, 1, 4))  # (6,6)
+            Yc_p = (A[:, :, :, None] * D[:, :, None]).sum((0, 4))  # (N,6,6)
+            g_th_p = (D * rt[:, :, None]).sum((0, 1, 3))         # (6,)
 
         I6 = jnp.eye(6, dtype=K.dtype)
-        I3 = jnp.eye(3, dtype=K.dtype)
-        W_d = W + lam * I3
-        W_inv = jnp.linalg.inv(W_d)                              # (M,3,3)
+        W_inv = _inv3x3_lanes(W, lam)                    # (3,3,M)
 
         # Schur complement on cameras (+ the shared-intrinsics block when
         # refining): after the ONE bundled reduction everything reduced is
         # replicated and the (small) augmented solve runs redundantly on
         # every device
-        YWi = jnp.einsum("nmij,mjk->nmik", Y, W_inv, precision=HI)
-        S_off_p = jnp.einsum("nmik,pmlk->npil", YWi, Y, precision=HI)
-        rhs2_p = jnp.einsum("nmik,mk->ni", YWi, g_pt, precision=HI)
+        YWi = (Y[:, :, :, None] * W_inv[None, None]).sum(2)  # (N,6,3,M)
+        Y_r = Y.reshape(6 * n_cam, -1)                   # (6N, 3M) free
+        YWi_r = YWi.reshape(6 * n_cam, -1)
+        # THE matmul: S_off[n,p,i,l] over contraction (k, m) — 6N x 6N
+        # output with a 3M-deep contraction, the only MXU-shaped op here
+        S_off_p = jnp.einsum(
+            "ak,bk->ab", YWi_r, Y_r, precision=HI,
+        ).reshape(n_cam, 6, n_cam, 6).transpose(0, 2, 1, 3)  # (N,N,6,6)
+        rhs2_p = jnp.einsum(
+            "ak,k->a", YWi_r, g_pt.reshape(-1), precision=HI,
+        ).reshape(n_cam, 6)                              # (N,6)
         if refining:
-            ZWi = jnp.einsum("mij,mjk->mik", Z, W_inv, precision=HI)
+            ZWi = (Z[:, :, None] * W_inv[None]).sum(1)   # (6,3,M)
             S_cth_p = Yc_p - jnp.einsum(
-                "nmik,mjk->nij", YWi, Z, precision=HI)             # (N,6,6)
+                "ak,jk->aj", YWi_r, Z.reshape(6, -1), precision=HI,
+            ).reshape(n_cam, 6, 6)                               # (N,6,6)
             S_thth_p = Q_p - jnp.einsum(
-                "mik,mjk->ij", ZWi, Z, precision=HI)               # (6,6)
+                "ik,jk->ij", ZWi.reshape(6, -1), Z.reshape(6, -1),
+                precision=HI)                                    # (6,6)
             rhs_th_p = g_th_p - jnp.einsum(
-                "mik,mk->i", ZWi, g_pt, precision=HI)              # (6,)
+                "ik,k->i", ZWi.reshape(6, -1), g_pt.reshape(-1),
+                precision=HI)                                    # (6,)
             (U, g_cam, S_off, rhs2, S_cth, S_thth, rhs_th) = preduce(
                 (U_p, g_cam_p, S_off_p, rhs2_p, S_cth_p, S_thth_p, rhs_th_p)
             )
@@ -318,12 +378,13 @@ def bundle_adjust(
             d_cam = -jnp.linalg.solve(
                 S_flat, rhs.reshape(-1)).reshape(n_cam, 6)
             d_th = jnp.zeros_like(theta)
-        # back-substitute points
-        rhs_pt = g_pt + jnp.einsum("nmij,ni->mj", Y, d_cam, precision=HI)
+        # back-substitute points (tiny per-point contractions: VPU FMAs)
+        rhs_pt = g_pt + jnp.einsum(
+            "ak,a->k", Y_r, d_cam.reshape(-1), precision=HI,
+        ).reshape(3, -1)                                 # (3,M)
         if refining:
-            rhs_pt = rhs_pt + jnp.einsum(
-                "mij,i->mj", Z, d_th, precision=HI)
-        d_pt = -jnp.einsum("mij,mj->mi", W_inv, rhs_pt, precision=HI)
+            rhs_pt = rhs_pt + (Z * d_th[:, None, None]).sum(0)
+        d_pt = -(W_inv * rhs_pt[None]).sum(1).T          # (M,3)
 
         cams_new = cams + d_cam
         pts_new = pts + d_pt

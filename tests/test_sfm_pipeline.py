@@ -150,3 +150,40 @@ def test_adaptive_and_sharded_are_rejected_at_config_time():
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         SfMConfig(ransac_confidence=0.999, ransac_devices=2)
+
+
+def test_intermediate_ba_bounds_incremental_drift(tmp_path):
+    """--ba_interval (ADDITION): a light global BA every K registrations.
+
+    On a 24-camera ring with 0.5 px match noise the incremental chain
+    accumulates pose error; the intermediate BAs must (a) actually run,
+    (b) never worsen their own RMS (the LM accept/reject loop guarantees
+    it), and (c) leave the final reconstruction sub-pixel.  The 200-camera
+    scale run that motivated this (PERFORMANCE.md round-3 BA-at-scale
+    delta) starts its final BA from 24.7 px RMS without it."""
+    from util_synthetic import write_reference_format_dataset
+
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.sfm import SfMPipeline
+
+    data_dir = str(tmp_path / "data")
+    write_reference_format_dataset(
+        data_dir, n_cams=24, n_points=1200, noise_px=0.5, seed=3,
+    )
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    cfg = SfMConfig(
+        data_path=data_dir, num_images=24, output_dir=out,
+        ransac_iters=1000, pnp_iters=1000, ba_max_iters=20,
+        merge_tracks=True, ba_interval=6, ba_interval_iters=8,
+    )
+    pipe = SfMPipeline(cfg)
+    result = pipe.run()
+    stats = result["stats"]
+
+    inter = stats.get("intermediate_ba", [])
+    assert len(inter) >= 2, inter
+    for entry in inter:
+        assert entry["rms_px_after"] <= entry["rms_px_before"] + 1e-9, entry
+    assert len(result["camera_info"]) == 24
+    assert stats["ba"]["final_err_px"]["mean"] < 1.0, stats["ba"]
