@@ -49,6 +49,14 @@ def main():
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
     parser.add_argument("--ba_max_iters", type=int, default=50)
+    parser.add_argument("--runs", type=int, default=1,
+                        help="run the full pipeline this many times in one "
+                             "resident process, printing per-run wall-clock "
+                             "(ADDITION: pass 2+ is the steady state a "
+                             "locally-attached chip or a resident SfM "
+                             "service sees — the tunneled relay pays a "
+                             "one-time per-executable load on each "
+                             "program's first launch, all in pass 1)")
     parser.add_argument("--ba_interval", type=int, default=0,
                         help="run a light global BA after every this many "
                              "camera registrations (0 = off; bounds "
@@ -176,7 +184,18 @@ def main():
         output_dir=args.output_dir,
     )
     os.makedirs(args.output_dir, exist_ok=True)
-    result = SfMPipeline(cfg).run()
+    for run_i in range(max(args.runs, 1)):
+        import time as _time
+
+        t0 = _time.time()
+        pipe = SfMPipeline(cfg)
+        result = pipe.run()
+        if args.runs > 1:
+            print(
+                f"run {run_i + 1}/{args.runs}: end-to-end "
+                f"{_time.time() - t0:.2f}s  stages = "
+                f"{pipe.stats.get('stage_seconds')}", flush=True,
+            )
 
     if args.export_nerf:
         import cv2

@@ -342,3 +342,25 @@ def test_ba_refine_intrinsics_bad_token_raises():
             jnp.asarray(scene["vis"]), n_iters=1,
             refine_intrinsics="focal",
         )
+
+
+def test_inv3x3_lanes_matches_numpy_inverse(rng):
+    """The closed-form adjugate/det inverse of the damped per-point normal
+    blocks (batch axis LAST, full 128-wide lanes on TPU — see ops/ba.py
+    layout note) equals numpy's inverse on random symmetric PSD blocks,
+    including rank-deficient ones where only the lam*I damping makes the
+    block invertible."""
+    from sfm_nerf_tpu.ops.ba import _inv3x3_lanes
+
+    M = 257                              # deliberately not lane-aligned
+    J = rng.normal(size=(M, 5, 3))
+    W_batch = np.einsum("mri,mrj->mij", J, J)         # PSD, full rank a.s.
+    W_batch[:7] = np.einsum(
+        "mri,mrj->mij", J[:7, :1], J[:7, :1])          # rank-1 blocks
+    lam = 1e-3
+    got = np.asarray(
+        _inv3x3_lanes(jnp.asarray(W_batch.transpose(1, 2, 0)),
+                      jnp.asarray(lam)))               # (3,3,M)
+    want = np.linalg.inv(W_batch + lam * np.eye(3))
+    np.testing.assert_allclose(got.transpose(2, 0, 1), want,
+                               rtol=2e-5, atol=1e-8)
