@@ -62,6 +62,11 @@ def main():
                              "camera registrations (0 = off; bounds "
                              "incremental drift at 100+ cameras)")
     parser.add_argument("--ba_interval_iters", type=int, default=10)
+    parser.add_argument("--tri_reproj_gate_px", type=float, default=10.0,
+                        help="incremental triangulations must reproject "
+                             "within this many px in both source views to "
+                             "enter the map (0 = off; rejects diverged "
+                             "refinements that poison later PnP)")
     parser.add_argument("--ba_devices", type=int, default=1,
                         help="shard global BA's point axis over this many "
                              "devices (parallel/ba.py; single-device "
@@ -172,6 +177,7 @@ def main():
         ba_max_iters=args.ba_max_iters,
         ba_interval=args.ba_interval,
         ba_interval_iters=args.ba_interval_iters,
+        tri_reproj_gate_px=args.tri_reproj_gate_px,
         ba_devices=args.ba_devices,
         ba_refine_intrinsics=args.ba_refine_intrinsics,
         essential_method=args.essential_method,
@@ -226,11 +232,18 @@ def main():
                 [0.0, 0.0, 1.0],
             ])
             distortion = (float(refined[4]), float(refined[5]))
-            if abs(refined[4]) > 5e-3 or abs(refined[5]) > 5e-3:
+            from sfm_nerf_tpu.sfm.to_nerf import (
+                max_distortion_displacement_px,
+            )
+
+            disp = max_distortion_displacement_px(
+                K_exp, distortion[0], distortion[1], h, w)
+            if disp > 0.25:  # same gate the exporter's resample applies
                 print(
                     "export_nerf: undistorting exported frames to the "
                     f"refined pinhole model (k1={refined[4]:.4f}, "
-                    f"k2={refined[5]:.4f})"
+                    f"k2={refined[5]:.4f}, max corner displacement "
+                    f"{disp:.2f} px)"
                 )
         export_nerf_dataset(
             result["camera_info"],

@@ -65,7 +65,7 @@ def gate_fused_render():
     import jax.numpy as jnp
 
     from sfm_nerf_tpu.config import NeRFPipelineConfig, RenderConfig
-    from sfm_nerf_tpu.io.blender import pose_spherical
+    from sfm_nerf_tpu.io.blender import derive_focal, pose_spherical
     from sfm_nerf_tpu.models.convert import convert_pth
     from sfm_nerf_tpu.train.nerf_trainer import make_render_image
 
@@ -73,7 +73,7 @@ def gate_fused_render():
     params = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32), params)
     H = W = 400
-    f = 0.5 * CAMERA_ANGLE_X * W / np.tan(0.5 * CAMERA_ANGLE_X)
+    f = derive_focal(CAMERA_ANGLE_X, W)
     K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
     pose = jnp.asarray(pose_spherical(0.0, -30.0, 4.0), jnp.float32)
     base = NeRFPipelineConfig(

@@ -154,6 +154,7 @@ def bench_pipeline(args):
         ransac_iters=args.pipe_ransac_iters, pnp_iters=2000,
         ba_max_iters=30, merge_tracks=True,
         ba_interval=args.pipe_ba_interval,
+        global_init=args.pipe_global_init,
     )
     t0 = time.time()
     pipe = SfMPipeline(cfg)
@@ -170,6 +171,7 @@ def bench_pipeline(args):
         "ba_mean_px": round(
             ba.get("final_err_px", {}).get("mean", -1.0), 4),
         "n_obs": ba.get("n_obs", -1),
+        "n_registered": pipe.stats.get("n_registered", -1),
     }))
 
 
@@ -196,6 +198,10 @@ def main():
     ap.add_argument("--pipe_ba_interval", type=int, default=0,
                     help="intermediate BA every K registrations "
                          "(SfMConfig.ba_interval)")
+    ap.add_argument("--pipe_global_init", action="store_true",
+                    help="rotation+translation averaging re-init before "
+                         "the final BA (SfMConfig.global_init) — the "
+                         "drift-vs-chain-depth counterfactual at scale")
     args = ap.parse_args()
 
     # platform choice must precede the cache hookup: enabling the cache

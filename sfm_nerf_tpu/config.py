@@ -200,6 +200,14 @@ class SfMConfig:
     # nonlinear refinement
     two_view_refine_pose: bool = True  # joint pose+points BA after two-view
     tri_refine_iters: int = 20       # LM steps for per-point triangulation
+    # ADDITION: incremental (re-)triangulations only enter the map when
+    # the refined point reprojects within this many px in BOTH source
+    # views (0 = off).  A diverged refinement reprojects 12-95 px in its
+    # own views while healthy points stay < ~3 px even under drifted
+    # poses (triangulation minimizes exactly these residuals) — without
+    # the gate such points pollute every later camera's PnP set.  The
+    # reference-parity two-view path is NOT gated.
+    tri_reproj_gate_px: float = 10.0
     pnp_refine_iters: int = 50       # LM steps for pose refinement
     ba_max_iters: int = 50           # LM steps for bundle adjustment
     ba_rounds: int = 2               # BA / outlier-prune alternations

@@ -183,7 +183,14 @@ def look_at_pose(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
     fwd = fwd / np.linalg.norm(fwd)
     up = np.array([0.0, -1.0, 0.0])
     right = np.cross(up, fwd)
-    right /= np.linalg.norm(right)
+    nr = np.linalg.norm(right)
+    if nr < 1e-8:
+        # straight-down/up view (fwd ∥ up, e.g. --orbit_elev ±90): any
+        # horizontal right-vector is valid — pick world +x so the frame
+        # stays deterministic instead of dividing 0/0 into a NaN pose
+        right = np.array([1.0, 0.0, 0.0])
+        nr = 1.0
+    right /= nr
     up2 = np.cross(fwd, right)
     c2w = np.eye(4, dtype=np.float64)
     c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up2, fwd, eye

@@ -705,9 +705,11 @@ def ransac_fundamental_pairs_bucketed(
 
     ``max_pairs_per_launch`` splits oversized bucket groups (a 200-camera
     run puts hundreds of pairs in one bucket; the per-launch score tensor
-    is pairs x chunk x bucket — 64 pairs at the 1024-bucket is ~0.5 GB
-    f64, a comfortable ceiling that still amortizes the dispatch RTT
-    ~64x).  Per-pair results are unaffected (the pair axis is vmapped)."""
+    is pairs x chunk x bucket, so the cap is scaled by 1024/bucket to hold
+    the launch at the same ~0.5 GB f64 ceiling at EVERY bucket size — 64
+    pairs at the 1024-bucket, 16 at 4096 — while still amortizing the
+    dispatch RTT).  Per-pair results are unaffected (the pair axis is
+    vmapped)."""
     import numpy as np
 
     items = list(items)
@@ -718,8 +720,9 @@ def ransac_fundamental_pairs_bucketed(
     used_per_item = [0] * len(out)
     split_groups = []
     for bucket, members in sorted(groups.items()):
-        for s in range(0, len(members), max_pairs_per_launch):
-            split_groups.append((bucket, members[s:s + max_pairs_per_launch]))
+        per_launch = max(1, (max_pairs_per_launch * 1024) // max(bucket, 1024))
+        for s in range(0, len(members), per_launch):
+            split_groups.append((bucket, members[s:s + per_launch]))
     for bucket, members in split_groups:
         keys = jnp.stack([k for _, k, _, _ in members])
         p1 = np.zeros((len(members), bucket, 2))
@@ -748,7 +751,10 @@ def ransac_fundamental_pairs_bucketed(
             out[pos] = RansacResult(
                 F[m], inl[m, : len(a)], n_inl[m], bi[m])
             used_per_item[pos] = used
-    if iters_out is not None:
+    # fixed-count mode leaves iters_out untouched, matching the sequential
+    # ransac_fundamental_bucketed (a non-empty iters_out means "adaptive
+    # early exit ran" to the pipeline's log line)
+    if iters_out is not None and confidence > 0.0:
         iters_out.extend(used_per_item)
     return out
 

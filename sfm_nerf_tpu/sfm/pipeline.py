@@ -434,6 +434,19 @@ class SfMPipeline:
             z1 = (Xn - Ci) @ Rin[2]
             z2 = (Xn - Cj) @ Rjn[2]
             ok = np.isfinite(Xn).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
+            if cfg.tri_reproj_gate_px > 0:
+                # source-view reprojection gate (tri_reproj_gate_px): a
+                # refinement that cannot reproject into its OWN two views
+                # is solver junk, not geometry — keep it out of the map
+                Kn = np.asarray(K)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for Rv, Cv, zv, pv in ((Rin, Ci, z1, p1),
+                                           (Rjn, Cj, z2, p2)):
+                        xc = (Xn - Cv) @ Rv.T
+                        u = Kn[0, 0] * xc[:, 0] / xc[:, 2] + Kn[0, 2]
+                        v = Kn[1, 1] * xc[:, 1] / xc[:, 2] + Kn[1, 2]
+                        e = np.hypot(u - pv[:, 0], v - pv[:, 1])
+                        ok &= np.isfinite(e) & (e <= cfg.tri_reproj_gate_px)
             for f, x, good in zip(fs, Xn, ok):
                 if good:
                     if f not in fidx_to_3d:
@@ -542,7 +555,15 @@ class SfMPipeline:
         sel = (vis > 0) & np.isfinite(errs)
         med = float(np.median(errs[sel])) if sel.any() else 0.0
         thresh = max(5.0 * cfg.ba_prune_px, 10.0 * med)
-        vis_work = vis * (errs <= thresh)   # NaN/inf compare False -> drop
+        # NaN/inf compare False -> drop; same 50%-cap as the final pre-BA
+        # gate below: with bimodal errors (a tight cluster + a drifted
+        # cluster the intermediate BA exists to CORRECT) an uncapped gate
+        # would discard the drifted evidence and refit to the remainder
+        drop = ~(errs <= thresh) & (vis > 0)
+        if drop.sum() <= 0.5 * vis.sum():
+            vis_work = vis * (~drop)
+        else:
+            vis_work = vis
 
         cams0 = np.zeros((nb, 6))
         cams0[:n_cam] = np.asarray(camera_params_from_RC(
@@ -769,6 +790,18 @@ class SfMPipeline:
                 ok_new = (
                     np.isfinite(Xnew).all(axis=1) & (z1 > 1e-8) & (z2 > 1e-8)
                 )
+                if cfg.tri_reproj_gate_px > 0:
+                    # source-view reprojection gate (tri_reproj_gate_px;
+                    # see _triangulate_feature_groups)
+                    Kn = np.asarray(K)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        for Rv, Cv, pv in ((Rjn, Cjn, p_j), (Rn, Cn, p_i)):
+                            xc = (Xnew - Cv) @ Rv.T
+                            u = Kn[0, 0] * xc[:, 0] / xc[:, 2] + Kn[0, 2]
+                            v = Kn[1, 1] * xc[:, 1] / xc[:, 2] + Kn[1, 2]
+                            e = np.hypot(u - pv[:, 0], v - pv[:, 1])
+                            ok_new &= np.isfinite(e) & (
+                                e <= cfg.tri_reproj_gate_px)
                 for n, row in enumerate(arr):
                     f_new = int(row[-1])
                     if ok_new[n] and f_new not in fidx_to_3d:
@@ -1138,6 +1171,7 @@ class SfMPipeline:
         _stage("ba+artifacts")
         self.stats["elapsed_s"] = time.time() - t_start
         self.stats["n_points_total"] = len(fidx_to_3d)
+        self.stats["n_registered"] = len(camera_info)
         self.stats["stage_seconds"] = {n: round(d, 2) for n, _, d in stage_log}
         print("stage timing: " + " | ".join(
             f"{n} {d:.1f}s" for n, _, d in stage_log))

@@ -105,6 +105,26 @@ def undistort_maps(
         (fy * y * scale + cy).astype(np.float32)
 
 
+def max_distortion_displacement_px(
+    K: np.ndarray, k1: float, k2: float, height: int, width: int
+) -> float:
+    """Largest pixel displacement the radial model (k1, k2) induces inside
+    the frame — evaluated at the four corners, where r is maximal for both
+    pure-k1 and pure-k2 terms (same-sign) and remains the practical bound
+    for mixed signs at SfM-scale magnitudes.  Used to decide whether
+    resampling is WORTH the bilinear blur: noise-level refined coefficients
+    (sub-0.1 px everywhere) should be ignored, not 'corrected'."""
+    K = np.asarray(K, dtype=np.float64)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    us = np.array([0.0, width - 1.0, 0.0, width - 1.0])
+    vs = np.array([0.0, 0.0, height - 1.0, height - 1.0])
+    x = (us - cx) / fx
+    y = (vs - cy) / fy
+    r2 = x * x + y * y
+    delta = k1 * r2 + k2 * r2 * r2
+    return float(np.max(np.hypot(fx * x * delta, fy * y * delta)))
+
+
 def undistort_image(
     img: np.ndarray, K: np.ndarray, k1: float, k2: float
 ) -> np.ndarray:
@@ -175,9 +195,14 @@ def export_nerf_dataset(
         near_far = near_far_from_points(camera_info, points)
     near, far = near_far
 
+    # resample only when the distortion MOVES pixels perceptibly: bilinear
+    # resampling costs real sharpness on every frame, so noise-level
+    # refined k1/k2 (max corner displacement under a quarter pixel) export
+    # as plain copies of the already-effectively-pinhole capture
     undistort = (
         distortion is not None
-        and (abs(distortion[0]) > 1e-12 or abs(distortion[1]) > 1e-12)
+        and max_distortion_displacement_px(
+            K, distortion[0], distortion[1], height, width) > 0.25
     )
     frames = []
     for i in cam_ids:

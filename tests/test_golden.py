@@ -40,7 +40,7 @@ CAMERA_ANGLE_X = 0.6911112070083618      # lego/chair nerf_synthetic intrinsics
 
 def _render(path, height, width, n_sample):
     from sfm_nerf_tpu.config import RenderConfig
-    from sfm_nerf_tpu.io.blender import pose_spherical
+    from sfm_nerf_tpu.io.blender import derive_focal, pose_spherical
     from sfm_nerf_tpu.models import nerf_apply
     from sfm_nerf_tpu.models.convert import convert_pth
     from sfm_nerf_tpu.ops.rays import image_rays
@@ -50,7 +50,7 @@ def _render(path, height, width, n_sample):
     params = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32), params)
     # reference focal formula (nonstandard, train.py:53) + gif-path camera
-    f = 0.5 * CAMERA_ANGLE_X * width / np.tan(0.5 * CAMERA_ANGLE_X)
+    f = derive_focal(CAMERA_ANGLE_X, width)
     K = jnp.asarray([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
     pose = jnp.asarray(pose_spherical(0.0, -30.0, 4.0), jnp.float32)
     rcfg = RenderConfig(n_sample=n_sample, near=2.0, far=6.0, perturb=False,
@@ -73,7 +73,7 @@ def _render_self(height, width, n_sample):
     30 deg / radius 4 aimed at the scene center, the turntable's first
     frame (Wrapper.py --orbit lookat)."""
     from sfm_nerf_tpu.config import RenderConfig
-    from sfm_nerf_tpu.io.blender import look_at_pose
+    from sfm_nerf_tpu.io.blender import derive_focal, look_at_pose
     from sfm_nerf_tpu.models import nerf_apply
     from sfm_nerf_tpu.ops.rays import image_rays
     from sfm_nerf_tpu.ops.render import render_rays_chunked
@@ -83,7 +83,7 @@ def _render_self(height, width, n_sample):
     cfg = ckpt_lib.infer_model_config(params)
     params = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32), params)
-    f = 0.5 * CAMERA_ANGLE_X * width / np.tan(0.5 * CAMERA_ANGLE_X)
+    f = derive_focal(CAMERA_ANGLE_X, width)
     K = jnp.asarray([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
     el = np.deg2rad(30.0)
     eye = np.array([4.0 * np.cos(el), 4.0 * np.sin(el), 0.0])
@@ -143,7 +143,7 @@ def test_gif_path_matches_torch_oracle():
     import torch
 
     from test_model import _torch_legacy_forward
-    from sfm_nerf_tpu.io.blender import pose_spherical
+    from sfm_nerf_tpu.io.blender import derive_focal, pose_spherical
     from sfm_nerf_tpu.models.convert import load_torch_state_dict
 
     H = W = 16
@@ -152,7 +152,7 @@ def test_gif_path_matches_torch_oracle():
 
     sd = {k: torch.from_numpy(v)
           for k, v in load_torch_state_dict(CHECKPOINTS["chair"]).items()}
-    f = 0.5 * CAMERA_ANGLE_X * W / np.tan(0.5 * CAMERA_ANGLE_X)
+    f = derive_focal(CAMERA_ANGLE_X, W)
     pose = pose_spherical(0.0, -30.0, 4.0).astype(np.float32)
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     cam = np.stack([(xs - W / 2) / f, (ys - H / 2) / f,

@@ -168,3 +168,110 @@ def test_disambiguate_pose_non_identity_camera1():
     assert int(best) == 0
     np.testing.assert_allclose(np.asarray(Cw), C2, atol=1e-6)
     np.testing.assert_allclose(np.asarray(Xw), X, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# midpoint init + best-of-two refinement (the f32 DLT-divergence rescue)
+
+def _ring_pair(gap, n=2000, n_cams=200, noise=0.5, seed=0):
+    """The 200-camera ring geometry of the scale benches (bench_sfm.py
+    --pipeline dataset): this is the configuration where the f32 DLT init
+    measurably sends the LM refinement to |X| ~ 1e6 for a handful of
+    points per pair."""
+    rng = np.random.default_rng(seed)
+    w, h = 800, 600
+    f = 0.9 * w
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
+    pts = rng.uniform(-1.5, 1.5, (n, 3))
+
+    def cam(i):
+        th = 2 * np.pi * i / n_cams
+        C = np.array([6 * np.cos(th), 0.4 * np.sin(3 * th), 6 * np.sin(th)])
+        fwd = -C / np.linalg.norm(C)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        return np.stack([right, np.cross(fwd, right), fwd]), C
+
+    def proj(R, C, X):
+        xc = (X - C) @ R.T
+        return np.stack([f * xc[:, 0] / xc[:, 2] + w / 2,
+                         f * xc[:, 1] / xc[:, 2] + h / 2], 1)
+
+    R1, C1 = cam(0)
+    R2, C2 = cam(gap)
+    p1 = proj(R1, C1, pts) + rng.normal(0, noise, (n, 2))
+    p2 = proj(R2, C2, pts) + rng.normal(0, noise, (n, 2))
+    return K, (R1, C1), (R2, C2), p1, p2, pts
+
+
+def test_midpoint_triangulation_exact():
+    from sfm_nerf_tpu.ops.triangulation import triangulate_midpoint
+
+    K, (R1, C1), (R2, C2), p1, p2, pts = _ring_pair(gap=7, n=300, noise=0.0)
+    X = np.asarray(triangulate_midpoint(
+        jnp.asarray(K), jnp.asarray(R1), jnp.asarray(C1),
+        jnp.asarray(R2), jnp.asarray(C2), jnp.asarray(p1), jnp.asarray(p2)))
+    np.testing.assert_allclose(X, pts, atol=1e-6)
+
+
+def test_pair_bucketed_rescues_f32_dlt_divergence():
+    """f32, 1.8-degree ray angle (ring neighbors): LM from the DLT init
+    diverges to |X| ~ 1e6 for some points; triangulate_pair_bucketed's
+    best-of-two (DLT + ray midpoint) refinement must stay finite and
+    accurate for EVERY point."""
+    from sfm_nerf_tpu.ops.triangulation import (
+        triangulate_midpoint, triangulate_pair_bucketed)
+
+    K, (R1, C1), (R2, C2), p1, p2, pts = _ring_pair(gap=1)
+    f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    # pin that the scenario actually exercises the failure: DLT-init-only
+    # refinement diverges (else the rescue assertion below proves nothing)
+    T1, T2 = -R1 @ C1, -R2 @ C2
+    X_lin = triangulate_linear(
+        f32(K), f32(R1), f32(T1), f32(R2), f32(T2), f32(p1), f32(p2))
+    X_dlt, _, _ = triangulate_nonlinear(
+        f32(K), f32(R1), f32(C1), f32(R2), f32(C2), f32(p1), f32(p2), X_lin)
+    err_dlt = np.linalg.norm(np.asarray(X_dlt) - pts, axis=1)
+    assert err_dlt.max() > 100.0, "scenario no longer reproduces divergence"
+
+    _, X_opt = triangulate_pair_bucketed(
+        np.float32(1) * K, np.asarray(R1, np.float32),
+        np.asarray(C1, np.float32), np.asarray(R2, np.float32),
+        np.asarray(C2, np.float32),
+        np.asarray(p1, np.float32), np.asarray(p2, np.float32))
+    err = np.linalg.norm(X_opt - pts, axis=1)
+    assert np.isfinite(X_opt).all()
+    assert err.max() < 1.0, f"rescued refinement still diverges: {err.max()}"
+    # and the midpoint init alone is already accurate here (median level)
+    X_mid = np.asarray(triangulate_midpoint(
+        f32(K), f32(R1), f32(C1), f32(R2), f32(C2), f32(p1), f32(p2)))
+    assert np.median(np.linalg.norm(X_mid - pts, axis=1)) < 0.2
+
+
+def test_tri_reproj_gate_blocks_inconsistent_points():
+    """_triangulate_feature_groups must keep a feature OUT of the map when
+    its refined point cannot reproject into its own source views (solver
+    junk / inconsistent observations), and map it when consistent."""
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.sfm.pipeline import SfMPipeline
+
+    K, (R1, C1), (R2, C2), p1, p2, pts = _ring_pair(gap=4, n=64, noise=0.0)
+    # feature 1: consistent; feature 0: second view shifted 80 px -> the
+    # 4-residual optimum leaves ~tens of px in each view
+    p2_bad = p2.copy()
+    p2_bad[0] += np.array([80.0, -60.0])
+    pipe = SfMPipeline.__new__(SfMPipeline)
+    tracks = [
+        {1: np.array([*p1[f], 0.0]), 2: np.array([*p2_bad[f], 0.0])}
+        for f in range(2)
+    ]
+    camera_info = {1: {"R": R1, "C": C1}, 2: {"R": R2, "C": C2}}
+    groups = {(1, 2): [0, 1]}
+    for gate, expected in ((10.0, {1}), (0.0, {0, 1})):
+        pipe.cfg = SfMConfig(tri_reproj_gate_px=gate)
+        fidx_to_3d = {}
+        pipe._triangulate_feature_groups(
+            K, camera_info, tracks, groups, fidx_to_3d)
+        assert set(fidx_to_3d) == expected, (gate, set(fidx_to_3d))
+    np.testing.assert_allclose(fidx_to_3d[1], pts[1], atol=1e-5)
