@@ -62,6 +62,11 @@ def main():
                              "camera registrations (0 = off; bounds "
                              "incremental drift at 100+ cameras)")
     parser.add_argument("--ba_interval_iters", type=int, default=10)
+    parser.add_argument("--registration_retries", type=int, default=2,
+                        help="extra passes re-attempting images whose PnP "
+                             "failed once more neighbors are registered "
+                             "and the map re-adjusted (0 = reference's "
+                             "strict single visit)")
     parser.add_argument("--tri_reproj_gate_px", type=float, default=10.0,
                         help="incremental triangulations must reproject "
                              "within this many px in both source views to "
@@ -177,6 +182,7 @@ def main():
         ba_max_iters=args.ba_max_iters,
         ba_interval=args.ba_interval,
         ba_interval_iters=args.ba_interval_iters,
+        registration_retries=args.registration_retries,
         tri_reproj_gate_px=args.tri_reproj_gate_px,
         ba_devices=args.ba_devices,
         ba_refine_intrinsics=args.ba_refine_intrinsics,

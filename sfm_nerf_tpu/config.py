@@ -208,6 +208,15 @@ class SfMConfig:
     # the gate such points pollute every later camera's PnP set.  The
     # reference-parity two-view path is NOT gated.
     tri_reproj_gate_px: float = 10.0
+    # ADDITION: when the single registration sweep ends with skipped
+    # images, re-attempt them in up to this many extra passes (after an
+    # intermediate BA when ba_interval > 0).  A PnP failure at chain
+    # depth 100+ is usually drift at that MOMENT, not a property of the
+    # image — by the time the sweep finishes, more neighbors are
+    # registered and the map has been re-adjusted.  A pass that registers
+    # nothing ends the retries early; 0 restores the reference's strict
+    # single-visit order (Wrapper.py:679).
+    registration_retries: int = 2
     pnp_refine_iters: int = 50       # LM steps for pose refinement
     ba_max_iters: int = 50           # LM steps for bundle adjustment
     ba_rounds: int = 2               # BA / outlier-prune alternations

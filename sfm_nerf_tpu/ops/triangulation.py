@@ -254,10 +254,18 @@ def triangulate_pair_bucketed(
     X_b, _, fin_b = triangulate_nonlinear(
         Kj, R1j, C1j, R2j, C2j, p1j, p2j, X_mid, n_iters=n_iters,
     )
-    # per-point best-of-two (NaN-safe: a non-finite residual never wins)
+    # per-point best-of-two with a 1% relative margin: the midpoint-init
+    # result only wins when MEANINGFULLY better, so healthy points (both
+    # inits converge to the same optimum, residuals equal to ~ulp) keep
+    # the DLT-init output bit-for-bit (parity with the unbucketed path,
+    # pinned by test_triangulate_pair_bucketed_matches_unbucketed) while
+    # diverged refinements (fa orders of magnitude larger, or non-finite)
+    # are always rescued
     fa = np.asarray(fin_a)
     fb = np.asarray(fin_b)
-    pick_b = ~(fa <= np.where(np.isfinite(fb), fb, np.inf))
+    fa = np.where(np.isfinite(fa), fa, np.inf)
+    fb = np.where(np.isfinite(fb), fb, np.inf)
+    pick_b = fb < 0.99 * fa
     X_opt = np.where(pick_b[:, None], np.asarray(X_b), np.asarray(X_a))
     return np.asarray(X_lin)[:n], X_opt[:n]
 

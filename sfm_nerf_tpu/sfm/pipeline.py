@@ -24,6 +24,7 @@ solvers accept either dtype.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, Optional, Tuple
 
@@ -389,6 +390,20 @@ class SfMPipeline:
         )
         if int(res.n_inliers) < 6:
             print(f"Not enough inliers for reliable PnP with image {i}")
+            fails = self.stats.setdefault("pnp_failures", {})
+            fails[i] = fails.get(i, 0) + 1
+            dump_dir = os.environ.get("SFM_NERF_DUMP_PNP_FAILURES")
+            if dump_dir:
+                # debugging aid: capture the exact failing inputs so the
+                # consensus collapse can be replayed offline on any
+                # platform/dtype (used to root-cause the 200-camera f32
+                # registration failures)
+                os.makedirs(dump_dir, exist_ok=True)
+                np.savez(
+                    os.path.join(dump_dir, f"fail_cam{i}_try{fails[i]}.npz"),
+                    obj=np.asarray(obj_points), img=np.asarray(img_points),
+                    K=np.asarray(K), n_inliers=int(res.n_inliers),
+                )
             return None, None
         w = res.inliers.astype(jnp.asarray(K).dtype)
         err_lin = float(reprojection_error_mean_px(
@@ -701,7 +716,40 @@ class SfMPipeline:
             _count_support(f_idx)
 
         since_ba = 0
-        while support:
+        # ADDITION (no reference counterpart — the reference's single
+        # ascending pass over 5 images never fails): a camera whose PnP
+        # fails is retried in a later pass instead of being dropped for
+        # good.  At 200-camera chain depth a failure is usually *drift at
+        # that moment*, not a property of the image — after more
+        # registrations (and an intermediate BA correcting the map) the
+        # same camera's inlier set recovers.  Bounded by
+        # cfg.registration_retries passes; a pass that registers nothing
+        # ends the retries early.
+        failed: list = []
+        retries_left = cfg.registration_retries
+        progressed = True
+        while True:
+            if not support:
+                if not (failed and retries_left > 0 and progressed):
+                    break
+                # refresh the map first when interval BA is on — the
+                # whole point of the retry is that geometry has improved
+                # since the failure
+                if cfg.ba_interval > 0 and since_ba > 0:
+                    self._intermediate_ba(K, camera_info, fidx_to_3d, tracks)
+                    since_ba = 0
+                print(
+                    f"  Retry pass "
+                    f"{cfg.registration_retries - retries_left + 1}: "
+                    f"re-attempting {len(failed)} skipped images."
+                )
+                for r in failed:
+                    support[r] = sum(
+                        1 for f_idx in fidx_to_3d if r in tracks[f_idx]
+                    )
+                failed = []
+                retries_left -= 1
+                progressed = False
             if cfg.view_order == "greedy":
                 i = max(support, key=support.get)
                 if support[i] < 8:
@@ -739,12 +787,14 @@ class SfMPipeline:
                     f"  Not enough 2D-3D correspondences to solve PnP for "
                     f"image {i}. Skipping."
                 )
+                failed.append(i)
                 continue
             C, R = self.register_camera(
                 i, np.asarray(obj_points), np.asarray(img_points), K
             )
             if C is None:
                 print(f"  Could not estimate camera pose for image {i}. Skipping.")
+                failed.append(i)
                 continue
             camera_info[i] = {"R": R, "C": C}
 
@@ -808,6 +858,7 @@ class SfMPipeline:
                         fidx_to_3d[f_new] = Xnew[n]
                         _count_support(f_new)
             print(f"Registered Camera: {i}")
+            progressed = True
             since_ba += 1
             if cfg.ba_interval > 0 and since_ba >= cfg.ba_interval:
                 self._intermediate_ba(K, camera_info, fidx_to_3d, tracks)

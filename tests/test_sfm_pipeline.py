@@ -187,3 +187,50 @@ def test_intermediate_ba_bounds_incremental_drift(tmp_path):
         assert entry["rms_px_after"] <= entry["rms_px_before"] + 1e-9, entry
     assert len(result["camera_info"]) == 24
     assert stats["ba"]["final_err_px"]["mean"] < 1.0, stats["ba"]
+
+
+def test_registration_retry_recovers_transient_pnp_failure(tmp_path):
+    """A camera whose PnP fails during the sweep must be re-attempted in a
+    retry pass (registration_retries, ADDITION) and end up registered —
+    the 200-camera TPU run loses cameras to drift-at-that-moment failures
+    that succeed later once neighbors are in and the map re-adjusted.
+    With retries disabled the reference's strict single-visit order must
+    be preserved (the camera stays out)."""
+    from util_synthetic import write_reference_format_dataset
+
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.sfm import SfMPipeline
+
+    data_dir = str(tmp_path / "data")
+    write_reference_format_dataset(
+        data_dir, n_cams=12, n_points=800, noise_px=0.5, seed=5,
+    )
+
+    orig = SfMPipeline.register_camera
+    attempts = {}
+
+    def flaky(self, i, obj_points, img_points, K):
+        attempts[i] = attempts.get(i, 0) + 1
+        if i == 9 and attempts[i] == 1:   # transient failure, first try
+            return None, None
+        return orig(self, i, obj_points, img_points, K)
+
+    for retries, expect_registered in ((2, True), (0, False)):
+        attempts.clear()
+        out = str(tmp_path / f"out{retries}")
+        os.makedirs(out, exist_ok=True)
+        cfg = SfMConfig(
+            data_path=data_dir, num_images=12, output_dir=out,
+            ransac_iters=500, pnp_iters=500, ba_max_iters=10,
+            merge_tracks=True, registration_retries=retries,
+        )
+        pipe = SfMPipeline(cfg)
+        pipe.register_camera = flaky.__get__(pipe, SfMPipeline)
+        result = pipe.run()
+        cams = set(result["camera_info"])
+        if expect_registered:
+            assert attempts[9] == 2, attempts
+            assert 9 in cams and len(cams) == 12, sorted(cams)
+        else:
+            assert attempts[9] == 1, attempts
+            assert 9 not in cams and len(cams) == 11, sorted(cams)
