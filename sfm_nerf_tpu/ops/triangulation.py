@@ -222,14 +222,17 @@ def triangulate_pair_bucketed(
     (np.pad mode='edge'), whose result is discarded).  C1/C2 are camera CENTERS.  Returns
     (X_linear (n,3), X_refined (n,3)).
 
-    The refinement runs from TWO inits — the parity DLT solution and the
-    closed-form ray midpoint (:func:`triangulate_midpoint`) — and keeps
-    the lower final residual per point: the f32 DLT init occasionally
-    sends the LM into the at-infinity flat valley (|X| ~ 1e6; see the
-    midpoint docstring), which at incremental-SfM scale poisons the PnP
-    correspondence sets of every later camera.  For well-posed points
-    both inits reach the same optimum, so X_refined is unchanged there;
-    X_linear stays the pure-DLT parity output."""
+    In FLOAT32 the refinement runs from TWO inits — the parity DLT
+    solution and the closed-form ray midpoint
+    (:func:`triangulate_midpoint`) — and keeps the lower final residual
+    per point: the f32 DLT init occasionally sends the LM into the
+    at-infinity flat valley (|X| ~ 1e6; see the midpoint docstring),
+    which at incremental-SfM scale poisons the PnP correspondence sets of
+    every later camera.  For well-posed points both inits reach the same
+    optimum, so X_refined is unchanged there; X_linear stays the pure-DLT
+    parity output.  The divergence has never been observed in f64 (the
+    CPU-default Phase1 path), so the second refinement is skipped there —
+    the rescue would be pure 2x overhead on the latency-bound path."""
     import numpy as np
 
     n = len(pts1_np)
@@ -250,6 +253,8 @@ def triangulate_pair_bucketed(
     X_a, _, fin_a = triangulate_nonlinear(
         Kj, R1j, C1j, R2j, C2j, p1j, p2j, X_lin, n_iters=n_iters,
     )
+    if X_lin.dtype != jnp.float32:
+        return np.asarray(X_lin)[:n], np.asarray(X_a)[:n]
     X_mid = triangulate_midpoint(Kj, R1j, C1j, R2j, C2j, p1j, p2j)
     X_b, _, fin_b = triangulate_nonlinear(
         Kj, R1j, C1j, R2j, C2j, p1j, p2j, X_mid, n_iters=n_iters,

@@ -69,6 +69,24 @@ from sfm_nerf_tpu.ops.triangulation import (
 )
 
 
+def _reproj_err_px(K, R, C, X, uv):
+    """Host-side per-point reprojection error |proj(X) - uv| in px
+    (numpy — gate sites run per camera/view on the host where a device
+    launch would pay tunnel RTT).  Points at or behind the camera plane
+    (z <= 1e-8) and non-finite projections map to +inf, so callers can
+    gate with ``err <= thresh`` / ``np.isfinite(err)`` uniformly."""
+    K = np.asarray(K)
+    R = np.asarray(R)
+    C = np.asarray(C).reshape(3)
+    xc = (np.asarray(X) - C) @ R.T
+    z = xc[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = K[0, 0] * xc[:, 0] / z + K[0, 2]
+        v = K[1, 1] * xc[:, 1] / z + K[1, 2]
+        e = np.hypot(u - np.asarray(uv)[:, 0], v - np.asarray(uv)[:, 1])
+    return np.where((z > 1e-8) & np.isfinite(e), e, np.inf)
+
+
 @dataclasses.dataclass
 class TwoViewResult:
     C: np.ndarray
@@ -453,15 +471,9 @@ class SfMPipeline:
                 # source-view reprojection gate (tri_reproj_gate_px): a
                 # refinement that cannot reproject into its OWN two views
                 # is solver junk, not geometry — keep it out of the map
-                Kn = np.asarray(K)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    for Rv, Cv, zv, pv in ((Rin, Ci, z1, p1),
-                                           (Rjn, Cj, z2, p2)):
-                        xc = (Xn - Cv) @ Rv.T
-                        u = Kn[0, 0] * xc[:, 0] / xc[:, 2] + Kn[0, 2]
-                        v = Kn[1, 1] * xc[:, 1] / xc[:, 2] + Kn[1, 2]
-                        e = np.hypot(u - pv[:, 0], v - pv[:, 1])
-                        ok &= np.isfinite(e) & (e <= cfg.tri_reproj_gate_px)
+                for Rv, Cv, pv in ((Rin, Ci, p1), (Rjn, Cj, p2)):
+                    ok &= (_reproj_err_px(K, Rv, Cv, Xn, pv)
+                           <= cfg.tri_reproj_gate_px)
             for f, x, good in zip(fs, Xn, ok):
                 if good:
                     if f not in fidx_to_3d:
@@ -557,16 +569,9 @@ class SfMPipeline:
 
         # host-side gross-outlier gate at the current geometry
         errs = np.full((nb, mb), np.inf)
-        fx, fy = K[0, 0], K[1, 1]
-        cx, cy = K[0, 2], K[1, 2]
         for ri in range(n_cam):
-            xc = (pts_real - Cs[ri]) @ Rs[ri].T            # (m,3)
-            z = xc[:, 2]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u = fx * xc[:, 0] / z + cx
-                v = fy * xc[:, 1] / z + cy
-                e = np.hypot(u - obs[ri, :m_pts, 0], v - obs[ri, :m_pts, 1])
-            errs[ri, :m_pts] = np.where(z > 1e-8, e, np.inf)
+            errs[ri, :m_pts] = _reproj_err_px(
+                K, Rs[ri], Cs[ri], pts_real, obs[ri, :m_pts])
         sel = (vis > 0) & np.isfinite(errs)
         med = float(np.median(errs[sel])) if sel.any() else 0.0
         thresh = max(5.0 * cfg.ba_prune_px, 10.0 * med)
@@ -843,15 +848,9 @@ class SfMPipeline:
                 if cfg.tri_reproj_gate_px > 0:
                     # source-view reprojection gate (tri_reproj_gate_px;
                     # see _triangulate_feature_groups)
-                    Kn = np.asarray(K)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        for Rv, Cv, pv in ((Rjn, Cjn, p_j), (Rn, Cn, p_i)):
-                            xc = (Xnew - Cv) @ Rv.T
-                            u = Kn[0, 0] * xc[:, 0] / xc[:, 2] + Kn[0, 2]
-                            v = Kn[1, 1] * xc[:, 1] / xc[:, 2] + Kn[1, 2]
-                            e = np.hypot(u - pv[:, 0], v - pv[:, 1])
-                            ok_new &= np.isfinite(e) & (
-                                e <= cfg.tri_reproj_gate_px)
+                    for Rv, Cv, pv in ((Rjn, Cjn, p_j), (Rn, Cn, p_i)):
+                        ok_new &= (_reproj_err_px(K, Rv, Cv, Xnew, pv)
+                                   <= cfg.tri_reproj_gate_px)
                 for n, row in enumerate(arr):
                     f_new = int(row[-1])
                     if ok_new[n] and f_new not in fidx_to_3d:
