@@ -422,6 +422,100 @@ def adaptive_trials_needed(
         -p_all_inlier)
 
 
+def _adaptive_trials_needed_device(cnt, nv, confidence, ftype):
+    """``adaptive_trials_needed`` as traced arithmetic (same formula,
+    vectorizes over a pair axis) for the device-side while_loop drivers."""
+    one = jnp.asarray(1.0, ftype)
+    w = jnp.clip(cnt.astype(ftype) / jnp.maximum(nv.astype(ftype), one),
+                 0.0, 0.999999)
+    p = w ** 8
+    log1mc = jnp.log(jnp.maximum(
+        jnp.asarray(1.0 - confidence, ftype), jnp.finfo(ftype).tiny))
+    return jnp.where(
+        p <= 0.0, jnp.asarray(jnp.inf, ftype),
+        jnp.where(p >= 1.0, jnp.asarray(0.0, ftype),
+                  log1mc / jnp.log1p(-p)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "normalize", "chunk", "scoring"),
+)
+def ransac_fundamental_adaptive_device(
+    key: jax.Array,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    confidence: float = 0.999,
+    max_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+    n_valid: Optional[jnp.ndarray] = None,
+    scoring: str = "msac",
+    min_iters: Optional[int] = None,
+) -> Tuple[RansacResult, jnp.ndarray]:
+    """Adaptive F-RANSAC with the H&Z confidence exit INSIDE the launch —
+    a ``lax.while_loop`` over fixed-shape hypothesis chunks, so the early
+    exit costs zero host round-trips.  The host-driven
+    :func:`ransac_fundamental_adaptive` pays one tunnel RTT per chunk on
+    the remote TPU attachment, which erased its ~25x hypothesis saving
+    (PERFORMANCE.md round-3 finding: TPU users had to run fixed-count);
+    this version keeps one static-shaped program and stops on device.
+
+    Same chunk-key stream, same scorer (``_score_chunk_body``), same
+    update rule and stopping comparison as the host driver, so for the
+    same ``key`` it scores the same prefix of the fixed path's draw
+    sequence and returns the same winner (pinned by test; the stop count
+    can differ only if libm ulp differences in the confidence bound flip
+    a boundary comparison).  Returns ``(result, iters_scored)`` with
+    ``iters_scored`` a traced scalar."""
+    n_pts = pts1.shape[0]
+    valid = None if n_valid is None else jnp.arange(n_pts) < n_valid
+    T1, T2, p1, p2, h1, h2 = _ransac_prep(pts1, pts2, normalize, valid)
+
+    n_chunks = max(1, (max_iters + chunk - 1) // chunk)
+    chunk_keys = jax.random.split(key, n_chunks)
+    if min_iters is None:
+        min_iters = min(2 * chunk, n_chunks * chunk)
+    ftype = jnp.asarray(0.0).dtype        # f64 under x64, else f32
+    nv = jnp.asarray(n_pts if n_valid is None else n_valid)
+    min_iters_f = jnp.asarray(float(min_iters), ftype)
+    sdt = p1.dtype
+
+    def cond(st):
+        c, bs, bi, nd = st
+        done = (c * chunk).astype(ftype)
+        return (c < n_chunks) & (done < jnp.maximum(nd, min_iters_f))
+
+    def body(st):
+        c, bs, bi, nd = st
+        score, d = _score_chunk_body(
+            chunk_keys[c], p1, p2, h1, h2, threshold, scoring, n_pts,
+            None if n_valid is None else nv, valid, chunk)
+        b = jnp.argmax(score)
+        s = score[b]
+        cnt = jnp.sum(d[b] < threshold)
+        improved = s > bs
+        bi = jnp.where(improved, c * chunk + b.astype(jnp.int32), bi)
+        nd = jnp.where(
+            improved,
+            _adaptive_trials_needed_device(cnt, nv, confidence, ftype), nd)
+        return c + 1, jnp.maximum(s, bs), bi, nd
+
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(-jnp.inf, sdt),
+            jnp.asarray(0, jnp.int32), jnp.asarray(float(max_iters), ftype))
+    c_fin, _, best_iter, _ = jax.lax.while_loop(cond, body, init)
+    iters_scored = jnp.minimum(c_fin * chunk, max_iters)
+
+    idx_best = draw_minimal_samples(
+        chunk_keys[best_iter // chunk], chunk, 8, n_pts,
+        None if n_valid is None else nv)[best_iter % chunk]
+    F, inliers = _ransac_winner(
+        idx_best, T1, T2, p1, p2, h1, h2, threshold, normalize, valid)
+    return (RansacResult(F, inliers, jnp.sum(inliers), best_iter),
+            iters_scored)
+
+
 def ransac_fundamental_adaptive(
     key: jax.Array,
     pts1: jnp.ndarray,
@@ -681,6 +775,89 @@ def ransac_fundamental_pairs_adaptive(
         chunk=chunk, normalize=normalize)
     res = RansacResult(F, inliers, n_inl, jnp.asarray(best_iter))
     return res, min(done, max_iters)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "normalize", "chunk", "scoring"),
+)
+def ransac_fundamental_pairs_adaptive_device(
+    keys: jax.Array,
+    pts1: jnp.ndarray,        # (P, N, 2)
+    pts2: jnp.ndarray,
+    n_valid: jnp.ndarray,     # (P,)
+    confidence: float = 0.999,
+    max_iters: int = 50000,
+    threshold: float = 5e-4,
+    normalize: bool = True,
+    chunk: int = 1024,
+    scoring: str = "msac",
+) -> Tuple[RansacResult, jnp.ndarray]:
+    """Pair-axis adaptive F-RANSAC with the confidence exit INSIDE the
+    launch: one ``lax.while_loop`` scores a chunk of hypotheses for EVERY
+    pair per iteration and stops when the slowest pair's H&Z bound is met
+    — the whole refine stage becomes one device program with zero
+    per-chunk tunnel RTT (the host-driven
+    :func:`ransac_fundamental_pairs_adaptive` pays one RTT per chunk,
+    which on the remote TPU erased adaptivity's ~25x hypothesis saving).
+    Same keys/draws/update rule as the host driver, so winners match for
+    the same key stream (pinned by test).  Returns
+    ``(batched result, iters scored — traced scalar, same for all pairs)``.
+    """
+    P, N = pts1.shape[0], pts1.shape[1]
+    n_chunks = max(1, (max_iters + chunk - 1) // chunk)
+    chunk_keys = jax.vmap(lambda k: jax.random.split(k, n_chunks))(keys)
+    min_iters = min(2 * chunk, n_chunks * chunk)
+    ftype = jnp.asarray(0.0).dtype        # f64 under x64, else f32
+    nv = jnp.asarray(n_valid)
+    valid = jnp.arange(N)[None, :] < nv[:, None]          # (P, N)
+    T1, T2, p1, p2, h1, h2 = jax.vmap(
+        lambda a, b, v: _ransac_prep(a, b, normalize, v))(pts1, pts2, valid)
+    min_iters_f = jnp.asarray(float(min_iters), ftype)
+    sdt = p1.dtype
+
+    def score_pair(ck, p1p, p2p, h1p, h2p, vp, nvp):
+        return _score_chunk_body(
+            ck, p1p, p2p, h1p, h2p, threshold, scoring, N, nvp, vp, chunk)
+
+    def cond(st):
+        c, bs, bi, nd = st
+        done = (c * chunk).astype(ftype)
+        return (c < n_chunks) & (done < jnp.maximum(
+            jnp.max(nd), min_iters_f))
+
+    def body(st):
+        c, bs, bi, nd = st
+        score, d = jax.vmap(score_pair)(
+            chunk_keys[:, c], p1, p2, h1, h2, valid, nv)
+        b = jnp.argmax(score, axis=1)                      # (P,)
+        s = jnp.take_along_axis(score, b[:, None], axis=1)[:, 0]
+        db = jnp.take_along_axis(d, b[:, None, None], axis=1)[:, 0, :]
+        cnt = jnp.sum(db < threshold, axis=1)
+        improved = s > bs
+        bi = jnp.where(improved, c * chunk + b.astype(jnp.int32), bi)
+        nd = jnp.where(
+            improved,
+            _adaptive_trials_needed_device(cnt, nv, confidence, ftype), nd)
+        return c + 1, jnp.maximum(s, bs), bi, nd
+
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.full((P,), -jnp.inf, sdt),
+            jnp.zeros((P,), jnp.int32),
+            jnp.full((P,), float(max_iters), ftype))
+    c_fin, _, best_iter, _ = jax.lax.while_loop(cond, body, init)
+    iters_scored = jnp.minimum(c_fin * chunk, max_iters)
+
+    def fin(ckrow, bi_p, T1p, T2p, p1p, p2p, h1p, h2p, vp, nvp):
+        idx = draw_minimal_samples(
+            ckrow[bi_p // chunk], chunk, 8, N, nvp)[bi_p % chunk]
+        return _ransac_winner(
+            idx, T1p, T2p, p1p, p2p, h1p, h2p, threshold, normalize, vp)
+
+    F, inliers = jax.vmap(fin)(
+        chunk_keys, best_iter, T1, T2, p1, p2, h1, h2, valid, nv)
+    res = RansacResult(F, inliers, jnp.sum(inliers, axis=1), best_iter)
+    return res, iters_scored
 
 
 def ransac_fundamental_pairs_bucketed(

@@ -222,17 +222,30 @@ def triangulate_pair_bucketed(
     (np.pad mode='edge'), whose result is discarded).  C1/C2 are camera CENTERS.  Returns
     (X_linear (n,3), X_refined (n,3)).
 
-    In FLOAT32 the refinement runs from TWO inits — the parity DLT
-    solution and the closed-form ray midpoint
-    (:func:`triangulate_midpoint`) — and keeps the lower final residual
-    per point: the f32 DLT init occasionally sends the LM into the
-    at-infinity flat valley (|X| ~ 1e6; see the midpoint docstring),
-    which at incremental-SfM scale poisons the PnP correspondence sets of
-    every later camera.  For well-posed points both inits reach the same
-    optimum, so X_refined is unchanged there; X_linear stays the pure-DLT
-    parity output.  The divergence has never been observed in f64 (the
-    CPU-default Phase1 path), so the second refinement is skipped there —
-    the rescue would be pure 2x overhead on the latency-bound path."""
+    The refinement runs from TWO inits — the parity DLT solution and the
+    closed-form ray midpoint (:func:`triangulate_midpoint`) — in EVERY
+    dtype: the f32 DLT init occasionally sends the LM into the
+    at-infinity flat valley (|X| ~ 1e6; see the midpoint docstring), and
+    inconsistent observations (wrong-but-epipolar matches) do the same
+    even in f64, which at incremental-SfM scale poisons the PnP
+    correspondence sets of every later camera.
+
+    Per-point pick between the two refinements:
+
+    - the midpoint-init result wins outright when its final residual is
+      MEANINGFULLY lower (1% relative margin), so healthy points — both
+      inits converge to the same optimum, residuals equal to ~ulp — keep
+      the DLT-init output bit-for-bit (parity with the unbucketed path,
+      pinned by test_triangulate_pair_bucketed_matches_unbucketed);
+    - residual margin alone provably cannot catch the flat valley: at
+      ~2-degree parallax the at-infinity solution fits the 4 nearly
+      parallel-ray residuals as well as (sometimes better than) the true
+      point, so a SCALE discriminant breaks near-ties — when the DLT-init
+      point sits >100x farther from camera 1 than the midpoint-init point
+      AND the midpoint residual is within 4x, the candidates disagree by
+      two orders of magnitude in depth at comparable fit, which is the
+      divergence signature and never fires for healthy points (there the
+      two candidates coincide, ratio == 1)."""
     import numpy as np
 
     n = len(pts1_np)
@@ -253,25 +266,25 @@ def triangulate_pair_bucketed(
     X_a, _, fin_a = triangulate_nonlinear(
         Kj, R1j, C1j, R2j, C2j, p1j, p2j, X_lin, n_iters=n_iters,
     )
-    if X_lin.dtype != jnp.float32:
-        return np.asarray(X_lin)[:n], np.asarray(X_a)[:n]
     X_mid = triangulate_midpoint(Kj, R1j, C1j, R2j, C2j, p1j, p2j)
     X_b, _, fin_b = triangulate_nonlinear(
         Kj, R1j, C1j, R2j, C2j, p1j, p2j, X_mid, n_iters=n_iters,
     )
-    # per-point best-of-two with a 1% relative margin: the midpoint-init
-    # result only wins when MEANINGFULLY better, so healthy points (both
-    # inits converge to the same optimum, residuals equal to ~ulp) keep
-    # the DLT-init output bit-for-bit (parity with the unbucketed path,
-    # pinned by test_triangulate_pair_bucketed_matches_unbucketed) while
-    # diverged refinements (fa orders of magnitude larger, or non-finite)
-    # are always rescued
+    # best-of-two pick (see the docstring): 1% residual margin preserves
+    # bit-parity for healthy points; the 100x camera-distance ratio is the
+    # flat-valley discriminant residual margin alone cannot provide
+    Xa = np.asarray(X_a)
+    Xb = np.asarray(X_b)
     fa = np.asarray(fin_a)
     fb = np.asarray(fin_b)
-    fa = np.where(np.isfinite(fa), fa, np.inf)
-    fb = np.where(np.isfinite(fb), fb, np.inf)
-    pick_b = fb < 0.99 * fa
-    X_opt = np.where(pick_b[:, None], np.asarray(X_b), np.asarray(X_a))
+    fa = np.where(np.isfinite(fa) & np.isfinite(Xa).all(axis=1), fa, np.inf)
+    fb = np.where(np.isfinite(fb) & np.isfinite(Xb).all(axis=1), fb, np.inf)
+    da = np.linalg.norm(Xa - C1n, axis=1)
+    db = np.linalg.norm(Xb - C1n, axis=1)
+    da = np.where(np.isfinite(da), da, np.inf)
+    implausible_a = (da > 100.0 * np.maximum(db, 1e-9)) & (fb <= 4.0 * fa)
+    pick_b = (fb < 0.99 * fa) | implausible_a
+    X_opt = np.where(pick_b[:, None], Xb, Xa)
     return np.asarray(X_lin)[:n], X_opt[:n]
 
 
