@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--confidence", type=float, default=0.0)
     ap.add_argument("--data_path", default="/root/reference/Phase1/Data")
     ap.add_argument("--no_batch_pairs", action="store_true")
+    # force the adaptive driver: 'host' chunk loop vs 'device' while_loop
+    # ('auto' = backend default) — the round-4 device-vs-host measurement
+    ap.add_argument("--adaptive_device", default="auto",
+                    choices=["auto", "host", "device"])
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -44,6 +48,8 @@ def main():
         data_path=args.data_path, num_images=5, output_dir="/tmp/probe_out",
         ransac_confidence=args.confidence,
         ransac_batch_pairs=not args.no_batch_pairs,
+        ransac_adaptive_device={"auto": None, "host": False,
+                                "device": True}[args.adaptive_device],
     )
     pipe = SfMPipeline(cfg)
     matches_dict, tracks, visibility = parse_matching_files(

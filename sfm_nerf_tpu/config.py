@@ -177,6 +177,12 @@ class SfMConfig:
     # scored.  0 (default) keeps the reference's fixed iteration counts.
     # Mutually exclusive with ransac_devices > 1.
     ransac_confidence: float = 0.0
+    # adaptive driver: None auto-selects — host chunk loop on CPU (one
+    # launch per chunk, cheap locally), device lax.while_loop on any
+    # accelerator (one launch total; the tunneled TPU pays RTT per launch,
+    # which erased adaptivity's ~25x saving with the host loop).  Same
+    # winners either way (pinned by test).
+    ransac_adaptive_device: "bool | None" = None
     # batch every pair's F-RANSAC into ONE device launch per shape bucket
     # (ops/epipolar.py:ransac_fundamental_pairs_bucketed; bit-equal per
     # pair to the sequential loop for the same key stream).  The per-pair

@@ -422,13 +422,15 @@ def adaptive_trials_needed(
         -p_all_inlier)
 
 
-def _adaptive_trials_needed_device(cnt, nv, confidence, ftype):
+def _adaptive_trials_needed_device(cnt, nv, confidence, ftype,
+                                   sample_size: int = 8):
     """``adaptive_trials_needed`` as traced arithmetic (same formula,
-    vectorizes over a pair axis) for the device-side while_loop drivers."""
+    vectorizes over a pair axis) for the device-side while_loop drivers
+    (sample size 8 for F, 6 for PnP)."""
     one = jnp.asarray(1.0, ftype)
     w = jnp.clip(cnt.astype(ftype) / jnp.maximum(nv.astype(ftype), one),
                  0.0, 0.999999)
-    p = w ** 8
+    p = w ** sample_size
     log1mc = jnp.log(jnp.maximum(
         jnp.asarray(1.0 - confidence, ftype), jnp.finfo(ftype).tiny))
     return jnp.where(
@@ -598,6 +600,7 @@ def ransac_fundamental_bucketed(
     axis: str = "data",
     confidence: float = 0.0,
     iters_out: Optional[list] = None,
+    adaptive_device: Optional[bool] = None,
 ) -> RansacResult:
     """Host wrapper: pad the match count to the next power of two and call
     the jitted core with the true count — one compile per bucket instead of
@@ -608,11 +611,15 @@ def ransac_fundamental_bucketed(
     (parallel/ransac.py) with the same bucket policy, so the pad+slice
     logic lives HERE for both paths.
 
-    ``confidence > 0``: route to ``ransac_fundamental_adaptive`` with
-    ``n_iters`` as the cap (mutually exclusive with ``mesh`` — adaptive
-    already cuts the work ~25x, sharding the remainder isn't worth the
-    divergent draw sequence).  ``iters_out``: optional list the adaptive
-    path appends its scored-iteration count to (for stage logging)."""
+    ``confidence > 0``: route to the adaptive driver with ``n_iters`` as
+    the cap (mutually exclusive with ``mesh`` — adaptive already cuts the
+    work ~25x, sharding the remainder isn't worth the divergent draw
+    sequence).  ``adaptive_device`` picks the driver: the host loop (one
+    launch per chunk; right on a local backend) or the device
+    ``lax.while_loop`` (one launch total; right behind a per-launch-RTT
+    tunnel) — ``None`` auto-selects the device loop on any non-CPU
+    backend.  ``iters_out``: optional list the adaptive path appends its
+    scored-iteration count to (for stage logging)."""
     import numpy as np
 
     n = len(pts1_np)
@@ -627,11 +634,21 @@ def ransac_fundamental_bucketed(
                 "(mesh) are mutually exclusive — drop --ransac_devices or "
                 "--ransac_confidence"
             )
-        res, used = ransac_fundamental_adaptive(
-            key, p1, p2, confidence=confidence, max_iters=n_iters,
-            threshold=threshold, normalize=normalize, chunk=chunk,
-            n_valid=n, scoring=scoring,
-        )
+        if adaptive_device is None:
+            adaptive_device = jax.default_backend() != "cpu"
+        if adaptive_device:
+            res, used = ransac_fundamental_adaptive_device(
+                key, p1, p2, confidence=confidence, max_iters=n_iters,
+                threshold=threshold, normalize=normalize, chunk=chunk,
+                n_valid=jnp.asarray(n), scoring=scoring,
+            )
+            used = int(used)
+        else:
+            res, used = ransac_fundamental_adaptive(
+                key, p1, p2, confidence=confidence, max_iters=n_iters,
+                threshold=threshold, normalize=normalize, chunk=chunk,
+                n_valid=n, scoring=scoring,
+            )
         if iters_out is not None:
             iters_out.append(used)
         return RansacResult(
@@ -870,6 +887,7 @@ def ransac_fundamental_pairs_bucketed(
     confidence: float = 0.0,
     iters_out: Optional[list] = None,
     max_pairs_per_launch: int = 64,
+    adaptive_device: Optional[bool] = None,
 ):
     """Host wrapper for the whole refine stage: group pairs by their pow2
     bucket (same padding rule as ``ransac_fundamental_bucketed``, so draws
@@ -879,6 +897,9 @@ def ransac_fundamental_pairs_bucketed(
     ``confidence > 0`` routes groups through the batched adaptive driver
     (stage-level early exit on the slowest pair); ``iters_out`` gets one
     scored-iteration count appended PER ITEM (the group's shared count).
+    ``adaptive_device`` picks the adaptive driver exactly as in
+    ``ransac_fundamental_bucketed``: host chunk loop vs device
+    ``lax.while_loop`` (``None`` auto-selects device on non-CPU backends).
 
     ``max_pairs_per_launch`` splits oversized bucket groups (a 200-camera
     run puts hundreds of pairs in one bucket; the per-launch score tensor
@@ -911,10 +932,20 @@ def ransac_fundamental_pairs_bucketed(
             nv[m] = len(a)
         p1j, p2j = jnp.asarray(p1), jnp.asarray(p2)
         if confidence > 0.0:
-            res, used = ransac_fundamental_pairs_adaptive(
-                keys, p1j, p2j, nv, confidence=confidence,
-                max_iters=n_iters, threshold=threshold,
-                normalize=normalize, chunk=chunk, scoring=scoring)
+            dev = (adaptive_device if adaptive_device is not None
+                   else jax.default_backend() != "cpu")
+            if dev:
+                # confidence exit inside the launch: zero per-chunk RTT
+                res, used = ransac_fundamental_pairs_adaptive_device(
+                    keys, p1j, p2j, jnp.asarray(nv), confidence=confidence,
+                    max_iters=n_iters, threshold=threshold,
+                    normalize=normalize, chunk=chunk, scoring=scoring)
+                used = int(used)
+            else:
+                res, used = ransac_fundamental_pairs_adaptive(
+                    keys, p1j, p2j, nv, confidence=confidence,
+                    max_iters=n_iters, threshold=threshold,
+                    normalize=normalize, chunk=chunk, scoring=scoring)
         else:
             res, used = ransac_fundamental_pairs(
                 keys, p1j, p2j, jnp.asarray(nv), n_iters=n_iters,

@@ -342,6 +342,81 @@ def pnp_ransac_adaptive(
     return PnPRansacResult(R, C, inliers, n_inl), min(done, max_iters)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "chunk", "scoring")
+)
+def pnp_ransac_adaptive_device(
+    key: jax.Array,
+    X3d: jnp.ndarray,
+    x2d: jnp.ndarray,
+    K: jnp.ndarray,
+    confidence: float = 0.999,
+    max_iters: int = 10000,
+    threshold: float = 10.0,
+    chunk: int = 512,
+    n_valid=None,
+    scoring: str = "msac",
+    min_iters=None,
+) -> Tuple[PnPRansacResult, jnp.ndarray]:
+    """Adaptive PnP RANSAC with the H&Z confidence exit INSIDE the launch
+    (``lax.while_loop`` over fixed-shape hypothesis chunks) — the
+    device-side counterpart of :func:`pnp_ransac_adaptive`, mirroring
+    ops/epipolar.py:ransac_fundamental_adaptive_device: one static-shaped
+    program instead of one tunnel round-trip per chunk.  Same chunk-key
+    stream, scorer, update rule and stopping comparison as the host
+    driver, so winners match for the same key (pinned by test).  Returns
+    ``(result, iters_scored — traced scalar)``."""
+    from sfm_nerf_tpu.ops.epipolar import (
+        _adaptive_trials_needed_device, draw_minimal_samples,
+    )
+
+    n_pts = X3d.shape[0]
+    valid = (
+        jnp.ones((n_pts,), bool) if n_valid is None
+        else jnp.arange(n_pts) < n_valid
+    )
+    n_chunks = max(1, (max_iters + chunk - 1) // chunk)
+    chunk_keys = jax.random.split(key, n_chunks)
+    if min_iters is None:
+        min_iters = min(2 * chunk, n_chunks * chunk)
+    ftype = jnp.asarray(0.0).dtype        # f64 under x64, else f32
+    nv = jnp.asarray(n_pts if n_valid is None else n_valid)
+    min_iters_f = jnp.asarray(float(min_iters), ftype)
+    sdt = X3d.dtype
+
+    def cond(st):
+        c, bs, bi, nd = st
+        done = (c * chunk).astype(ftype)
+        return (c < n_chunks) & (done < jnp.maximum(nd, min_iters_f))
+
+    def body(st):
+        c, bs, bi, nd = st
+        score, e = _pnp_score_chunk_body(
+            chunk_keys[c], X3d, x2d, K, threshold, scoring, n_pts,
+            None if n_valid is None else nv, valid, chunk)
+        b = jnp.argmax(score)
+        s = score[b]
+        cnt = jnp.sum(e[b] < threshold)
+        improved = s > bs
+        bi = jnp.where(improved, c * chunk + b.astype(jnp.int32), bi)
+        nd = jnp.where(
+            improved,
+            _adaptive_trials_needed_device(cnt, nv, confidence, ftype,
+                                           sample_size=6), nd)
+        return c + 1, jnp.maximum(s, bs), bi, nd
+
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(-jnp.inf, sdt),
+            jnp.asarray(0, jnp.int32), jnp.asarray(float(max_iters), ftype))
+    c_fin, _, best_iter, _ = jax.lax.while_loop(cond, body, init)
+    iters_scored = jnp.minimum(c_fin * chunk, max_iters)
+
+    idx_best = draw_minimal_samples(
+        chunk_keys[best_iter // chunk], chunk, 6, n_pts,
+        None if n_valid is None else nv)[best_iter % chunk]
+    R, C, inliers = _pnp_winner(idx_best, X3d, x2d, K, threshold, valid)
+    return (PnPRansacResult(R, C, inliers, jnp.sum(inliers)), iters_scored)
+
+
 def pnp_ransac_bucketed(
     key: jax.Array,
     X3d_np, x2d_np, K,
@@ -351,14 +426,18 @@ def pnp_ransac_bucketed(
     scoring: str = "msac",
     confidence: float = 0.0,
     iters_out=None,
+    adaptive_device=None,
 ) -> PnPRansacResult:
     """Host wrapper: pad the correspondence count to the next power of two
     and call the jitted core with the true count — one accelerator compile
     per size bucket instead of one per registered camera (remote compiles
     cost minutes; mirrors ransac_fundamental_bucketed).
 
-    ``confidence > 0`` routes to ``pnp_ransac_adaptive`` with ``n_iters``
-    as the cap; ``iters_out`` (optional list) receives the scored count."""
+    ``confidence > 0`` routes to the adaptive driver with ``n_iters`` as
+    the cap; ``iters_out`` (optional list) receives the scored count.
+    ``adaptive_device`` picks host chunk loop vs device ``lax.while_loop``
+    (``None`` auto-selects the device loop on non-CPU backends), exactly
+    as in ransac_fundamental_bucketed."""
     import numpy as np
 
     n = len(X3d_np)
@@ -367,11 +446,23 @@ def pnp_ransac_bucketed(
     X = np.pad(np.asarray(X3d_np), ((0, pad), (0, 0)), mode="edge")
     x = np.pad(np.asarray(x2d_np), ((0, pad), (0, 0)), mode="edge")
     if confidence > 0.0:
-        res, used = pnp_ransac_adaptive(
-            key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
-            confidence=confidence, max_iters=n_iters, threshold=threshold,
-            chunk=chunk, n_valid=n, scoring=scoring,
-        )
+        if adaptive_device is None:
+            adaptive_device = jax.default_backend() != "cpu"
+        if adaptive_device:
+            res, used = pnp_ransac_adaptive_device(
+                key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
+                confidence=confidence, max_iters=n_iters,
+                threshold=threshold, chunk=chunk,
+                n_valid=jnp.asarray(n), scoring=scoring,
+            )
+            used = int(used)
+        else:
+            res, used = pnp_ransac_adaptive(
+                key, jnp.asarray(X), jnp.asarray(x), jnp.asarray(K),
+                confidence=confidence, max_iters=n_iters,
+                threshold=threshold, chunk=chunk, n_valid=n,
+                scoring=scoring,
+            )
         if iters_out is not None:
             iters_out.append(used)
     else:

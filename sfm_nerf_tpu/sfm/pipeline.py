@@ -150,6 +150,7 @@ class SfMPipeline:
                 n_iters=cfg.ransac_iters, threshold=cfg.ransac_threshold,
                 normalize=cfg.normalize, scoring=cfg.ransac_scoring,
                 confidence=cfg.ransac_confidence, iters_out=adaptive_iters,
+                adaptive_device=cfg.ransac_adaptive_device,
             )
         else:
             results = [
@@ -162,6 +163,7 @@ class SfMPipeline:
                     normalize=cfg.normalize, scoring=cfg.ransac_scoring,
                     mesh=mesh, confidence=cfg.ransac_confidence,
                     iters_out=adaptive_iters,
+                    adaptive_device=cfg.ransac_adaptive_device,
                 )
                 for _, arr in pairs
             ]
@@ -405,6 +407,7 @@ class SfMPipeline:
             self._next_key(), obj_points, img_points, K,
             n_iters=cfg.pnp_iters, threshold=cfg.pnp_threshold,
             scoring=cfg.ransac_scoring, confidence=cfg.ransac_confidence,
+            adaptive_device=cfg.ransac_adaptive_device,
         )
         if int(res.n_inliers) < 6:
             print(f"Not enough inliers for reliable PnP with image {i}")

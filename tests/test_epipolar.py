@@ -451,3 +451,94 @@ def test_ransac_pairs_adaptive_truncates_to_fixed():
         np.testing.assert_array_equal(
             np.asarray(res.inliers), np.asarray(ref.inliers))
         assert int(res.best_iter) == int(ref.best_iter)
+
+
+def test_ransac_adaptive_device_matches_host():
+    """The device-side adaptive driver (confidence exit inside ONE
+    lax.while_loop launch) returns the SAME winner and stop count as the
+    host-driven chunk loop for the same key — both score the identical
+    prefix of the fixed path's draw sequence through _score_chunk_body,
+    and both evaluate the identical H&Z bound (host in Python floats,
+    device in traced f64 under x64)."""
+    from sfm_nerf_tpu.ops.epipolar import (
+        ransac_fundamental_adaptive, ransac_fundamental_adaptive_device,
+    )
+
+    _, pts1, pts2, _ = two_view_correspondences(noise=0.3, outlier_frac=0.3)
+    key = jax.random.key(11)
+    p1 = jnp.asarray(pts1)
+    p2 = jnp.asarray(pts2)
+    res_h, used_h = ransac_fundamental_adaptive(
+        key, p1, p2, confidence=0.999, max_iters=50000,
+        threshold=5e-4, chunk=256,
+    )
+    res_d, used_d = ransac_fundamental_adaptive_device(
+        key, p1, p2, confidence=0.999, max_iters=50000,
+        threshold=5e-4, chunk=256,
+    )
+    assert int(used_d) == used_h
+    assert int(res_d.best_iter) == int(res_h.best_iter)
+    np.testing.assert_array_equal(np.asarray(res_d.F), np.asarray(res_h.F))
+    np.testing.assert_array_equal(
+        np.asarray(res_d.inliers), np.asarray(res_h.inliers))
+
+
+def test_ransac_adaptive_device_bucketed_routing():
+    """adaptive_device=True through the bucketed wrapper (padded points +
+    traced n_valid) matches the host-driver route bit-for-bit, including
+    the reported stop count."""
+    from sfm_nerf_tpu.ops.epipolar import ransac_fundamental_bucketed
+
+    _, pts1, pts2, _ = two_view_correspondences(
+        noise=0.3, outlier_frac=0.3, n=300
+    )
+    key = jax.random.key(4)
+    outs = {}
+    for dev in (False, True):
+        iters_out = []
+        outs[dev] = (
+            ransac_fundamental_bucketed(
+                key, pts1, pts2, n_iters=50000, threshold=5e-4, chunk=256,
+                confidence=0.999, iters_out=iters_out,
+                adaptive_device=dev,
+            ),
+            iters_out[0],
+        )
+    res_h, used_h = outs[False]
+    res_d, used_d = outs[True]
+    assert used_d == used_h and used_h < 50000
+    assert int(res_d.best_iter) == int(res_h.best_iter)
+    np.testing.assert_array_equal(np.asarray(res_d.F), np.asarray(res_h.F))
+    np.testing.assert_array_equal(
+        np.asarray(res_d.inliers), np.asarray(res_h.inliers))
+
+
+def test_ransac_pairs_adaptive_device_matches_host():
+    """Pair-axis device-side adaptive driver == host-driven batched
+    adaptive driver (winner per pair AND the shared stage stop count),
+    mixed pair sizes through the pairs wrapper."""
+    from sfm_nerf_tpu.ops.epipolar import ransac_fundamental_pairs_bucketed
+
+    items = []
+    for seed, n in zip(range(3), (250, 180, 250)):
+        _, p1, p2, _ = two_view_correspondences(
+            noise=0.3, n=n, outlier_frac=0.2, seed=20 + seed)
+        items.append((jax.random.key(seed), p1, p2))
+    outs = {}
+    for dev in (False, True):
+        iters_out = []
+        outs[dev] = (
+            ransac_fundamental_pairs_bucketed(
+                items, n_iters=8192, chunk=256, confidence=0.999,
+                iters_out=iters_out, adaptive_device=dev,
+            ),
+            iters_out,
+        )
+    res_h, used_h = outs[False]
+    res_d, used_d = outs[True]
+    assert used_d == used_h and max(used_h) < 8192
+    for rh, rd in zip(res_h, res_d):
+        assert int(rd.best_iter) == int(rh.best_iter)
+        np.testing.assert_array_equal(np.asarray(rd.F), np.asarray(rh.F))
+        np.testing.assert_array_equal(
+            np.asarray(rd.inliers), np.asarray(rh.inliers))

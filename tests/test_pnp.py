@@ -230,3 +230,35 @@ def test_pnp_ransac_adaptive_bucketed_matches_unpadded():
         np.asarray(res_b.R), np.asarray(res_u.R), rtol=1e-9)
     np.testing.assert_array_equal(
         np.asarray(res_b.inliers), np.asarray(res_u.inliers))
+
+
+def test_pnp_ransac_adaptive_device_matches_host():
+    """Device-side adaptive PnP (confidence exit inside one lax.while_loop
+    launch) == the host-driven chunk loop for the same key: same winner
+    pose/inliers AND the same stop count, through the bucketed wrapper
+    (padded rows + traced n_valid) in both routes."""
+    from sfm_nerf_tpu.ops.pnp import pnp_ransac_bucketed
+
+    X, x, K, _, _ = cam_setup(noise=0.5)
+    rng = np.random.default_rng(7)
+    x_c = x.copy()
+    out_idx = rng.choice(len(x), 60, replace=False)
+    x_c[out_idx] += rng.uniform(-60, 60, (60, 2))
+    key = jax.random.key(9)
+    outs = {}
+    for dev in (False, True):
+        iters_out = []
+        outs[dev] = (
+            pnp_ransac_bucketed(
+                key, X, x_c, K, n_iters=10000, threshold=10.0, chunk=256,
+                confidence=0.999, iters_out=iters_out, adaptive_device=dev,
+            ),
+            iters_out[0],
+        )
+    res_h, used_h = outs[False]
+    res_d, used_d = outs[True]
+    assert used_d == used_h and used_h < 10000
+    np.testing.assert_array_equal(np.asarray(res_d.R), np.asarray(res_h.R))
+    np.testing.assert_array_equal(np.asarray(res_d.C), np.asarray(res_h.C))
+    np.testing.assert_array_equal(
+        np.asarray(res_d.inliers), np.asarray(res_h.inliers))
