@@ -1,0 +1,395 @@
+#!/usr/bin/env python
+"""Close the SfM -> NeRF loop at scale: what does ESTIMATED-pose error
+cost NeRF, end to end?
+
+The reference couples its two phases only conceptually (its NeRF trains on
+Blender ground-truth poses; reference Phase2/train.py:19-65 never consumes
+Phase1 output).  This bench composes this repo's actual production path —
+synthetic ring capture -> Phase1 incremental SfM -> ``--export_nerf``
+(undistorting when k1/k2 were refined) -> Phase2 NeRF training -> held-out
+PSNR — and compares against the same training on ground-truth poses, so
+the cost of SfM pose error is a measured number instead of folklore.
+
+Protocol (per variant):
+
+- ONE scene (make_synth_scene's multi-object rig, jax tracer), n_cams on a
+  jittered ring, rendered at --size with the pinhole K written to
+  calibration.txt.  ``--distort_k1 != 0`` renders through the radial model
+  (iteratively undistorted pixel rays) AND distorts the feature
+  observations — a physically consistent distorted capture.
+- Feature tracks: surface points of the scene geometry, projected with the
+  same model, 0.5 px noise, reference-format matching{i}.txt.
+- Phase1 runs the REAL CLI (Phase1/Wrapper.py) with --export_nerf and
+  --export_holdout_every, so every held-out view's IMAGE is ground truth
+  while its POSE is whatever SfM estimated — pose error shows up directly
+  as held-out PSNR loss, no gauge alignment needed.
+- The ground-truth control writes the same images + GT c2w into the same
+  transforms layout (same holdout pattern, same near/far) and trains the
+  same config.
+
+Outputs one JSON line per variant: {"variant", "ba_mean_px", "psnr_mean",
+...}.  Variants: gt (control), sfm (clean capture), sfm_distorted (only
+with --distort_k1).
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+
+
+def _gen_module():
+    spec = importlib.util.spec_from_file_location(
+        "_mss_bench", os.path.join(_ROOT, "Phase2", "make_synth_scene.py"))
+    m = importlib.util.module_from_spec(spec)
+    saved = sys.argv
+    sys.argv = ["make_synth_scene.py"]
+    try:
+        spec.loader.exec_module(m)
+    finally:
+        sys.argv = saved
+    return m
+
+
+def _ring_rig(n_cams: int, seed: int = 0):
+    from sfm_nerf_tpu.io.blender import look_at_pose
+
+    rng = np.random.default_rng(seed)
+    c2ws = []
+    for i in range(n_cams):
+        th = 2 * np.pi * i / n_cams + rng.uniform(-0.02, 0.02)
+        el = np.deg2rad(rng.uniform(18.0, 36.0))
+        r = 4.0 + rng.uniform(-0.15, 0.15)
+        eye = np.array([r * np.cos(el) * np.cos(th), r * np.sin(el),
+                        r * np.cos(el) * np.sin(th)])
+        c2ws.append(look_at_pose(eye, np.array([0.0, -0.2, 0.0])))
+    return np.stack(c2ws)
+
+
+def _surface_points(gen, n_points: int, seed: int = 1):
+    """Sample feature-like 3D points on the scene geometry (sphere
+    surfaces, box faces, ground disk) so every track corresponds to real
+    scene structure the images actually show."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    areas = []
+    prims = []
+    for c, r, *_ in gen.SPHERES:
+        prims.append(("sphere", c, r))
+        areas.append(4 * np.pi * r * r)
+    for c, h, *_ in gen.BOXES:
+        prims.append(("box", c, h))
+        areas.append(8 * (h[0] * h[1] + h[0] * h[2] + h[1] * h[2]))
+    if gen.GROUND_R > 0:
+        prims.append(("ground",))
+        areas.append(np.pi * gen.GROUND_R ** 2)
+    p_prim = np.asarray(areas) / np.sum(areas)
+    choice = rng.choice(len(prims), n_points, p=p_prim)
+    for k in choice:
+        prim = prims[k]
+        if prim[0] == "sphere":
+            _, c, r = prim
+            d = rng.normal(size=3)
+            d /= np.linalg.norm(d)
+            pts.append(c + r * d)
+        elif prim[0] == "box":
+            _, c, h = prim
+            face = rng.integers(0, 6)
+            ax, sign = face // 2, 1.0 if face % 2 == 0 else -1.0
+            q = rng.uniform(-1, 1, 3)
+            q[ax] = sign
+            pts.append(c + q * h)
+        else:
+            th = rng.uniform(0, 2 * np.pi)
+            rr = gen.GROUND_R * np.sqrt(rng.uniform())
+            pts.append(np.array([rr * np.cos(th), gen.GROUND_Y,
+                                 rr * np.sin(th)]))
+    return np.stack(pts)
+
+
+def _distort(xn, yn, k1, k2):
+    r2 = xn * xn + yn * yn
+    f = 1.0 + k1 * r2 + k2 * r2 * r2
+    return xn * f, yn * f
+
+
+def _render_distorted(gen, c2w, size, K, k1, k2):
+    """Render through the radial model: per-pixel ideal direction via
+    fixed-point inversion of the distortion (8 iterations)."""
+    import jax.numpy as jnp
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    ys, xs = np.meshgrid(np.arange(size, dtype=np.float64),
+                         np.arange(size, dtype=np.float64), indexing="ij")
+    xd = (xs - cx) / fx
+    yd = (ys - cy) / fy
+    xi, yi = xd.copy(), yd.copy()
+    for _ in range(8):
+        r2 = xi * xi + yi * yi
+        f = 1.0 + k1 * r2 + k2 * r2 * r2
+        xi, yi = xd / f, yd / f
+    d = np.stack([xi, yi, np.ones_like(xi)], -1)
+    d = d @ c2w[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(c2w[:3, 3], d.shape).astype(np.float32)
+    img = gen._jitted_tracer()(
+        jnp.asarray(o.reshape(-1, 3)),
+        jnp.asarray(d.reshape(-1, 3), jnp.float32))
+    return np.asarray(img, np.float32).reshape(size, size, 3)
+
+
+def make_capture(gen, out_dir, n_cams, size, n_points, noise_px,
+                 k1=0.0, k2=0.0, seed=0):
+    """Write the reference-format SfM inputs (i.png + calibration.txt +
+    matching{i}.txt) for the current scene, plus gt_poses.npz."""
+    import imageio.v2 as imageio
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 7)
+    c2ws = _ring_rig(n_cams, seed)
+    focal = gen.derive_focal(gen.CAMERA_ANGLE_X, size, "reference")
+    K = np.array([[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]])
+    X = _surface_points(gen, n_points, seed + 1)
+
+    obs = np.zeros((n_cams, n_points, 2))
+    ok = np.zeros((n_cams, n_points), bool)
+    for c in range(n_cams):
+        c2w = c2ws[c]
+        R = c2w[:3, :3].T                   # world->cam
+        t = -R @ c2w[:3, 3]
+        Xc = X @ R.T + t
+        z = Xc[:, 2]
+        xn = Xc[:, 0] / np.maximum(z, 1e-9)
+        yn = Xc[:, 1] / np.maximum(z, 1e-9)
+        if k1 or k2:
+            xn, yn = _distort(xn, yn, k1, k2)
+        u = K[0, 0] * xn + K[0, 2] + rng.normal(0, noise_px, n_points)
+        v = K[1, 1] * yn + K[1, 2] + rng.normal(0, noise_px, n_points)
+        obs[c] = np.stack([u, v], -1)
+        ok[c] = (z > 0.2) & (u >= 0) & (u < size) & (v >= 0) & (v < size)
+        img = (_render_distorted(gen, c2w, size, K, k1, k2)
+               if (k1 or k2) else gen.render_view_jax(c2w, size))
+        imageio.imwrite(os.path.join(out_dir, f"{c + 1}.png"),
+                        (img * 255 + 0.5).astype(np.uint8))
+        print(f"capture view {c + 1}/{n_cams}", flush=True)
+
+    with open(os.path.join(out_dir, "calibration.txt"), "w") as f:
+        for row in K:
+            f.write(" ".join(f"{val:.6f}" for val in row) + "\n")
+    n_rows = 0
+    for i in range(1, n_cams):
+        lines = []
+        for p in range(n_points):
+            if not ok[i - 1, p]:
+                continue
+            js = [j for j in range(i + 1, n_cams + 1) if ok[j - 1, p]]
+            if not js:
+                continue
+            toks = [str(len(js) + 1), "128", "128", "128",
+                    f"{obs[i - 1, p, 0]:.4f}", f"{obs[i - 1, p, 1]:.4f}"]
+            for j in js:
+                toks += [str(j), f"{obs[j - 1, p, 0]:.4f}",
+                         f"{obs[j - 1, p, 1]:.4f}"]
+            lines.append(" ".join(toks))
+            n_rows += len(js)
+        with open(os.path.join(out_dir, f"matching{i}.txt"), "w") as fm:
+            fm.write(f"nFeatures: {len(lines)}\n")
+            fm.write("\n".join(lines) + ("\n" if lines else ""))
+    np.savez(os.path.join(out_dir, "gt_poses.npz"), c2ws=c2ws, K=K, X=X)
+    print(f"capture: {n_cams} views, {n_rows} match rows", flush=True)
+    return c2ws, K
+
+
+def write_gt_dataset(capture_dir, out_dir, holdout_every, near, far):
+    """GT-pose control: same images, same transforms layout / holdout
+    pattern as export_nerf_dataset, ground-truth c2w."""
+    data = np.load(os.path.join(capture_dir, "gt_poses.npz"))
+    c2ws, K = data["c2ws"], data["K"]
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    frames = []
+    for i in range(len(c2ws)):
+        rel = f"images/img_{i + 1:03d}"
+        shutil.copyfile(os.path.join(capture_dir, f"{i + 1}.png"),
+                        os.path.join(out_dir, rel + ".png"))
+        frames.append({"file_path": rel,
+                       "transform_matrix": c2ws[i].tolist()})
+    test_idx = set(range(holdout_every - 1, len(frames), holdout_every))
+    base = {
+        "camera_angle_x": float(2 * np.arctan(0.5 * 2 * K[0, 2] / K[0, 0])),
+        "fl_x": float(K[0, 0]), "fl_y": float(K[1, 1]),
+        "cx": float(K[0, 2]), "cy": float(K[1, 2]),
+        "w": int(2 * K[0, 2]), "h": int(2 * K[1, 2]),
+        "near": float(near), "far": float(far),
+        "source": "bench_sfm_nerf ground-truth control",
+    }
+    for name, split in (
+        ("train", [f for k, f in enumerate(frames) if k not in test_idx]),
+        ("test", [f for k, f in enumerate(frames) if k in test_idx]),
+    ):
+        with open(os.path.join(out_dir, f"transforms_{name}.json"), "w") as f:
+            json.dump(dict(base, frames=split), f, indent=1)
+
+
+def pose_error_vs_gt(capture_dir, sfm_dataset_dir):
+    """Similarity-align (Umeyama) SfM camera centers to GT and report
+    rotation / center errors — the geometry-level view of what the PSNR
+    table shows at the rendering level."""
+    data = np.load(os.path.join(capture_dir, "gt_poses.npz"))
+    c2ws_gt = data["c2ws"]
+    with open(os.path.join(sfm_dataset_dir, "transforms_train.json")) as f:
+        train = json.load(f)
+    with open(os.path.join(sfm_dataset_dir, "transforms_test.json")) as f:
+        test = json.load(f)
+    frames = {fr["sfm_camera_id"]: np.asarray(fr["transform_matrix"])
+              for fr in train["frames"] + test["frames"]}
+    ids = sorted(frames)
+    est = np.stack([frames[i] for i in ids])
+    gt = np.stack([c2ws_gt[i - 1] for i in ids])
+    ce, cg = est[:, :3, 3], gt[:, :3, 3]
+    mu_e, mu_g = ce.mean(0), cg.mean(0)
+    de, dg = ce - mu_e, cg - mu_g
+    U, S, Vt = np.linalg.svd(dg.T @ de)
+    D = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+    R_al = U @ D @ Vt
+    s = np.trace(np.diag(S) @ D) / np.sum(de * de)
+    resid = dg - s * de @ R_al.T
+    center_rms = float(np.sqrt((resid ** 2).sum(1).mean()))
+    rot_errs = []
+    for i in range(len(ids)):
+        Rd = (R_al @ est[i, :3, :3]).T @ gt[i, :3, :3]
+        rot_errs.append(np.degrees(np.arccos(
+            np.clip((np.trace(Rd) - 1) / 2, -1, 1))))
+    return {"n_aligned": len(ids), "center_rms_world": center_rms,
+            "rot_err_deg_mean": float(np.mean(rot_errs)),
+            "rot_err_deg_max": float(np.max(rot_errs))}
+
+
+def run_phase1(capture_dir, export_dir, n_cams, holdout_every, platform,
+               refine_intrinsics="", extra=()):
+    cmd = [
+        sys.executable, os.path.join(_ROOT, "Phase1", "Wrapper.py"),
+        "--data_path", capture_dir, "--num_images", str(n_cams),
+        "--output_dir", os.path.join(capture_dir, "sfm_out"),
+        "--export_nerf", export_dir,
+        "--export_holdout_every", str(holdout_every),
+        "--ransac_confidence", "0.999",
+        "--merge_tracks",
+    ]
+    if platform:
+        cmd += ["--platform", platform]
+    if refine_intrinsics:
+        cmd += ["--ba_refine_intrinsics", refine_intrinsics]
+    cmd += list(extra)
+    print("phase1:", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+    with open(os.path.join(capture_dir, "sfm_out", "sfm_stats.json")) as f:
+        return json.load(f)
+
+
+def run_phase2(dataset_dir, ckpt_dir, max_iters, n_sample, n_rays,
+               platform=""):
+    base = [sys.executable, os.path.join(_ROOT, "Phase2", "train.py"),
+            "--data_path", dataset_dir, "--checkpoint_path", ckpt_dir,
+            "--near", "auto", "--far", "auto",
+            "--images_path", os.path.join(ckpt_dir, "image"),
+            "--n_sample", str(n_sample), "--n_rays_batch", str(n_rays)]
+    if platform:
+        base += ["--platform", platform]
+    subprocess.run(base + ["--mode", "train", "--max_iters", str(max_iters),
+                           "--steps_per_call", "10",
+                           "--save_ckpt_iter", "5000"],
+                   check=True)
+    out = subprocess.run(
+        base + ["--mode", "test"],
+        check=True, capture_output=True, text=True).stdout
+    print(out)
+    psnrs = [float(line.split("PSNR")[1].split()[0].strip(":= "))
+             for line in out.splitlines() if "PSNR" in line]
+    return {"psnr_mean": float(np.mean(psnrs)) if psnrs else None,
+            "psnr_per_view": psnrs}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_cams", type=int, default=24)
+    ap.add_argument("--size", type=int, default=400)
+    ap.add_argument("--n_points", type=int, default=3000)
+    ap.add_argument("--noise_px", type=float, default=0.5)
+    ap.add_argument("--distort_k1", type=float, default=0.0)
+    ap.add_argument("--distort_k2", type=float, default=0.0)
+    ap.add_argument("--holdout_every", type=int, default=6)
+    ap.add_argument("--root", default="/tmp/sfm_nerf_bench")
+    ap.add_argument("--sfm_platform", default="",
+                    help="Phase1 --platform (empty = its default)")
+    ap.add_argument("--max_iters", type=int, default=12001)
+    ap.add_argument("--n_sample", type=int, default=128)
+    ap.add_argument("--n_rays", type=int, default=4096)
+    ap.add_argument("--variants", default="gt,sfm",
+                    help="comma list of gt,sfm,sfm_distorted")
+    ap.add_argument("--near", type=float, default=2.0)
+    ap.add_argument("--far", type=float, default=6.0)
+    args = ap.parse_args()
+
+    gen = _gen_module()
+    variants = args.variants.split(",")
+    results = {}
+
+    cap = os.path.join(args.root, "capture")
+    if not os.path.exists(os.path.join(cap, "gt_poses.npz")):
+        make_capture(gen, cap, args.n_cams, args.size, args.n_points,
+                     args.noise_px)
+    if "sfm_distorted" in variants:
+        capd = os.path.join(args.root, "capture_distorted")
+        if not os.path.exists(os.path.join(capd, "gt_poses.npz")):
+            make_capture(gen, capd, args.n_cams, args.size, args.n_points,
+                         args.noise_px, k1=args.distort_k1,
+                         k2=args.distort_k2, seed=0)
+
+    for variant in variants:
+        if variant == "gt":
+            ds = os.path.join(args.root, "dataset_gt")
+            write_gt_dataset(cap, ds, args.holdout_every,
+                             args.near, args.far)
+            extra_stats = {}
+        elif variant == "sfm":
+            ds = os.path.join(args.root, "dataset_sfm")
+            stats = run_phase1(cap, ds, args.n_cams, args.holdout_every,
+                               args.sfm_platform)
+            extra_stats = {
+                "ba_mean_px": stats["ba"]["final_err_px"]["mean"],
+                "n_registered": stats["n_registered"],
+                **pose_error_vs_gt(cap, ds)}
+        elif variant == "sfm_distorted":
+            capd = os.path.join(args.root, "capture_distorted")
+            ds = os.path.join(args.root, "dataset_sfm_distorted")
+            stats = run_phase1(capd, ds, args.n_cams, args.holdout_every,
+                               args.sfm_platform,
+                               refine_intrinsics="f,pp,k1,k2")
+            extra_stats = {
+                "ba_mean_px": stats["ba"]["final_err_px"]["mean"],
+                "n_registered": stats["n_registered"],
+                **pose_error_vs_gt(capd, ds)}
+        else:
+            raise SystemExit(f"unknown variant {variant}")
+        ck = os.path.join(args.root, f"ckpt_{variant}")
+        shutil.rmtree(ck, ignore_errors=True)
+        res = run_phase2(ds, ck, args.max_iters, args.n_sample, args.n_rays)
+        results[variant] = {**res, **extra_stats}
+        print(json.dumps({"variant": variant, **results[variant]}),
+              flush=True)
+
+    print(json.dumps({"metric": "sfm_to_nerf_heldout_psnr",
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
