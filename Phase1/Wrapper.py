@@ -48,6 +48,15 @@ def main():
                              "instead")
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
+    parser.add_argument("--ransac_adaptive_device", default="auto",
+                        choices=["auto", "host", "device"],
+                        help="with --ransac_confidence > 0: 'host' drives "
+                             "the confidence exit chunk-by-chunk from the "
+                             "host (free dispatch on CPU), 'device' runs it "
+                             "inside ONE lax.while_loop launch (no per-chunk "
+                             "tunnel RTT), 'auto' picks device on any "
+                             "non-CPU backend (ADDITION; same winners "
+                             "either way, pinned by test)")
     parser.add_argument("--ba_max_iters", type=int, default=50)
     parser.add_argument("--runs", type=int, default=1,
                         help="run the full pipeline this many times in one "
@@ -177,6 +186,8 @@ def main():
         ransac_devices=args.ransac_devices,
         ransac_confidence=args.ransac_confidence,
         ransac_batch_pairs=args.ransac_batch_pairs,
+        ransac_adaptive_device={"auto": None, "host": False,
+                                "device": True}[args.ransac_adaptive_device],
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
         ba_max_iters=args.ba_max_iters,
@@ -203,9 +214,15 @@ def main():
         pipe = SfMPipeline(cfg)
         result = pipe.run()
         if args.runs > 1:
+            # per-run result line: a resident service must show its answer
+            # did NOT change across runs (same seed => bit-identical
+            # pipeline), so the invariance is user-visible and testable
+            ba_err = pipe.stats.get("ba", {}).get("final_err_px", {})
             print(
                 f"run {run_i + 1}/{args.runs}: end-to-end "
-                f"{_time.time() - t0:.2f}s  stages = "
+                f"{_time.time() - t0:.2f}s  "
+                f"ba_mean_px={ba_err.get('mean', float('nan')):.6f}  "
+                f"n_registered={pipe.stats.get('n_registered')}  stages = "
                 f"{pipe.stats.get('stage_seconds')}", flush=True,
             )
 

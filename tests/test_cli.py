@@ -424,3 +424,36 @@ def test_platform_flag_and_ckpt_name_conventions(tmp_path):
         if p is not None:
             break
     assert p is not None and p.endswith("model_5.ckpt.npz")
+
+
+def test_phase1_resident_runs_mode(tmp_path):
+    """--runs N (the resident-service mode, PERFORMANCE.md round-3/4
+    Phase1-on-TPU steady-state story) is a first-class tested mode: the
+    pipeline runs N times in ONE process, every run completes, and the
+    ANSWER is run-invariant (same seed => same pipeline; pass 2+ only
+    drops compile/load overhead, never changes results)."""
+    import re
+    import subprocess
+    import sys
+
+    data = os.path.join("/root/reference", "Phase1", "Data")
+    if not os.path.isdir(data):
+        import pytest
+
+        pytest.skip("bundled reference dataset unavailable")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "Phase1", "Wrapper.py"),
+         "--data_path", data, "--output_dir", str(tmp_path),
+         "--platform", "cpu", "--runs", "2",
+         "--ransac_iters", "1000", "--pnp_iters", "1000",
+         "--ba_max_iters", "15"],
+        capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines()
+             if re.match(r"run \d/2:", ln)]
+    assert len(lines) == 2, out.stdout[-2000:]
+    stats = [re.search(
+        r"ba_mean_px=([0-9.]+)\s+n_registered=(\d+)", ln) for ln in lines]
+    assert all(stats), lines
+    assert stats[0].group(1) == stats[1].group(1), lines
+    assert stats[0].group(2) == stats[1].group(2) == "5", lines
