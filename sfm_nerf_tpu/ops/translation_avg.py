@@ -134,11 +134,24 @@ def _solve(pairs, u, w_edge, N, anchor, n_irls):
         C[keep] = sol
         C = C.reshape(N, 3)
 
-        # IRLS toward the LUD objective: w = 1/max(||r||, h)
-        r = np.einsum("mab,mb->ma", P, C[pairs[:, 1]] - C[pairs[:, 0]])
+        # IRLS: robust ANGULAR reweighting.  The raw objective's residual
+        # r_m = P_m (C_j - C_i) scales with the baseline LENGTH, so a
+        # graph of short local edges (a camera ring with window-k pairs —
+        # the 200-camera bench's shape) under-constrains its long radial
+        # modes: every tangential edge's metric residual is tiny even when
+        # its ANGLE is not.  w = 1/(max(||r||, h) * max(||d||, hb)) makes
+        # the weighted residual ~ the direction angle (|r| ~ |d| sin
+        # theta) while keeping the LUD 1/||r|| outlier downweighting.
+        # Measured on the 200-ring/window-7 graph at 0.005 direction
+        # noise: mean center error 0.42 -> 0.16 world units (scene 12);
+        # the 50-camera random-spread and outlier-edge tests hold.
+        d = C[pairs[:, 1]] - C[pairs[:, 0]]
+        r = np.einsum("mab,mb->ma", P, d)
         rn = np.linalg.norm(r, axis=-1)
+        dn = np.linalg.norm(d, axis=-1)
         h = max(1e-6, float(np.median(rn)) * 0.1 + 1e-12)
-        w_irls = 1.0 / np.maximum(rn, h)
+        hb = max(1e-6, float(np.median(dn)) * 1e-3)
+        w_irls = 1.0 / (np.maximum(rn, h) * np.maximum(dn, hb))
         w_irls /= w_irls.mean()
     return C
 

@@ -102,3 +102,45 @@ def test_global_init_recovers_50_camera_rig():
     err = np.linalg.norm(C_est - C, axis=-1)
     scene = np.linalg.norm(C, axis=-1).max()
     assert err.mean() < 0.01 * scene, err.mean() / scene
+
+
+def test_global_init_recovers_200_camera_ring():
+    """The 200-camera bench's pose-graph shape — a ring with window-7
+    edges (wrap-around loop closures included) — through BOTH averagers:
+    drift cannot accumulate along the chain because every edge is solved
+    jointly (VERDICT r3 next #2 at the scale it names)."""
+    rng = np.random.default_rng(11)
+    n = 200
+    import cv2
+
+    # ring rig like tests/util_synthetic.write_reference_format_dataset
+    th = 2 * np.pi * np.arange(n) / n
+    C = np.stack([6 * np.cos(th), 0.4 * np.sin(3 * th), 6 * np.sin(th)], -1)
+    C -= C[0]
+    Rs = random_rotations(rng, n)
+    Rs = np.einsum("nij,jk->nik", Rs, Rs[0].T)
+    pairs = sorted(set(
+        (min(i, (i + d) % n), max(i, (i + d) % n))
+        for i in range(n) for d in range(1, 8)))
+    R_rel, u_world = [], []
+    for i, j in pairs:
+        dR = cv2.Rodrigues(rng.normal(0, np.radians(0.3), 3))[0]
+        R_rel.append(dR @ Rs[j] @ Rs[i].T)
+        c_rel = Rs[i] @ (C[j] - C[i])
+        c_rel = c_rel / np.linalg.norm(c_rel)
+        c_rel += rng.normal(0, 0.005, 3)
+        u_world.append(pair_direction_world(Rs[i], c_rel))
+
+    R_est = np.asarray(rotation_averaging(pairs, np.stack(R_rel), n))
+    ang = []
+    for k in range(n):
+        cosang = (np.trace(R_est[k] @ Rs[k].T) - 1) / 2
+        ang.append(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+    assert np.mean(ang) < 0.5, f"rotation avg mean err {np.mean(ang):.2f}"
+
+    C_est = align(translation_averaging(pairs, np.stack(u_world), n), C)
+    err = np.linalg.norm(C_est - C, axis=-1)
+    scene = np.linalg.norm(C, axis=-1).max()
+    # a 0.005-noise direction chain 100 deep would drift to several
+    # percent of the scene; the joint solve stays sub-percent
+    assert err.mean() < 0.01 * scene, err.mean() / scene
