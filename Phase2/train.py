@@ -59,6 +59,11 @@ def configParser():
     parser.add_argument('--render_variant', default='train', help="train|legacy compositor")
     parser.add_argument('--arch', default='active', help="active|legacy MLP architecture")
     parser.add_argument('--no_pos_encoding', action='store_true', help="positional-encoding ablation")
+    parser.add_argument('--density_bias_init', default=0.0, type=float,
+                        help="initial density-head bias (ADDITION): start "
+                             "sparse scenes as thin fog so the density "
+                             "field cannot collapse to the all-empty "
+                             "optimum (see config.NeRFModelConfig)")
     parser.add_argument('--lindisp', action='store_true',
                         help="stratified samples linear in INVERSE depth "
                              "(for real/SfM scenes whose depth spans "
@@ -127,6 +132,7 @@ def build_config(args):
             hidden=int(args.hidden_size),
             pos_encoding=not args.no_pos_encoding,
             arch=args.arch,
+            density_bias_init=float(getattr(args, "density_bias_init", 0.0)),
         ),
         render=RenderConfig(
             n_sample=int(args.n_sample),

@@ -36,6 +36,18 @@ class NeRFModelConfig:
     # legacy-arch structure knobs (to ingest every shipped .pth layout):
     n_block1_layers: int = 3
     has_skip: bool = True
+    # ADDITION (no reference counterpart; the reference never trains a
+    # sparse scene): initial bias of the density head.  0.0 keeps the
+    # reference init.  On mostly-empty scenes (a dark single object on a
+    # black background — chair800) the default init collapses: ~87% of
+    # rays want zero density, the first ~100 steps push every density
+    # pre-activation far negative, and the softplus gradient (~e^x)
+    # asymptotically dies before the object can form — measured: 20k
+    # steps stuck at the near-all-black plateau, rendered views exactly
+    # black.  A positive bias starts the field as thin fog everywhere so
+    # every ray carries gradient until geometry carves it away.  Init-
+    # level only: both the XLA and fused-Pallas paths get it for free.
+    density_bias_init: float = 0.0
 
     @property
     def pos_dim(self) -> int:

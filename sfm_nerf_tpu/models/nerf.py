@@ -92,6 +92,16 @@ def init_nerf_params(key: jax.Array, cfg: NeRFModelConfig, dtype=jnp.float32) ->
         params["rgb2"] = _linear_init(next(keys), 128, 3, dtype)
     else:
         raise ValueError(f"unknown arch {cfg.arch!r}")
+    if cfg.density_bias_init:
+        # sparse-scene anti-collapse init (config.py:density_bias_init):
+        # start the density head's pre-activation positive so the field
+        # opens as thin fog and every ray carries gradient
+        b = jnp.asarray(cfg.density_bias_init, dtype)
+        if cfg.arch == "active":
+            params["density"]["b"] = params["density"]["b"] + b
+        else:
+            # legacy: density is channel 0 of the block2_2 output
+            params["block2_2"]["b"] = params["block2_2"]["b"].at[0].add(b)
     return params
 
 

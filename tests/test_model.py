@@ -234,3 +234,33 @@ def test_active_export_runs_reference_class(tmp_path):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_density_bias_init_shifts_head_both_archs():
+    """density_bias_init (sparse-scene anti-collapse, config.py) shifts
+    exactly the density head's bias — 'active': the density Linear;
+    'legacy': channel 0 of block2_2 — and nothing else, so a 0.0 value
+    keeps reference-init parity bit-for-bit."""
+    import jax
+    import numpy as np
+
+    from sfm_nerf_tpu.config import NeRFModelConfig
+    from sfm_nerf_tpu.models import init_nerf_params
+
+    for arch in ("active", "legacy"):
+        base = init_nerf_params(
+            jax.random.key(0), NeRFModelConfig(arch=arch, hidden=64))
+        shifted = init_nerf_params(
+            jax.random.key(0),
+            NeRFModelConfig(arch=arch, hidden=64, density_bias_init=0.5))
+        for name in base:
+            for leaf in base[name]:
+                a = np.asarray(base[name][leaf])
+                b = np.asarray(shifted[name][leaf])
+                if arch == "active" and name == "density" and leaf == "b":
+                    np.testing.assert_allclose(b, a + 0.5, rtol=1e-6)
+                elif arch == "legacy" and name == "block2_2" and leaf == "b":
+                    np.testing.assert_allclose(b[0], a[0] + 0.5, rtol=1e-6)
+                    np.testing.assert_array_equal(b[1:], a[1:])
+                else:
+                    np.testing.assert_array_equal(b, a, err_msg=(arch, name, leaf))
