@@ -56,6 +56,13 @@ GROUND_R = 2.2
 LIGHT = np.array([0.40, 1.00, 0.25])
 LIGHT = LIGHT / np.linalg.norm(LIGHT)
 AMBIENT = 0.18
+BACKGROUND = 0.0   # miss-ray color; set_background('white') -> 1.0 (the
+# nerf_synthetic-style white-composited capture — train with --white_bkgd)
+
+
+def set_background(name: str) -> None:
+    global BACKGROUND
+    BACKGROUND = {"black": 0.0, "white": 1.0}[name]
 
 # The reference's trained checkpoint families span TWO object classes —
 # the multi-object lego scene (checkpoints_tmp/lego/) and the single-object
@@ -280,7 +287,7 @@ def trace(o: np.ndarray, d: np.ndarray) -> np.ndarray:
     spec = np.clip(np.einsum("...k,...k->...", n, h), 0, 1) ** s_exp
     rgb = (albedo * (AMBIENT + 0.85 * lam * lit)[..., None]
            + (k_spec * spec * lit)[..., None])
-    rgb = np.where(hit[..., None], rgb, 0.0)   # black background: the
+    rgb = np.where(hit[..., None], rgb, BACKGROUND)   # black background: the
     # reference drops alpha from the RGBA lego PNGs (train.py:43), which
     # leaves its GT background black — same effective training target here
     return np.clip(rgb, 0.0, 1.0)
@@ -437,7 +444,7 @@ def _trace_jax(o, d):
     spec = jnp.clip(jnp.sum(n * hvec, -1), 0, 1) ** s_exp
     rgb = (albedo * (AMBIENT + 0.85 * lam * lit)[..., None]
            + (k_spec * spec * lit)[..., None])
-    rgb = jnp.where(hit[..., None], rgb, 0.0)
+    rgb = jnp.where(hit[..., None], rgb, BACKGROUND)
     return jnp.clip(rgb, 0.0, 1.0)
 
 
@@ -458,6 +465,7 @@ def _jitted_tracer():
         tuple((tuple(c), tuple(h), tex, ks, ex)
               for c, h, tex, ks, ex in BOXES),
         float(GROUND_R),
+        float(BACKGROUND),
     )
     if key not in _JAX_TRACE_CACHE:
         scene = (list(SPHERES), list(BOXES), GROUND_R)
@@ -544,6 +552,11 @@ def main():
                     help="'spheres' = the shipped multi-object synth800 "
                          "scene; 'chair' = single-object chair-class scene "
                          "(the reference's second checkpoint family)")
+    ap.add_argument("--background", default="black",
+                    choices=["black", "white"],
+                    help="miss-ray color; 'white' matches the standard "
+                         "white-composited nerf_synthetic captures (train "
+                         "with --white_bkgd)")
     ap.add_argument("--trace_backend", default="numpy",
                     choices=["numpy", "jax"],
                     help="'numpy' is the shipped synth800 path (f64, "
@@ -553,6 +566,7 @@ def main():
     args = ap.parse_args()
 
     set_scene(args.scene)
+    set_background(args.background)
     views = camera_rig(args.n_train, args.n_test, args.seed)
     for mode, poses in views.items():
         frames = []

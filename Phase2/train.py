@@ -59,6 +59,12 @@ def configParser():
     parser.add_argument('--render_variant', default='train', help="train|legacy compositor")
     parser.add_argument('--arch', default='active', help="active|legacy MLP architecture")
     parser.add_argument('--no_pos_encoding', action='store_true', help="positional-encoding ablation")
+    parser.add_argument('--white_bkgd', action='store_true',
+                        help="composite onto a white background (standard "
+                             "NeRF option for synthetic single objects — "
+                             "ADDITION; kills the all-empty local optimum "
+                             "a dark object on black cannot escape; "
+                             "supported by both XLA and fused paths)")
     parser.add_argument('--density_bias_init', default=0.0, type=float,
                         help="initial density-head bias (ADDITION): start "
                              "sparse scenes as thin fog so the density "
@@ -144,6 +150,7 @@ def build_config(args):
             chunk_size=int(args.chunk_size),
             variant=args.render_variant,
             use_fused_kernel=bool(getattr(args, "fused", False)),
+            white_background=bool(getattr(args, "white_bkgd", False)),
         ),
         train=TrainConfig(
             lrate=float(args.lrate),
