@@ -337,7 +337,21 @@ def main():
                     help="comma list of gt,sfm,sfm_distorted")
     ap.add_argument("--near", type=float, default=2.0)
     ap.add_argument("--far", type=float, default=6.0)
+    ap.add_argument("--capture_platform", default="default",
+                    choices=["default", "cpu"],
+                    help="backend for the capture's jax tracer; 'cpu' keeps "
+                         "this process off the TPU so captures can proceed "
+                         "while a training job owns the chip (the container "
+                         "allows one TPU process at a time)")
     args = ap.parse_args()
+
+    if args.capture_platform == "cpu":
+        # must beat the container's sitecustomize (it registers the axon
+        # backend programmatically, overriding JAX_PLATFORMS) — same
+        # pattern as tests/conftest.py
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     gen = _gen_module()
     variants = args.variants.split(",")
