@@ -66,6 +66,14 @@ def main():
                              "service sees — the tunneled relay pays a "
                              "one-time per-executable load on each "
                              "program's first launch, all in pass 1)")
+    parser.add_argument("--bucket_floor", type=int, default=-1,
+                        help="point-axis pow2-bucket floor: -1 auto (4096 "
+                             "on an accelerator, per-op default 64 on CPU), "
+                             "0 = per-op default everywhere, >0 explicit.  "
+                             "Merging the small shape buckets into one cuts "
+                             "the per-process executable count ~3x per op "
+                             "on a relay-attached chip; results are "
+                             "bucket-invariant (the true count is data)")
     parser.add_argument("--ba_interval", type=int, default=0,
                         help="run a light global BA after every this many "
                              "camera registrations (0 = off; bounds "
@@ -203,6 +211,7 @@ def main():
         init_pair=args.init_pair,
         view_order=args.view_order,
         merge_tracks=args.merge_tracks,
+        bucket_floor=args.bucket_floor,
         seed=args.seed,
         output_dir=args.output_dir,
     )

@@ -95,6 +95,11 @@ def configParser():
                         help="deterministic mid-bin sampling for gif frames "
                              "(the reference's legacy renderer always "
                              "jitters, Wrapper.py:148-149)")
+    parser.add_argument('--white_bkgd', action='store_true',
+                        help="composite gif/eval frames onto a white "
+                             "background — must match how the checkpoint "
+                             "was trained (train.py --white_bkgd), or empty "
+                             "space renders black")
     parser.add_argument('--plot_rays', action='store_true',
                         help="write a 3-D ray-fan debug plot per gif frame "
                              "(ray_plot_{count}.png; the reference's "
@@ -225,6 +230,7 @@ def run_gif(args):
             perturb=not args.no_perturb,
             variant="train" if args.train_variant else "legacy",
             use_fused_kernel=bool(args.fused),
+            white_background=bool(args.white_bkgd),
         ),
     )
     render_image = make_render_image(cfg)

@@ -343,6 +343,13 @@ def main():
                          "this process off the TPU so captures can proceed "
                          "while a training job owns the chip (the container "
                          "allows one TPU process at a time)")
+    ap.add_argument("--phase1_only", action="store_true",
+                    help="run captures + Phase1 + pose-error alignment and "
+                         "stop before NeRF training — lets the CPU-bound "
+                         "SfM half run while the TPU is busy; a later "
+                         "invocation without this flag reuses the capture "
+                         "and dataset dirs (Phase1 is skipped if its export "
+                         "already exists)")
     args = ap.parse_args()
 
     if args.capture_platform == "cpu":
@@ -376,8 +383,11 @@ def main():
             extra_stats = {}
         elif variant == "sfm":
             ds = os.path.join(args.root, "dataset_sfm")
-            stats = run_phase1(cap, ds, args.n_cams, args.holdout_every,
-                               args.sfm_platform)
+            if not os.path.exists(os.path.join(ds, "transforms_train.json")):
+                run_phase1(cap, ds, args.n_cams, args.holdout_every,
+                           args.sfm_platform)
+            with open(os.path.join(cap, "sfm_out", "sfm_stats.json")) as f:
+                stats = json.load(f)
             extra_stats = {
                 "ba_mean_px": stats["ba"]["final_err_px"]["mean"],
                 "n_registered": stats["n_registered"],
@@ -385,15 +395,23 @@ def main():
         elif variant == "sfm_distorted":
             capd = os.path.join(args.root, "capture_distorted")
             ds = os.path.join(args.root, "dataset_sfm_distorted")
-            stats = run_phase1(capd, ds, args.n_cams, args.holdout_every,
-                               args.sfm_platform,
-                               refine_intrinsics="f,pp,k1,k2")
+            if not os.path.exists(os.path.join(ds, "transforms_train.json")):
+                run_phase1(capd, ds, args.n_cams, args.holdout_every,
+                           args.sfm_platform,
+                           refine_intrinsics="f,pp,k1,k2")
+            with open(os.path.join(capd, "sfm_out", "sfm_stats.json")) as f:
+                stats = json.load(f)
             extra_stats = {
                 "ba_mean_px": stats["ba"]["final_err_px"]["mean"],
                 "n_registered": stats["n_registered"],
                 **pose_error_vs_gt(capd, ds)}
         else:
             raise SystemExit(f"unknown variant {variant}")
+        if args.phase1_only:
+            results[variant] = extra_stats
+            print(json.dumps({"variant": variant, **extra_stats}),
+                  flush=True)
+            continue
         ck = os.path.join(args.root, f"ckpt_{variant}")
         shutil.rmtree(ck, ignore_errors=True)
         res = run_phase2(ds, ck, args.max_iters, args.n_sample, args.n_rays)

@@ -284,6 +284,14 @@ class SfMConfig:
     # per-file feature namespace never reconciles re-detections)
     merge_tracks: bool = False
     merge_tol: float = 0.5           # px; detector re-runs emit identical
+    # point-axis pow2-bucket floor (utils/buckets.py): -1 auto-selects
+    # 4096 on any accelerator backend and leaves the CPU at the per-op
+    # default 64; 0 forces the per-op default everywhere; >0 is explicit.
+    # On a relay-attached chip every distinct executable pays a one-time
+    # per-process load, so merging the 512..4096 point buckets into one
+    # cuts the new-process launch count ~3x per op at negligible padded
+    # compute; winners/results are bucket-invariant (n_valid is data).
+    bucket_floor: int = -1
     seed: int = 0
     output_dir: str = "."
     show: bool = False               # headless by default (no cv2.imshow)

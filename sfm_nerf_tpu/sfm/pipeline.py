@@ -56,7 +56,6 @@ from sfm_nerf_tpu.ops.epipolar import (
 from sfm_nerf_tpu.ops.pnp import (
     nonlinear_pnp_bucketed,
     pnp_ransac_bucketed,
-    reprojection_error_mean_px,
 )
 from sfm_nerf_tpu.ops.triangulation import (
     disambiguate_pose,
@@ -87,6 +86,27 @@ def _reproj_err_px(K, R, C, X, uv):
     return np.where((z > 1e-8) & np.isfinite(e), e, np.inf)
 
 
+def _mean_err_px_np(K, R, C, X, uv, w) -> float:
+    """Host-side weighted-mean Euclidean pixel error — the numpy mirror of
+    ops.pnp.reprojection_error_mean_px (P = K R [I|-C], plain perspective
+    divide, no gating) for the per-registration stat prints.  These run
+    once per camera with that camera's raw correspondence count, so on a
+    relay-attached accelerator each print would load a fresh per-shape
+    executable chain; the quantity is informational (reference parity:
+    PnP.py:132-158 prints) and f64 numpy on the host is both exact and
+    free."""
+    K = np.asarray(K, np.float64)
+    R = np.asarray(R, np.float64)
+    C = np.asarray(C, np.float64).reshape(3)
+    P = K @ R @ np.hstack([np.eye(3), -C[:, None]])
+    Xh = np.hstack([np.asarray(X, np.float64), np.ones((len(X), 1))])
+    x = Xh @ P.T
+    proj = x[:, :2] / x[:, 2:3]
+    err = np.linalg.norm(proj - np.asarray(uv, np.float64), axis=-1)
+    w = np.asarray(w, np.float64)
+    return float(np.sum(err * w) / max(np.sum(w), 1.0))
+
+
 @dataclasses.dataclass
 class TwoViewResult:
     C: np.ndarray
@@ -105,6 +125,16 @@ class SfMPipeline:
         self.cfg = cfg
         self.key = jax.random.key(cfg.seed)
         self.stats: Dict = {}
+        # point-axis bucket policy (SfMConfig.bucket_floor): merge the
+        # small pow2 buckets into one on accelerator backends, where each
+        # distinct executable pays a one-time per-process relay load
+        from sfm_nerf_tpu.utils.buckets import set_point_bucket_floor
+
+        if cfg.bucket_floor == -1:
+            set_point_bucket_floor(
+                4096 if jax.default_backend() != "cpu" else 0)
+        else:
+            set_point_bucket_floor(cfg.bucket_floor)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -426,17 +456,14 @@ class SfMPipeline:
                     K=np.asarray(K), n_inliers=int(res.n_inliers),
                 )
             return None, None
-        w = res.inliers.astype(jnp.asarray(K).dtype)
-        err_lin = float(reprojection_error_mean_px(
-            jnp.asarray(K), res.R, res.C, jnp.asarray(obj_points),
-            jnp.asarray(img_points), weights=w))
+        w = np.asarray(res.inliers, np.float64)
+        err_lin = _mean_err_px_np(
+            K, res.R, res.C, obj_points, img_points, w)
         C, R, rms = nonlinear_pnp_bucketed(
-            K, res.R, res.C, obj_points, img_points, np.asarray(w),
+            K, res.R, res.C, obj_points, img_points, w,
             n_iters=cfg.pnp_refine_iters,
         )
-        err_nl = float(reprojection_error_mean_px(
-            jnp.asarray(K), R, C, jnp.asarray(obj_points),
-            jnp.asarray(img_points), weights=w))
+        err_nl = _mean_err_px_np(K, R, C, obj_points, img_points, w)
         print(
             f"Error after linear PnP: {err_lin}, "
             f"Error after non-linear PnP: {err_nl}"

@@ -11,7 +11,32 @@ from __future__ import annotations
 
 import numpy as np
 
+# Process-wide override for the POINT-axis bucket floor (the calls that use
+# the default floor=64).  On a relay-attached accelerator every distinct
+# executable pays a one-time per-process load (~0.1-0.2 s each over the
+# tunnel; PERFORMANCE.md "resident steady state"), so a run that would
+# compile 3-4 point-size buckets per op (512/1024/2048/4096 on the bundled
+# data) merges them into ONE by raising the floor to cover the dataset's
+# match counts.  Result-invariant by construction: the jitted cores take
+# the true count (n_valid) as data — RANSAC draws are U[i, n_valid) and
+# scoring masks padded rows, so the winning iteration and inlier set are
+# identical across bucket sizes and the fitted model agrees to rounding
+# (longer padded reductions reassociate; pinned by
+# test_bucket_floor_invariance).  Camera-axis buckets
+# (explicit floor=8) are never touched — padding a camera axis to 4096
+# would explode the BA system.
+_POINT_FLOOR = 64
+
+
+def set_point_bucket_floor(floor: int | None) -> None:
+    """Raise (or reset, with None/0) the minimum point-axis bucket."""
+    global _POINT_FLOOR
+    _POINT_FLOOR = max(64, int(floor)) if floor else 64
+
 
 def pow2_bucket(n: int, floor: int = 64) -> int:
-    """Smallest power of two >= max(n, floor)."""
+    """Smallest power of two >= max(n, floor).  Calls that leave ``floor``
+    at its default participate in the point-axis floor override above."""
+    if floor == 64:
+        floor = _POINT_FLOOR
     return 1 << max(int(np.ceil(np.log2(max(n, floor)))), int(np.log2(floor)))

@@ -92,6 +92,20 @@ def test_steps_per_call_flag_reaches_config():
     assert cfg.train.steps_per_call == 8
 
 
+def test_white_bkgd_flag_reaches_config():
+    """--white_bkgd (the chair800 training mode) and --density_bias_init
+    (sparse-scene anti-collapse) must land in RenderConfig/NeRFModelConfig;
+    both default OFF for reference-init/compositing parity."""
+    mod = load_module("Phase2/train.py")
+    cfg = mod.build_config(mod.configParser().parse_args([]))
+    assert cfg.render.white_background is False
+    assert cfg.model.density_bias_init == 0.0
+    cfg = mod.build_config(mod.configParser().parse_args(
+        ["--white_bkgd", "--density_bias_init", "0.5"]))
+    assert cfg.render.white_background is True
+    assert cfg.model.density_bias_init == 0.5
+
+
 def test_fused_flag_reaches_training_with_envelope_fallback():
     """--fused turns on the fused training kernel; outside the fused
     envelope (hierarchical sampling, legacy variant, non-128-multiple

@@ -56,6 +56,28 @@ def test_jax_tracer_matches_numpy(gen, scene):
     assert 0.02 < (a.sum(-1) > 0).mean() < 0.9
 
 
+def test_white_background_both_backends(gen):
+    """--background white (the chair800 capture mode: a dark object on
+    black trains into the all-empty optimum, so the shipped chair800 is
+    white-composited).  Miss rays must be exactly 1.0 on BOTH backends,
+    and set_background must be part of the jax tracer's jit-cache
+    fingerprint — a stale cache would replay the black-background scene
+    (same failure mode as the scene-switch test below)."""
+    a_black, b_black = _view(gen, "chair")
+    gen.set_background("white")
+    try:
+        a, b = _view(gen, "chair")
+    finally:
+        gen.set_background("black")
+    for img, backend in ((a, "numpy"), (b, "jax")):
+        corner = img[0, 0]
+        assert np.allclose(corner, 1.0), (backend, corner)
+        # the object itself still renders (not washed out to all-white)
+        assert (img.min(axis=-1) < 0.9).mean() > 0.02, backend
+    # background flipped relative to the black render of the same view
+    assert np.allclose(a_black[0, 0], 0.0) and np.allclose(b_black[0, 0], 0.0)
+
+
 def test_jax_tracer_scene_switch_not_cached(gen):
     """set_scene() must invalidate the jitted tracer: jax caches jaxprs by
     function object, and the tracer reads the scene globals at trace time
