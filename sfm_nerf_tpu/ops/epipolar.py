@@ -623,7 +623,10 @@ def ransac_fundamental_bucketed(
     import numpy as np
 
     n = len(pts1_np)
-    bucket = pow2_bucket(n)
+    # floored=False: the F-RANSAC executables are the pipeline's largest
+    # and their per-process relay cost scales sharply with the bucket —
+    # keep natural pow2 buckets here (see utils/buckets.py:pow2_bucket)
+    bucket = pow2_bucket(n, floored=False)
     pad = bucket - n
     p1 = jnp.asarray(np.pad(np.asarray(pts1_np, np.float64), ((0, pad), (0, 0))))
     p2 = jnp.asarray(np.pad(np.asarray(pts2_np, np.float64), ((0, pad), (0, 0))))
@@ -913,7 +916,11 @@ def ransac_fundamental_pairs_bucketed(
     items = list(items)
     groups: dict = {}
     for pos, (k, a, b) in enumerate(items):
-        groups.setdefault(pow2_bucket(len(a)), []).append((pos, k, a, b))
+        # floored=False: natural buckets for the big F-RANSAC programs
+        # (utils/buckets.py:pow2_bucket — the merged 4096 executable's
+        # per-process relay cost measured ~12x the natural-bucket set)
+        groups.setdefault(
+            pow2_bucket(len(a), floored=False), []).append((pos, k, a, b))
     out = [None] * len(items)
     used_per_item = [0] * len(out)
     split_groups = []

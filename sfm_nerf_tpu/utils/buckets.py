@@ -34,9 +34,20 @@ def set_point_bucket_floor(floor: int | None) -> None:
     _POINT_FLOOR = max(64, int(floor)) if floor else 64
 
 
-def pow2_bucket(n: int, floor: int = 64) -> int:
+def pow2_bucket(n: int, floor: int = 64, *, floored: bool = True) -> int:
     """Smallest power of two >= max(n, floor).  Calls that leave ``floor``
-    at its default participate in the point-axis floor override above."""
-    if floor == 64:
+    at its default participate in the point-axis floor override above;
+    ``floored=False`` opts a call site out.
+
+    The F-RANSAC cores opt OUT: their compiled artifacts are the largest
+    in the pipeline and their per-process relay cost scales sharply with
+    the point bucket (measured on the v5e tunnel: the refine stage's
+    first-touch went 19.3 s at natural 256..2048 buckets -> ~230 s at a
+    merged 4096 bucket, for BOTH the pair-axis and single-pair adaptive
+    programs, warm persistent cache) — merging buckets there trades a
+    second small program for one giant one and loses.  The small
+    registration-side programs (PnP, triangulation, BA glue) win from
+    merging: registration stage 20.6 -> 10.6 s warm new-process."""
+    if floored and floor == 64:
         floor = _POINT_FLOOR
     return 1 << max(int(np.ceil(np.log2(max(n, floor)))), int(np.log2(floor)))

@@ -242,35 +242,41 @@ def test_ransac_bucketed_matches_unpadded():
 
 def test_bucket_floor_invariance():
     """Raising the point-axis bucket floor (SfMConfig.bucket_floor — the
-    accelerator default merges the 512..4096 buckets into one executable)
-    must not change the WINNER: draws are U[i, n_valid) keyed by shape
-    (n_hyp, k) only, and scoring masks padded rows, so the winning
-    iteration and its inlier set are identical across buckets.  The model
-    matrix itself agrees to rounding only — reductions over a longer
-    padded axis reassociate (same phenomenon as the parallel/ba.py
-    tolerance contract), so F is compared allclose, not bit-equal."""
-    from sfm_nerf_tpu.ops.epipolar import ransac_fundamental_bucketed
+    accelerator default merges the small buckets into one executable for
+    the REGISTRATION-side ops) must not change the WINNER: draws are
+    U[i, n_valid) keyed by shape (n_hyp, k) only, and scoring masks padded
+    rows, so the winning inlier set is identical across buckets.  The
+    fitted model agrees to rounding only — reductions over a longer padded
+    axis reassociate (same phenomenon as the parallel/ba.py tolerance
+    contract).  The F-RANSAC cores opt OUT of the floor entirely (their
+    executables' per-process relay cost scales sharply with the bucket —
+    pow2_bucket docstring), pinned here via the floored= flag."""
+    from sfm_nerf_tpu.ops.pnp import pnp_ransac_bucketed
     from sfm_nerf_tpu.utils.buckets import pow2_bucket, set_point_bucket_floor
 
-    _, pts1, pts2, _ = two_view_correspondences(noise=0.3, outlier_frac=0.3)
-    key = jax.random.key(7)
-    run = lambda: ransac_fundamental_bucketed(
-        key, pts1, pts2, n_iters=2000, chunk=256)
+    from test_pnp import cam_setup
+
+    X, x, K, _, _ = cam_setup(noise=1.0, n=100)
+    key = jax.random.key(5)
+    run = lambda: pnp_ransac_bucketed(key, X, x, K, n_iters=512)
     try:
         set_point_bucket_floor(None)
-        assert pow2_bucket(len(pts1)) == 512
+        assert pow2_bucket(len(X)) == 128
         base = run()
         set_point_bucket_floor(4096)
-        assert pow2_bucket(len(pts1)) == 4096
+        assert pow2_bucket(len(X)) == 4096
         assert pow2_bucket(5, floor=8) == 8   # camera-axis floors untouched
+        # F-RANSAC call sites keep natural buckets under any floor
+        assert pow2_bucket(len(X), floored=False) == 128
         merged = run()
     finally:
         set_point_bucket_floor(None)
-    assert int(base.best_iter) == int(merged.best_iter)
     np.testing.assert_array_equal(
         np.asarray(base.inliers), np.asarray(merged.inliers))
     np.testing.assert_allclose(
-        np.asarray(base.F), np.asarray(merged.F), rtol=1e-9, atol=1e-12)
+        np.asarray(base.R), np.asarray(merged.R), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(base.C), np.asarray(merged.C), rtol=1e-9, atol=1e-9)
 
 
 def test_draw_minimal_samples_duplicate_free_and_valid_only():
