@@ -131,13 +131,20 @@ def cheirality_counts(
     Rs: jnp.ndarray,       # (4, 3, 3)
     R1: jnp.ndarray = None,
     C1: jnp.ndarray = None,
+    n_valid: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """#points passing the two-camera depth test per candidate
     (Triangulation.py:372-401).  Camera 1 defaults to identity at the
     origin (the reference's two-view case — it tests raw world z there,
     which is camera-1 depth ONLY under that default); a registered
     non-identity camera-1 pose must test depth in ITS frame or the vote
-    picks mirrored candidates."""
+    picks mirrored candidates.
+
+    ``n_valid`` (traced scalar): rows >= n_valid are bucket padding and
+    are excluded from the vote, so the winner is exactly invariant to the
+    point-axis bucket size (advisor r4: cyclic-repeat padding alone leaves
+    the vote's per-point weighting floor-dependent, which can flip
+    near-tie picks across platforms with different bucket floors)."""
     if R1 is None:
         z1_ok = points[..., 2] > 0
     else:
@@ -147,7 +154,10 @@ def cheirality_counts(
     r3 = Rs[:, 2, :]                                 # (4, 3)
     v = points - Cs[:, None, :]
     z2_ok = jnp.einsum("pj,pnj->pn", r3, v, precision=HI) > 0
-    return jnp.sum(z1_ok & z2_ok, axis=-1)
+    ok = z1_ok & z2_ok
+    if n_valid is not None:
+        ok = ok & (jnp.arange(points.shape[1]) < n_valid)[None, :]
+    return jnp.sum(ok, axis=-1)
 
 
 def disambiguate_pose(
@@ -155,9 +165,13 @@ def disambiguate_pose(
     Cs: jnp.ndarray, Rs: jnp.ndarray,
     pts1: jnp.ndarray, pts2: jnp.ndarray,
     R1: jnp.ndarray = None, T1: jnp.ndarray = None,
+    n_valid: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Triangulate under all 4 candidate poses (camera 1 at R1/T1) and pick
     the cheirality winner.  Returns (X (N,3), C, R, all_points (4,N,3), idx).
+    ``n_valid`` masks bucket-padding rows out of the cheirality vote (pass
+    a device scalar, not a Python int, so the bucketed programs stay
+    shape-keyed).
     """
     if R1 is None:
         R1 = jnp.eye(3, dtype=K.dtype)
@@ -172,7 +186,8 @@ def disambiguate_pose(
     all_points = jax.lax.map(tri, (Cs, Rs))          # (4, N, 3)
     # camera 1's center for its depth test (C1 = -R1^T T1)
     C1 = -jnp.matmul(R1.T, T1.reshape(3, 1), precision=HI).reshape(3)
-    counts = cheirality_counts(all_points, Cs, Rs, R1=R1, C1=C1)
+    counts = cheirality_counts(all_points, Cs, Rs, R1=R1, C1=C1,
+                               n_valid=n_valid)
     best = jnp.argmax(counts)
     return all_points[best], Cs[best], Rs[best], all_points, best
 

@@ -127,14 +127,14 @@ class SfMPipeline:
         self.stats: Dict = {}
         # point-axis bucket policy (SfMConfig.bucket_floor): merge the
         # small pow2 buckets into one on accelerator backends, where each
-        # distinct executable pays a one-time per-process relay load
+        # distinct executable pays a one-time per-process relay load.
+        # bucket_floor=-1 (auto) is resolved lazily at the first bucketed
+        # dispatch — constructing a pipeline must not initialize a backend
+        # (advisor r4: the eager jax.default_backend() probe here pulled up
+        # the relay TPU even for runs that force CPU later)
         from sfm_nerf_tpu.utils.buckets import set_point_bucket_floor
 
-        if cfg.bucket_floor == -1:
-            set_point_bucket_floor(
-                4096 if jax.default_backend() != "cpu" else 0)
-        else:
-            set_point_bucket_floor(cfg.bucket_floor)
+        set_point_bucket_floor(cfg.bucket_floor)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -384,15 +384,16 @@ class SfMPipeline:
             # bucket the match count (cyclic-repeat pad, slice the outputs)
             # so the 5 candidate pairs share a compile instead of paying one
             # multi-minute remote compile per distinct shape (the same
-            # policy every other per-pair dispatch uses).  Cyclic repeat —
-            # not edge pad — keeps the pose-disambiguation cheirality vote
-            # proportional to the real match distribution.
+            # policy every other per-pair dispatch uses).  n_valid masks the
+            # padded rows out of the cheirality vote, so the pose pick is
+            # exactly bucket-floor-invariant (advisor r4).
             n = len(m)
             bucket = pow2_bucket(n)
             p1 = np.resize(np.asarray(m[:, 0:2]), (bucket, 2))
             p2 = np.resize(np.asarray(m[:, 2:4]), (bucket, 2))
             X, C2, R2, _, _ = disambiguate_pose(
-                Kj, Cs, Rs, jnp.asarray(p1), jnp.asarray(p2))
+                Kj, Cs, Rs, jnp.asarray(p1), jnp.asarray(p2),
+                n_valid=jnp.asarray(n, jnp.int32))
             X = np.asarray(X)[:n]
             C2 = np.asarray(C2).reshape(3)
             R2n = np.asarray(R2)
@@ -926,14 +927,16 @@ class SfMPipeline:
                 Cs, Rs = decompose_essential(Eij, "hz")
                 # pow2-bucketed like every other per-pair dispatch (one
                 # compile per size bucket, not per pair's match count —
-                # remote compiles cost minutes); cyclic repeat keeps the
-                # cheirality vote proportional to the real distribution
+                # remote compiles cost minutes); n_valid masks the padded
+                # rows out of the cheirality vote (bucket-floor-invariant,
+                # advisor r4)
                 nm = len(mij)
                 bucket = pow2_bucket(nm)
                 pb1 = np.resize(np.asarray(mij[:, 0:2]), (bucket, 2))
                 pb2 = np.resize(np.asarray(mij[:, 2:4]), (bucket, 2))
                 _, C_rel, R_rel, _, _ = disambiguate_pose(
                     Kj0, Cs, Rs, jnp.asarray(pb1), jnp.asarray(pb2),
+                    n_valid=jnp.asarray(nm, jnp.int32),
                 )
                 pairs.append((col[i], col[j]))
                 rels.append(np.asarray(R_rel))

@@ -17,8 +17,10 @@ import numpy as np
 # tunnel; PERFORMANCE.md "resident steady state"), so a run that would
 # compile 3-4 point-size buckets per op (512/1024/2048/4096 on the bundled
 # data) merges them into ONE by raising the floor to cover the dataset's
-# match counts.  Result-invariant by construction: the jitted cores take
-# the true count (n_valid) as data — RANSAC draws are U[i, n_valid) and
+# match counts.  Result-invariant by construction: every bucketed core
+# (incl. the disambiguate_pose cheirality vote, n_valid-masked since the
+# advisor-r4 fix — cyclic-repeat padding alone left the vote's per-point
+# weighting floor-dependent) takes the true count (n_valid) as data — RANSAC draws are U[i, n_valid) and
 # scoring masks padded rows, so the winning iteration and inlier set are
 # identical across bucket sizes and the fitted model agrees to rounding
 # (longer padded reductions reassociate; pinned by
@@ -26,12 +28,35 @@ import numpy as np
 # (explicit floor=8) are never touched — padding a camera axis to 4096
 # would explode the BA system.
 _POINT_FLOOR = 64
+# "auto" floor policy: resolved LAZILY at the first pow2_bucket call, not
+# when it is requested (advisor r4: resolving in SfMPipeline.__init__
+# called jax.default_backend() at construction, eagerly initializing the
+# relay TPU backend even for runs that force CPU later — the platform
+# choice is only final once ops actually dispatch)
+_AUTO = False
 
 
 def set_point_bucket_floor(floor: int | None) -> None:
-    """Raise (or reset, with None/0) the minimum point-axis bucket."""
-    global _POINT_FLOOR
+    """Raise (or reset, with None/0) the minimum point-axis bucket.
+
+    Process-wide policy by design (ONE bucket policy per process or the
+    compile count multiplies); ``floor=-1`` selects the backend-dependent
+    auto policy (4096 on accelerators, natural on CPU), deferred to first
+    use so no backend is initialized here."""
+    global _POINT_FLOOR, _AUTO
+    if floor == -1:
+        _AUTO, _POINT_FLOOR = True, 64
+        return
+    _AUTO = False
     _POINT_FLOOR = max(64, int(floor)) if floor else 64
+
+
+def _resolve_auto() -> None:
+    global _POINT_FLOOR, _AUTO
+    import jax
+
+    _POINT_FLOOR = 4096 if jax.default_backend() != "cpu" else 64
+    _AUTO = False
 
 
 def pow2_bucket(n: int, floor: int = 64, *, floored: bool = True) -> int:
@@ -49,5 +74,7 @@ def pow2_bucket(n: int, floor: int = 64, *, floored: bool = True) -> int:
     registration-side programs (PnP, triangulation, BA glue) win from
     merging: registration stage 20.6 -> 10.6 s warm new-process."""
     if floored and floor == 64:
+        if _AUTO:
+            _resolve_auto()
         floor = _POINT_FLOOR
     return 1 << max(int(np.ceil(np.log2(max(n, floor)))), int(np.log2(floor)))
