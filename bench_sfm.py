@@ -155,6 +155,7 @@ def bench_pipeline(args):
         ba_max_iters=30, merge_tracks=True,
         ba_interval=args.pipe_ba_interval,
         global_init=args.pipe_global_init,
+        ransac_confidence=args.pipe_ransac_confidence,
     )
     t0 = time.time()
     pipe = SfMPipeline(cfg)
@@ -195,6 +196,11 @@ def main():
     ap.add_argument("--pipe_cams", type=int, default=50)
     ap.add_argument("--pipe_points", type=int, default=15000)
     ap.add_argument("--pipe_ransac_iters", type=int, default=4000)
+    ap.add_argument("--pipe_ransac_confidence", type=float, default=0.0,
+                    help="0 = fixed-count RANSAC (parity default); e.g. "
+                         "0.999 enables the confidence early exit (host "
+                         "chunk loop on CPU, lax.while_loop device driver "
+                         "on accelerators)")
     ap.add_argument("--pipe_ba_interval", type=int, default=0,
                     help="intermediate BA every K registrations "
                          "(SfMConfig.ba_interval)")

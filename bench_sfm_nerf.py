@@ -148,9 +148,15 @@ def _render_distorted(gen, c2w, size, K, k1, k2):
 
 
 def make_capture(gen, out_dir, n_cams, size, n_points, noise_px,
-                 k1=0.0, k2=0.0, seed=0):
+                 k1=0.0, k2=0.0, seed=0, match_window=0):
     """Write the reference-format SfM inputs (i.png + calibration.txt +
-    matching{i}.txt) for the current scene, plus gt_poses.npz."""
+    matching{i}.txt) for the current scene, plus gt_poses.npz.
+
+    ``match_window`` > 0 emits matches only between cameras within that
+    ring distance (wrap-around included) — real matchers are local, and an
+    unwindowed 100-camera object-centric ring would otherwise produce
+    ~n_cams^2/2 RANSAC pairs.  0 keeps the all-pairs behavior (the 24-cam
+    default)."""
     import imageio.v2 as imageio
 
     os.makedirs(out_dir, exist_ok=True)
@@ -185,13 +191,20 @@ def make_capture(gen, out_dir, n_cams, size, n_points, noise_px,
     with open(os.path.join(out_dir, "calibration.txt"), "w") as f:
         for row in K:
             f.write(" ".join(f"{val:.6f}" for val in row) + "\n")
+    def _in_window(i, j):
+        if match_window <= 0:
+            return True
+        d = abs(i - j)
+        return min(d, n_cams - d) <= match_window
+
     n_rows = 0
     for i in range(1, n_cams):
         lines = []
         for p in range(n_points):
             if not ok[i - 1, p]:
                 continue
-            js = [j for j in range(i + 1, n_cams + 1) if ok[j - 1, p]]
+            js = [j for j in range(i + 1, n_cams + 1)
+                  if ok[j - 1, p] and _in_window(i, j)]
             if not js:
                 continue
             toks = [str(len(js) + 1), "128", "128", "128",
@@ -404,6 +417,10 @@ def main():
                     help="comma list of gt,sfm,sfm_distorted,gt_resampled "
                          "(gt_resampled = GT poses over the sfm_distorted "
                          "row's own resampled targets)")
+    ap.add_argument("--match_window", type=int, default=0,
+                    help="ring distance beyond which no matches are "
+                         "emitted (0 = all pairs); large rings want ~7-10 "
+                         "or the pair count is O(n_cams^2)")
     ap.add_argument("--phase1_extra", default="",
                     help="extra Phase1/Wrapper.py flags, space-separated "
                          "(e.g. '--ba_interval 25 --global_init' for "
@@ -440,7 +457,8 @@ def main():
     phase1_extra = tuple(args.phase1_extra.split()) if args.phase1_extra \
         else ()
     cap_params = {"n_cams": args.n_cams, "size": args.size,
-                  "n_points": args.n_points, "noise_px": args.noise_px}
+                  "n_points": args.n_points, "noise_px": args.noise_px,
+                  "match_window": args.match_window}
     ds_params = {**cap_params, "holdout_every": args.holdout_every,
                  "phase1_extra": list(phase1_extra)}
 
@@ -448,7 +466,7 @@ def main():
     if not _params_current(cap, os.path.join(cap, "gt_poses.npz"),
                            cap_params):
         make_capture(gen, cap, args.n_cams, args.size, args.n_points,
-                     args.noise_px)
+                     args.noise_px, match_window=args.match_window)
         _record_params(cap, cap_params)
     needs_distorted = {"sfm_distorted", "gt_resampled"} & set(variants)
     if needs_distorted:
@@ -459,7 +477,8 @@ def main():
                                capd_params):
             make_capture(gen, capd, args.n_cams, args.size, args.n_points,
                          args.noise_px, k1=args.distort_k1,
-                         k2=args.distort_k2, seed=0)
+                         k2=args.distort_k2, seed=0,
+                         match_window=args.match_window)
             _record_params(capd, capd_params)
 
     def _ensure_phase1(capture, ds, refine=""):
