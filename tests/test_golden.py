@@ -111,6 +111,75 @@ def test_golden_self_trained_frame_psnr():
     assert img.std() > 0.02 and img.max() > 0.3
 
 
+CKPT_ROOT = os.path.join(
+    os.path.dirname(__file__), "..", "Phase2", "checkpoints")
+
+
+def _render_family(family, height, width, n_sample):
+    """Render one committed self-trained checkpoint family from a fixed
+    camera (VERDICT r4 weak #4: chair800 and synth800_nope shipped without
+    a render-regression gate, so a refactor could silently break what the
+    README quality table advertises).
+
+    chair800 uses its committed dataset's first TEST pose (Blender-style
+    rig from make_synth_scene --scene chair) and the white background it
+    was trained with; synth800_nope uses the synth800 look-at turntable
+    camera (same rig as the synth800 golden)."""
+    from sfm_nerf_tpu.config import RenderConfig
+    from sfm_nerf_tpu.io.blender import derive_focal, look_at_pose
+    from sfm_nerf_tpu.models import nerf_apply
+    from sfm_nerf_tpu.ops.rays import image_rays
+    from sfm_nerf_tpu.ops.render import render_rays_chunked
+    from sfm_nerf_tpu.train import checkpoint as ckpt_lib
+
+    params, _ = ckpt_lib.load_params_untyped(
+        os.path.join(CKPT_ROOT, family, "final_model.ckpt.npz"))
+    cfg = ckpt_lib.infer_model_config(params)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    white = False
+    if family == "chair800":
+        import json
+
+        with open(os.path.join(
+                os.path.dirname(__file__), "..", "Phase2",
+                "nerf_synthetic", "chair800", "transforms_test.json")) as fh:
+            tj = json.load(fh)
+        f = derive_focal(tj["camera_angle_x"], width)
+        pose = jnp.asarray(tj["frames"][0]["transform_matrix"], jnp.float32)
+        white = True
+    else:
+        f = derive_focal(CAMERA_ANGLE_X, width)
+        el = np.deg2rad(30.0)
+        eye = np.array([4.0 * np.cos(el), 4.0 * np.sin(el), 0.0])
+        pose = jnp.asarray(
+            look_at_pose(eye, np.array([0.0, -0.2, 0.0])), jnp.float32)
+    K = jnp.asarray([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
+    rcfg = RenderConfig(n_sample=n_sample, near=2.0, far=6.0, perturb=False,
+                        variant="train", white_background=white)
+    model_fn = lambda p, d: nerf_apply(params, p, d, cfg)
+    o, d = image_rays(K, pose, height, width)
+    img = np.asarray(render_rays_chunked(model_fn, o, d, rcfg))
+    return img.reshape(height, width, 3)
+
+
+@pytest.mark.parametrize("family", ["chair800", "synth800_nope"])
+def test_golden_family_frame_psnr(family):
+    import imageio.v2 as imageio
+
+    img = _render_family(family, 200, 200, 128)
+    golden = imageio.imread(
+        os.path.join(GOLDEN_DIR, f"{family}_200_train.png")) / 255.0
+    p = psnr(np.clip(img, 0, 1), golden)
+    assert p >= 40.0, f"{family}: PSNR vs committed golden = {p:.1f} dB"
+    # content check: chair800 is white-background (low std would pass a
+    # blank frame — require dark chair pixels); no-PE is a dim blurry
+    # scene but must still be non-flat
+    assert img.std() > 0.02
+    if family == "chair800":
+        assert img.min() < 0.45, "white-bkgd frame lost its dark object"
+
+
 def psnr(a, b):
     mse = float(np.mean((np.asarray(a, np.float64)
                          - np.asarray(b, np.float64)) ** 2))
