@@ -118,6 +118,10 @@ def main():
                         help="re-initialize all camera rotations by global "
                              "rotation averaging over pairwise essentials "
                              "before bundle adjustment")
+    parser.add_argument("--global_init_batch_pairs", type=int, default=256,
+                        help="pair-axis chunk for the pose-graph build: "
+                             "one batched relative-pose dispatch per chunk "
+                             "instead of ~6 per pair (0 = per-pair loop)")
     parser.add_argument("--init_pair", default="fixed",
                         choices=["fixed", "auto"],
                         help="initial two-view pair: 'fixed' = (1,2) "
@@ -208,6 +212,7 @@ def main():
         essential_method=args.essential_method,
         global_rotation_init=args.global_rotation_init,
         global_init=args.global_init,
+        global_init_batch_pairs=args.global_init_batch_pairs,
         init_pair=args.init_pair,
         view_order=args.view_order,
         merge_tracks=args.merge_tracks,

@@ -268,6 +268,11 @@ class SfMConfig:
     # averaging (pairwise baseline directions -> joint camera centers) ->
     # re-triangulation -> BA.  Implies global_rotation_init.
     global_init: bool = False
+    # pair-axis chunk for the pose-graph build (ops.relative_pose_pairs):
+    # one batched dispatch per chunk instead of ~6 eager dispatches per
+    # pair (round 5: the per-pair loop was 1,270 s of the 200-camera TPU
+    # pipeline — relay RTT x 1,373 pairs).  0 restores the per-pair loop.
+    global_init_batch_pairs: int = 256
     # keyframe / view selection (ADDITION; the reference hardcodes the
     # initial pair to (1,2) and registers strictly by image index,
     # Phase1/Wrapper.py:666,679):

@@ -312,3 +312,47 @@ def reprojection_errors(
     P = projection_matrix_RC(K, R, C)
     proj = project(P, X)
     return jnp.sum((proj - pts) ** 2, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cleanup", "convention"))
+def relative_pose_pairs(
+    K: jnp.ndarray,
+    F: jnp.ndarray,        # (P, 3, 3) fundamental matrices
+    pts1: jnp.ndarray,     # (P, B, 2) matches, bucket-padded per pair
+    pts2: jnp.ndarray,     # (P, B, 2)
+    n_valid: jnp.ndarray,  # (P,) true match counts (masks the vote)
+    cleanup: bool = True,
+    convention: str = "hz",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pair-axis batched relative pose from F: E = K^T F K (-> optional
+    essential cleanup) -> 4-candidate decomposition -> cheirality-voted
+    disambiguation, vmapped over the pair axis.
+
+    Why this exists: the global-init pose-graph build (sfm/pipeline.py)
+    originally looped these ops per pair — ~6 eager dispatches x n_pairs,
+    each paying the relay's round trip on a tunneled accelerator (measured
+    round 5: 1,270 s of the 200-camera TPU pipeline's 2,864 s total was
+    this loop over 1,373 pairs; the CPU control paid a similar 1,288 s in
+    host dispatch overhead).  One batched call per (pair-chunk, match-
+    bucket) replaces ~6 x chunk dispatches.  No reference counterpart
+    (global averaging is an ADDITION; the per-pair ops it composes are
+    cited at their definitions).  Results match the per-pair path to
+    platform rounding (pinned by test_relative_pose_pairs_matches_loop).
+
+    Returns (C_rel (P, 3), R_rel (P, 3, 3)).
+    """
+    from sfm_nerf_tpu.ops.epipolar import (
+        cleanup_essential,
+        decompose_essential,
+        essential_from_fundamental,
+    )
+
+    def one(Fij, p1, p2, nv):
+        E = essential_from_fundamental(K, Fij)
+        if cleanup:
+            E = cleanup_essential(E)
+        Cs, Rs = decompose_essential(E, convention)
+        _, C, R, _, _ = disambiguate_pose(K, Cs, Rs, p1, p2, n_valid=nv)
+        return C, R
+
+    return jax.vmap(one)(F, pts1, pts2, n_valid)

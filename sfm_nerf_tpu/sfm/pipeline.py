@@ -61,6 +61,7 @@ from sfm_nerf_tpu.ops.triangulation import (
     disambiguate_pose,
     projection_matrix_RC,
     project,
+    relative_pose_pairs,
     reprojection_errors,
     triangulate_linear,
     triangulate_nonlinear,
@@ -908,40 +909,90 @@ class SfMPipeline:
             cam_ids = sorted(camera_info.keys())
             col = {c: n for n, c in enumerate(cam_ids)}
             Kj0 = jnp.asarray(K)
-            pairs, rels, crels, n_inl = [], [], [], []
-            for (i, j), (Fij, mij) in refined.items():
-                if i not in col or j not in col or len(mij) < 8:
-                    continue
-                Eij = essential_from_fundamental(Kj0, jnp.asarray(Fij))
-                if cfg.essential_cleanup:
-                    Eij = cleanup_essential(Eij)
-                # ALWAYS the correct 'hz' convention here, regardless of
-                # cfg.center_convention: global rotation/translation
-                # averaging is an addition (no reference counterpart to be
-                # bug-compatible with), and pair_direction_world needs
-                # C_rel to be camera j's true CENTER in camera i's frame —
-                # under the 'reference' quirk U[:,2] is treated as the
-                # center when it is ±t, which would rotate every edge
-                # direction by that pair's relative rotation and bias the
-                # averaged centers consistently (no outlier gate can see it)
-                Cs, Rs = decompose_essential(Eij, "hz")
-                # pow2-bucketed like every other per-pair dispatch (one
-                # compile per size bucket, not per pair's match count —
-                # remote compiles cost minutes); n_valid masks the padded
-                # rows out of the cheirality vote (bucket-floor-invariant,
-                # advisor r4)
-                nm = len(mij)
-                bucket = pow2_bucket(nm)
-                pb1 = np.resize(np.asarray(mij[:, 0:2]), (bucket, 2))
-                pb2 = np.resize(np.asarray(mij[:, 2:4]), (bucket, 2))
-                _, C_rel, R_rel, _, _ = disambiguate_pose(
-                    Kj0, Cs, Rs, jnp.asarray(pb1), jnp.asarray(pb2),
-                    n_valid=jnp.asarray(nm, jnp.int32),
-                )
-                pairs.append((col[i], col[j]))
-                rels.append(np.asarray(R_rel))
-                crels.append(np.asarray(C_rel))
-                n_inl.append(len(mij))
+            # Pose-graph edges.  The relative pose of every edge is
+            # extracted with the ALWAYS-correct 'hz' center convention,
+            # regardless of cfg.center_convention: global rotation/
+            # translation averaging is an addition (no reference
+            # counterpart to be bug-compatible with), and
+            # pair_direction_world needs C_rel to be camera j's true
+            # CENTER in camera i's frame — under the 'reference' quirk
+            # U[:,2] is treated as the center when it is ±t, which would
+            # rotate every edge direction by that pair's relative rotation
+            # and bias the averaged centers consistently (no outlier gate
+            # can see it).
+            items = [
+                ((i, j), Fij, mij)
+                for (i, j), (Fij, mij) in refined.items()
+                if i in col and j in col and len(mij) >= 8
+            ]
+            pairs = [(col[i], col[j]) for (i, j), _, _ in items]
+            n_inl = [len(mij) for _, _, mij in items]
+            rels = [None] * len(items)
+            crels = [None] * len(items)
+            chunk = cfg.global_init_batch_pairs
+            if chunk > 0 and items:
+                # pair-axis batched path (ops.relative_pose_pairs): group
+                # edges by match bucket, pad each group's pair axis to the
+                # fixed chunk (pad rows repeat row 0 — finite numerics,
+                # sliced away), ONE dispatch per chunk.  n_valid masks
+                # bucket padding out of each pair's cheirality vote.
+                from collections import defaultdict
+
+                groups = defaultdict(list)
+                for idx, (_, _, mij) in enumerate(items):
+                    groups[pow2_bucket(len(mij))].append(idx)
+                for bucket, idxs in sorted(groups.items()):
+                    for s in range(0, len(idxs), chunk):
+                        sel = idxs[s:s + chunk]
+                        Fb = np.stack([np.asarray(items[ix][1])
+                                       for ix in sel])
+                        p1 = np.stack([
+                            np.resize(np.asarray(items[ix][2][:, 0:2]),
+                                      (bucket, 2)) for ix in sel])
+                        p2 = np.stack([
+                            np.resize(np.asarray(items[ix][2][:, 2:4]),
+                                      (bucket, 2)) for ix in sel])
+                        nv = np.asarray(
+                            [len(items[ix][2]) for ix in sel], np.int32)
+                        pad = chunk - len(sel)
+                        if pad:
+                            Fb = np.concatenate(
+                                [Fb, np.repeat(Fb[:1], pad, 0)])
+                            p1 = np.concatenate(
+                                [p1, np.repeat(p1[:1], pad, 0)])
+                            p2 = np.concatenate(
+                                [p2, np.repeat(p2[:1], pad, 0)])
+                            nv = np.concatenate(
+                                [nv, np.repeat(nv[:1], pad)])
+                        C_b, R_b = relative_pose_pairs(
+                            Kj0, jnp.asarray(Fb), jnp.asarray(p1),
+                            jnp.asarray(p2), jnp.asarray(nv),
+                            cleanup=cfg.essential_cleanup,
+                        )
+                        C_b, R_b = np.asarray(C_b), np.asarray(R_b)
+                        for n, ix in enumerate(sel):
+                            crels[ix] = C_b[n]
+                            rels[ix] = R_b[n]
+            else:
+                for ix, (_, Fij, mij) in enumerate(items):
+                    Eij = essential_from_fundamental(
+                        Kj0, jnp.asarray(Fij))
+                    if cfg.essential_cleanup:
+                        Eij = cleanup_essential(Eij)
+                    Cs, Rs = decompose_essential(Eij, "hz")
+                    # pow2-bucketed like every other per-pair dispatch;
+                    # n_valid masks the padded rows out of the cheirality
+                    # vote (bucket-floor-invariant, advisor r4)
+                    nm = len(mij)
+                    bucket = pow2_bucket(nm)
+                    pb1 = np.resize(np.asarray(mij[:, 0:2]), (bucket, 2))
+                    pb2 = np.resize(np.asarray(mij[:, 2:4]), (bucket, 2))
+                    _, C_rel, R_rel, _, _ = disambiguate_pose(
+                        Kj0, Cs, Rs, jnp.asarray(pb1), jnp.asarray(pb2),
+                        n_valid=jnp.asarray(nm, jnp.int32),
+                    )
+                    rels[ix] = np.asarray(R_rel)
+                    crels[ix] = np.asarray(C_rel)
             # the spectral solve is only meaningful on a CONNECTED pose
             # graph containing the anchor — a disconnected component's
             # eigenvector blocks are independent (measured: 131-170 deg

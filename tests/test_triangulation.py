@@ -275,3 +275,82 @@ def test_tri_reproj_gate_blocks_inconsistent_points():
             K, camera_info, tracks, groups, fidx_to_3d)
         assert set(fidx_to_3d) == expected, (gate, set(fidx_to_3d))
     np.testing.assert_allclose(fidx_to_3d[1], pts[1], atol=1e-5)
+
+
+def test_relative_pose_pairs_matches_loop():
+    """The pair-axis batched pose-graph path (ops.relative_pose_pairs —
+    one dispatch per chunk) must agree with the per-pair loop it replaced
+    (essential_from_fundamental -> cleanup -> decompose 'hz' ->
+    n_valid-masked disambiguate_pose), including bucket padding and a
+    padded pair row, and must recover the ground-truth relative pose."""
+    import jax.numpy as jnp
+
+    from sfm_nerf_tpu.ops.epipolar import (
+        cleanup_essential,
+        decompose_essential,
+        essential_from_fundamental,
+    )
+    from sfm_nerf_tpu.ops.triangulation import (
+        disambiguate_pose,
+        relative_pose_pairs,
+    )
+    from sfm_nerf_tpu.utils.buckets import pow2_bucket
+
+    gaps = [3, 5, 7]
+    counts = [600, 900, 1200]          # distinct true counts, one bucket
+    K = None
+    Fs, p1s, p2s, gts = [], [], [], []
+    for gap, n in zip(gaps, counts):
+        K, (R1, C1), (R2, C2), p1, p2, _ = _ring_pair(
+            gap=gap, n=n, noise=0.3, seed=gap)
+        # ground-truth F from the two projections (cam1 at origin frame):
+        # relative pose (R_rel, C_rel) with camera 1 as the world
+        R_rel = R2 @ R1.T
+        C_rel = R1 @ (C2 - C1)
+        t = -R_rel @ C_rel
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                       [-t[1], t[0], 0]])
+        Kinv = np.linalg.inv(K)
+        F = Kinv.T @ (tx @ R_rel) @ Kinv
+        Fs.append(F / np.linalg.norm(F))
+        p1s.append(p1)
+        p2s.append(p2)
+        gts.append((R_rel, C_rel / np.linalg.norm(C_rel)))
+
+    bucket = pow2_bucket(max(counts))
+    Kj = jnp.asarray(K)
+    # per-pair reference loop (the pipeline's legacy path)
+    loop_C, loop_R = [], []
+    for F, p1, p2 in zip(Fs, p1s, p2s):
+        E = cleanup_essential(essential_from_fundamental(Kj, jnp.asarray(F)))
+        Cs, Rs = decompose_essential(E, "hz")
+        pb1 = np.resize(p1, (bucket, 2))
+        pb2 = np.resize(p2, (bucket, 2))
+        _, C, R, _, _ = disambiguate_pose(
+            Kj, Cs, Rs, jnp.asarray(pb1), jnp.asarray(pb2),
+            n_valid=jnp.asarray(len(p1), jnp.int32))
+        loop_C.append(np.asarray(C))
+        loop_R.append(np.asarray(R))
+
+    # batched path, padded with a repeat of row 0 (as the pipeline pads)
+    P = 4
+    Fb = np.stack(Fs + [Fs[0]])
+    pb1 = np.stack([np.resize(p, (bucket, 2)) for p in p1s]
+                   + [np.resize(p1s[0], (bucket, 2))])
+    pb2 = np.stack([np.resize(p, (bucket, 2)) for p in p2s]
+                   + [np.resize(p2s[0], (bucket, 2))])
+    nv = np.asarray(counts + [counts[0]], np.int32)
+    C_b, R_b = relative_pose_pairs(
+        Kj, jnp.asarray(Fb), jnp.asarray(pb1), jnp.asarray(pb2),
+        jnp.asarray(nv), cleanup=True)
+    C_b, R_b = np.asarray(C_b), np.asarray(R_b)
+    assert C_b.shape == (P, 3) and R_b.shape == (P, 3, 3)
+    for n in range(3):
+        np.testing.assert_allclose(C_b[n], loop_C[n], atol=1e-8)
+        np.testing.assert_allclose(R_b[n], loop_R[n], atol=1e-8)
+        # and both recover the ground truth (sign-fixed unit center)
+        R_gt, u_gt = gts[n]
+        assert np.degrees(np.arccos(np.clip(
+            (np.trace(R_b[n] @ R_gt.T) - 1) / 2, -1, 1))) < 0.2
+        u = C_b[n] / np.linalg.norm(C_b[n])
+        assert min(np.linalg.norm(u - u_gt), np.linalg.norm(u + u_gt)) < 5e-3
