@@ -48,6 +48,12 @@ def main():
                              "instead")
     parser.add_argument("--pnp_iters", type=int, default=10000)
     parser.add_argument("--pnp_threshold", type=float, default=10.0)
+    parser.add_argument("--pnp_f64_rescue", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="per-camera numpy-f64 host retry when an f32 "
+                        "accelerator PnP RANSAC fails its inlier gate "
+                        "(ADDITION; 'auto' = active only on non-x64 runs, "
+                        "so CPU f64 behavior is unchanged)")
     parser.add_argument("--ransac_adaptive_device", default="auto",
                         choices=["auto", "host", "device"],
                         help="with --ransac_confidence > 0: 'host' drives "
@@ -202,6 +208,7 @@ def main():
                                 "device": True}[args.ransac_adaptive_device],
         pnp_iters=args.pnp_iters,
         pnp_threshold=args.pnp_threshold,
+        pnp_f64_rescue=args.pnp_f64_rescue,
         ba_max_iters=args.ba_max_iters,
         ba_interval=args.ba_interval,
         ba_interval_iters=args.ba_interval_iters,

@@ -207,6 +207,15 @@ class SfMConfig:
     # PnP RANSAC (Phase1/PnP.py:160)
     pnp_iters: int = 10000
     pnp_threshold: float = 10.0      # squared px reprojection error
+    # ADDITION: when the device PnP RANSAC fails its inlier gate on an
+    # f32 accelerator run, retry the camera with the pure-numpy float64
+    # host solver (ops/pnp.py:pnp_ransac_f64_host) before skipping it.
+    # The measured f32 consensus collapse costs 2/200 and 8/500 cameras
+    # at scale (PERFORMANCE.md round-5 tables); the rescue is per-failed-
+    # camera host work (~1-2 s).  'auto' activates it only when the
+    # process is NOT already running x64 (CPU-f64 runs keep reference-
+    # parity behavior unchanged); 'on'/'off' force it.
+    pnp_f64_rescue: str = "auto"
     # two-view pose recovery (reference quirks available as switches)
     essential_cleanup: bool = True     # project E singulars to (1,1,0)
     center_convention: str = "hz"      # 'hz' (correct) | 'reference' (quirk)

@@ -474,6 +474,127 @@ def pnp_ransac_bucketed(
     return PnPRansacResult(res.R, res.C, res.inliers[:n], res.n_inliers)
 
 
+def _pnp_dlt_np(X3d, x2d, K):
+    """Numpy-f64 twin of ``_dlt_projection`` (same conditioning, null
+    vector, denormalization, and majority-depth sign canonicalization) —
+    for the host rescue path, which must be float64 regardless of the
+    process-wide ``jax_enable_x64`` state (flipping that flag mid-process
+    on an accelerator run is unsupported).  Batched over leading dims."""
+    import numpy as np
+
+    Kinv = np.linalg.inv(K)
+    xh = np.concatenate([x2d, np.ones_like(x2d[..., :1])], axis=-1)
+    xn = np.einsum("ij,...nj->...ni", Kinv, xh)
+    x, y = xn[..., 0], xn[..., 1]
+    cen = np.mean(X3d, axis=-2, keepdims=True)
+    scale = np.sqrt(np.mean(
+        np.sum((X3d - cen) ** 2, -1), -1, keepdims=True))
+    scale = np.maximum(scale, 1e-12)
+    Xn = (X3d - cen) / scale[..., None]
+    X, Y, Z = Xn[..., 0], Xn[..., 1], Xn[..., 2]
+    one = np.ones_like(X)
+    zero = np.zeros_like(X)
+    row1 = np.stack(
+        [X, Y, Z, one, zero, zero, zero, zero, -x * X, -x * Y, -x * Z, -x], -1
+    )
+    row2 = np.stack(
+        [zero, zero, zero, zero, X, Y, Z, one, -y * X, -y * Y, -y * Z, -y], -1
+    )
+    A = np.concatenate([row1, row2], axis=-2)       # (..., 2N, 12)
+    p = np.linalg.svd(A)[2][..., -1, :]
+    P = p.reshape(*p.shape[:-1], 3, 4)
+    Pl = P[..., :, :3] / scale[..., None, :]
+    P = np.concatenate(
+        [Pl, (P[..., :, 3] - np.einsum(
+            "...ij,...j->...i", Pl, cen[..., 0, :]))[..., None]],
+        axis=-1)
+    Xh = np.concatenate([X3d, np.ones_like(X3d[..., :1])], axis=-1)
+    depth = np.einsum("...j,...nj->...n", P[..., 2, :], Xh)
+    flip = np.sum(np.sign(depth), -1) < 0
+    return np.where(flip[..., None, None], -P, P)
+
+
+def _decompose_P_np(P):
+    """Numpy twin of ``linear_pnp``'s P -> (C, R) tail (SVD
+    orthonormalization, reference R-only det flip, sigma_0 scale
+    recovery)."""
+    import numpy as np
+
+    U, D, Vt = np.linalg.svd(P[..., :, :3])
+    R = U @ Vt
+    neg = np.linalg.det(R) < 0
+    R = np.where(neg[..., None, None], -R, R)
+    T = P[..., :, 3] / D[..., 0:1]
+    C = -np.einsum("...ji,...j->...i", R, T)
+    return C, R
+
+
+def _reproj_sq_np(K, R, C, X3d, x2d):
+    """Squared pixel reprojection error under KR[I|-C], numpy twin of
+    ``reprojection_errors``.  R (..., 3, 3), C (..., 3) -> (..., N)."""
+    import numpy as np
+
+    KR = np.einsum("ij,...jk->...ik", K, R)
+    t = -np.einsum("...ij,...j->...i", KR, C)
+    proj = np.einsum("...ij,nj->...ni", KR, X3d) + t[..., None, :]
+    uv = proj[..., :2] / np.where(
+        np.abs(proj[..., 2:3]) > 1e-300, proj[..., 2:3], np.inf)
+    return np.sum((uv - x2d) ** 2, axis=-1)
+
+
+def pnp_ransac_f64_host(
+    seed: int, X3d_np, x2d_np, K,
+    n_iters: int = 10000, threshold: float = 10.0, scoring: str = "msac",
+    chunk: int = 2048,
+) -> PnPRansacResult:
+    """Pure-numpy float64 PnP RANSAC — the host RESCUE path for the
+    measured f32 consensus collapses at scale (198/200 and 492/500
+    registered in PERFORMANCE.md's round-5 tables: the DLT hypothesis
+    space degrades in f32 for a handful of deep-chain cameras and the
+    inlier gate fails).  Runs in f64 regardless of backend/x64 state, so
+    an accelerator pipeline can fall back per-camera at host cost (~1-2 s
+    for 10k iterations) instead of losing the camera.  Same algorithm as
+    ``pnp_ransac`` (reference PnPRANSAC, Phase1/PnP.py:160-196): 6-point
+    duplicate-free samples, squared-px threshold, MSAC/count scoring,
+    LAPACK winner re-solve."""
+    import numpy as np
+
+    X = np.asarray(X3d_np, np.float64)
+    x = np.asarray(x2d_np, np.float64)
+    Kn = np.asarray(K, np.float64)
+    n = len(X)
+    if n < 6:
+        z = np.zeros(n, bool)
+        return PnPRansacResult(np.eye(3), np.zeros(3), z, np.asarray(0))
+    rng = np.random.default_rng(seed)
+    if n == 6:
+        idx = np.arange(6)[None]
+    else:
+        idx = np.argpartition(rng.random((n_iters, n)), 6, axis=1)[:, :6]
+    best_score, best_iter = -np.inf, 0
+    for s in range(0, len(idx), chunk):
+        sl = idx[s:s + chunk]
+        P = _pnp_dlt_np(X[sl], x[sl], Kn)
+        C, R = _decompose_P_np(P)
+        e = _reproj_sq_np(Kn, R, C, X, x)           # (chunk, N)
+        e = np.where(np.isnan(e), np.inf, e)
+        if scoring == "msac":
+            score = -np.minimum(e, threshold).sum(-1)
+        else:
+            score = (e < threshold).sum(-1).astype(np.float64)
+        finite = (np.isfinite(C).all(-1)
+                  & np.isfinite(R.reshape(len(R), -1)).all(-1))
+        score = np.where(finite, score, -np.inf)
+        b = int(np.argmax(score))
+        if score[b] > best_score:
+            best_score, best_iter = float(score[b]), s + b
+    Pw = _pnp_dlt_np(X[idx[best_iter]], x[idx[best_iter]], Kn)
+    Cw, Rw = _decompose_P_np(Pw)
+    ew = _reproj_sq_np(Kn, Rw, Cw, X, x)
+    inl = np.where(np.isnan(ew), np.inf, ew) < threshold
+    return PnPRansacResult(Rw, Cw, inl, np.asarray(int(inl.sum())))
+
+
 def nonlinear_pnp_bucketed(
     K, R_init, C_init, X3d_np, x2d_np, weights_np, n_iters: int = 50,
 ):

@@ -56,6 +56,7 @@ from sfm_nerf_tpu.ops.epipolar import (
 from sfm_nerf_tpu.ops.pnp import (
     nonlinear_pnp_bucketed,
     pnp_ransac_bucketed,
+    pnp_ransac_f64_host,
 )
 from sfm_nerf_tpu.ops.triangulation import (
     disambiguate_pose,
@@ -441,6 +442,33 @@ class SfMPipeline:
             scoring=cfg.ransac_scoring, confidence=cfg.ransac_confidence,
             adaptive_device=cfg.ransac_adaptive_device,
         )
+        rescue_on = cfg.pnp_f64_rescue == "on" or (
+            cfg.pnp_f64_rescue == "auto"
+            and not bool(jax.config.jax_enable_x64))
+        if int(res.n_inliers) < 6 and rescue_on:
+            # f64 host rescue (ADDITION, no reference counterpart): the
+            # f32 device DLT hypothesis space collapses for a handful of
+            # deep-chain cameras at scale (measured: 2/200 and 8/500
+            # registrations lost, PERFORMANCE.md round-5).  Re-run THIS
+            # camera's RANSAC in pure-numpy float64 on the host —
+            # independent of the process-wide x64 flag, which cannot be
+            # flipped mid-run on an accelerator — before giving up.
+            # Skipped when x64 is on (the main path was already f64).
+            n_prior = self.stats.get("pnp_failures", {}).get(i, 0)
+            res_h = pnp_ransac_f64_host(
+                cfg.seed * 1000003 + i * 31 + n_prior,
+                obj_points, img_points, K,
+                n_iters=cfg.pnp_iters, threshold=cfg.pnp_threshold,
+                scoring=cfg.ransac_scoring,
+            )
+            if int(res_h.n_inliers) >= 6:
+                print(
+                    f"PnP f64 host rescue for image {i}: "
+                    f"{int(res_h.n_inliers)} inliers"
+                )
+                self.stats.setdefault("pnp_rescues", {})[i] = int(
+                    res_h.n_inliers)
+                res = res_h
         if int(res.n_inliers) < 6:
             print(f"Not enough inliers for reliable PnP with image {i}")
             fails = self.stats.setdefault("pnp_failures", {})

@@ -262,3 +262,49 @@ def test_pnp_ransac_adaptive_device_matches_host():
     np.testing.assert_array_equal(np.asarray(res_d.C), np.asarray(res_h.C))
     np.testing.assert_array_equal(
         np.asarray(res_d.inliers), np.asarray(res_h.inliers))
+
+
+def test_pnp_f64_host_recovers_pose_with_outliers():
+    """The pure-numpy f64 rescue solver (pnp_ransac_f64_host) recovers the
+    true pose through 30% gross outliers — the oracle for the per-camera
+    f32-collapse rescue path (ADDITION; reference PnPRANSAC semantics,
+    Phase1/PnP.py:160-196)."""
+    from sfm_nerf_tpu.ops.pnp import pnp_ransac_f64_host
+
+    X, x, K, R_true, C_true = cam_setup(noise=0.5)
+    rng = np.random.default_rng(1)
+    x_c = x.copy()
+    out_idx = rng.choice(len(x), 60, replace=False)
+    x_c[out_idx] += rng.uniform(-60, 60, (60, 2))
+    res = pnp_ransac_f64_host(0, X, x_c, K, n_iters=1500)
+    assert np.linalg.norm(np.asarray(res.R) - R_true) < 0.05
+    assert np.linalg.norm(np.asarray(res.C) - C_true) < 0.3
+    assert int(res.n_inliers) >= 60
+    # the winner's inlier set excludes most corrupted rows
+    assert np.asarray(res.inliers)[out_idx].mean() < 0.2
+
+
+def test_register_camera_f64_rescue(monkeypatch):
+    """When the device PnP RANSAC fails its inlier gate, the pipeline's
+    f64 host rescue registers the camera anyway ('on'); with the rescue
+    'off' the failure propagates as before."""
+    from sfm_nerf_tpu.config import SfMConfig
+    from sfm_nerf_tpu.ops.pnp import PnPRansacResult
+    from sfm_nerf_tpu.sfm import pipeline as pl
+
+    X, x, K, R_true, C_true = cam_setup(noise=0.3)
+    failed = PnPRansacResult(
+        np.eye(3), np.zeros(3), np.zeros(len(x), bool), np.asarray(0))
+    monkeypatch.setattr(
+        pl, "pnp_ransac_bucketed", lambda *a, **k: failed)
+    pipe = pl.SfMPipeline(SfMConfig(pnp_f64_rescue="on", pnp_iters=1500))
+    C, R = pipe.register_camera(7, X, x, K)
+    assert C is not None and R is not None
+    assert np.linalg.norm(np.asarray(R) - R_true) < 0.05
+    assert np.linalg.norm(np.asarray(C) - C_true) < 0.3
+    assert pipe.stats["pnp_rescues"][7] >= 6
+
+    pipe_off = pl.SfMPipeline(SfMConfig(pnp_f64_rescue="off"))
+    C2, R2 = pipe_off.register_camera(7, X, x, K)
+    assert C2 is None and R2 is None
+    assert pipe_off.stats["pnp_failures"][7] == 1
