@@ -308,3 +308,19 @@ def test_register_camera_f64_rescue(monkeypatch):
     C2, R2 = pipe_off.register_camera(7, X, x, K)
     assert C2 is None and R2 is None
     assert pipe_off.stats["pnp_failures"][7] == 1
+
+
+def test_pnp_f64_host_matches_jax_linear_pnp():
+    """The rescue solver's numpy DLT + decomposition is the SAME camera
+    convention as the device path: on an identical minimal sample (f64,
+    CPU) the two agree to LAPACK rounding — so a rescued pose drops into
+    the downstream refine/BA chain exactly like a device winner."""
+    from sfm_nerf_tpu.ops.pnp import _decompose_P_np, _pnp_dlt_np
+
+    X, x, K, _, _ = cam_setup(noise=0.2)
+    sel = np.arange(0, 12, 2)[:6]
+    C_np, R_np = _decompose_P_np(_pnp_dlt_np(X[sel], x[sel], K))
+    C_j, R_j = linear_pnp(
+        jnp.asarray(X[sel]), jnp.asarray(x[sel]), jnp.asarray(K))
+    np.testing.assert_allclose(np.asarray(R_j), R_np, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(C_j), C_np, atol=1e-7)
